@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loader for the driver-generated parquet testdata.
+  *
+  * All queries read through here so that a future move to a real lake
+  * layout (partitioned dirs, bucketed tables, a catalog) is a one-file
+  * change. At 100 TB these would be catalog tables with partition pruning;
+  * at test scale they are single parquet files.
+  */
+object Tables {
+
+  /** Sessions must set this: Spark has no nanosecond timestamp type, so the
+    * events table's TIMESTAMP(NANOS) parquet column is read as a raw
+    * nanosecond BIGINT and re-derived below. DuckDB 1.0 (the oracle)
+    * truncates ns→µs on read, so `timestamp_micros(ts_ns div 1000)` is
+    * bit-identical to what the oracle sees.
+    */
+  val nanosAsLongConf: (String, String) =
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,456 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / OLAP query surface (SURVEY.md §2B).
+  *
+  * Scale posture (designed for 100 TB, tested on local testdata):
+  *  - Dimension tables (region/nation/customer/part/supplier) are explicitly
+  *    `broadcast()`; fact-fact joins shuffle on their natural keys and rely
+  *    on AQE for skew splitting.
+  *  - Aggregations are plain `groupBy` so Catalyst emits partial (map-side)
+  *    aggregation before the shuffle.
+  *  - Every query ends in a total ORDER BY with unique-key tiebreaks and
+  *    rounds floating-point aggregates, so results are deterministic and
+  *    hash-comparable against the DuckDB oracle.
+  *  - Event-time values are emitted as epoch-second BIGINT or DATE — never
+  *    raw timestamps — to avoid ns (parquet events.ts) vs us (Spark)
+  *    precision drift between engines.
+  */
+object Relational {
+  import graft.Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1 shape: scan → filter → arithmetic exprs → 8 aggs → sort.
+    * Filter and the two projected expressions stay inside one
+    * WholeStageCodegen span; only one shuffle (the final group-by). */
+  val q1PricingSummary: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3 shape: broadcast the filtered customer dim, shuffle-join the
+    * two fact tables on orderkey, partial-agg, top-k via
+    * TakeOrderedAndProject (no full sort). */
+  val q3TopOrders: Q = (s, dir) => {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("o_orderdate"))
+  }
+
+  val q3TopOrdersSql: String =
+    """SELECT l_orderkey, revenue, o_orderdate FROM (
+      |  SELECT l_orderkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |    CAST(o_orderdate AS DATE) AS o_orderdate
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |  GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |) ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------ semi/anti join
+  /** Left-semi and left-anti joins (customers with / without orders),
+    * reduced to one row of counts. Both sides broadcast the aggregated
+    * single-row frames; the joins themselves shuffle on custkey. */
+  val semiAntiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    withO.crossJoin(without)
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer c WHERE EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin
+
+  // ------------------------------------------------------ range join
+  /** Non-equi (interval) join with an equi-key prefix: events within ±5min
+    * of each user's first purchase. The user_id equi-key keeps this a hash
+    * join (not BNLJ); the interval condition is evaluated post-match. */
+  val rangeJoinEvents: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("fu")).agg(min(col("ts")).as("fts"))
+    val lo = col("fts") - expr("INTERVAL '5' MINUTE")
+    val hi = col("fts") + expr("INTERVAL '5' MINUTE")
+    e.join(fp, col("user_id") === col("fu") && col("ts").between(lo, hi))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_nearby"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val rangeJoinEventsSql: String =
+    """WITH fp AS (
+      |  SELECT user_id AS fu, min(ts) AS fts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT e.user_id, count(*) AS n_nearby, round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN fp ON e.user_id = fp.fu
+      |  AND e.ts BETWEEN fp.fts - INTERVAL 5 MINUTE AND fp.fts + INTERVAL 5 MINUTE
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
+  // ------------------------------------------------------ as-of join
+  /** As-of join (Spark has no native one — composed): for each event, the
+    * most recent order at-or-before the event time for that user. The
+    * (date, key) pair is packed into one BIGINT so a single max() resolves
+    * both the as-of ordering and the tiebreak deterministically — one
+    * shuffle, no window over the joined fact. */
+  val asofLatestOrder: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val o = t(s, dir, "orders")
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(max(unix_seconds(col("o_orderdate").cast("timestamp")) * lit(1000000000L) + col("o_orderkey")).as("latest_key"))
+      .selectExpr("event_id",
+        "latest_key DIV 1000000000 AS latest_od_epoch",
+        "latest_key % 1000000000 AS latest_orderkey")
+      .orderBy(col("event_id"))
+  }
+
+  val asofLatestOrderSql: String =
+    """WITH j AS (
+      |  SELECT e.event_id,
+      |    max(CAST(epoch(o.o_orderdate) AS BIGINT) * 1000000000 + o.o_orderkey) AS latest_key
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |  GROUP BY e.event_id)
+      |SELECT event_id, latest_key // 1000000000 AS latest_od_epoch,
+      |  latest_key % 1000000000 AS latest_orderkey
+      |FROM j ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------ window: rank
+  /** Ranking window: top-2 orders per customer. Unique orderkey in the
+    * ORDER BY makes rank() deterministic. One shuffle on o_custkey. */
+  val windowRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS price FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    rank() OVER (PARTITION BY o_custkey
+      |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ window: running
+  /** Analytic window with an explicit rows frame: running sum of event
+    * values per user in event-time order (event_id tiebreak). */
+  val windowRunning: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 4).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------ distinct agg
+  /** Exact distinct count per group (Catalyst expands to a two-phase
+    * aggregate). The HLL variant for 100 TB is `approxDistinctUsers`
+    * (no oracle — approximate by design). */
+  val distinctUsers: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    * counts; no DuckDB oracle (different sketch), rows-only check. */
+  val approxDistinctUsers: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------------------ rollup
+  /** ROLLUP grouping sets over a broadcast star join. NULLS FIRST is
+    * explicit on both engines (DuckDB defaults to NULLS LAST). */
+  val rollupSales: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+  }
+
+  val rollupSalesSql: String =
+    """SELECT n_name, o_orderstatus,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderstatus)
+      |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ set ops
+  /** INTERSECT / EXCEPT / UNION DISTINCT over order-status key sets,
+    * reduced to one row of counts. */
+  val setOps: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = f.intersect(p).agg(count(lit(1)).as("n_both"))
+    val fOnly = f.except(p).agg(count(lit(1)).as("n_f_only"))
+    val anyK = f.union(p).distinct().agg(count(lit(1)).as("n_any"))
+    both.crossJoin(fOnly).crossJoin(anyK)
+  }
+
+  val setOpsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS n_both,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS n_f_only,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS n_any""".stripMargin
+
+  // ------------------------------------------------------ string fns
+  val stringFuncs: Q = (s, dir) => {
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(length(col("p_name"))).as("min_name_len"),
+        max(upper(substring(col("p_name"), 1, 4))).as("max_prefix"),
+        sum(when(col("p_type").like("%ECO%"), 1).otherwise(0)).as("n_eco"),
+        min(concat_ws("-", col("p_type"), col("p_brand"))).as("min_concat"))
+      .orderBy(col("p_brand"))
+  }
+
+  val stringFuncsSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  min(length(p_name)) AS min_name_len,
+      |  max(upper(substr(p_name, 1, 4))) AS max_prefix,
+      |  CAST(sum(CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_eco,
+      |  min(p_type || '-' || p_brand) AS min_concat
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------ date fns
+  val dateTruncAgg: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("ship_month"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("ship_month"))
+  }
+
+  val dateTruncAggSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ JSON fns
+  /** JSON path extraction from the events.props payload (codegen'd
+    * get_json_object — no UDF). */
+  val jsonExtract: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------ map fns
+  /** props parsed to MapType and exploded — exercises from_json + generator.
+    * (Testdata props have the single key "k"; the oracle exploits that.) */
+  val propsMap: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(explode(from_json(col("props"), "map<string,int>", Map.empty[String, String])).as(Seq("key", "val")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"))
+      .orderBy(col("key"))
+  }
+
+  val propsMapSql: String =
+    """SELECT 'k' AS key, count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_val
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ tumbling window
+  /** Tumbling event-time window (batch form; the streaming form shares the
+    * same window() expression — see graft.streaming). Buckets emitted as
+    * epoch seconds. */
+  val tumblingWindow: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ sliding window
+  /** Sliding window (1h length, 15min slide): each event lands in exactly 4
+    * windows. The oracle reproduces window-assignment arithmetic. */
+  val slidingWindow: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  val slidingWindowSql: String =
+    """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - j * 900 AS win_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ sessionization
+  /** 30-min-gap sessionization via the lag + conditional-sum idiom (batch
+    * twin of Structured Streaming's session_window — see graft.streaming). */
+  val sessionGap: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionGapSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_orders" -> q3TopOrders,
+    "semi_anti_join" -> semiAntiJoin,
+    "range_join_events" -> rangeJoinEvents,
+    "asof_latest_order" -> asofLatestOrder,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "distinct_users" -> distinctUsers,
+    "approx_distinct_users" -> approxDistinctUsers,
+    "rollup_sales" -> rollupSales,
+    "set_ops" -> setOps,
+    "string_funcs" -> stringFuncs,
+    "date_trunc_agg" -> dateTruncAgg,
+    "json_extract" -> jsonExtract,
+    "props_map" -> propsMap,
+    "tumbling_window" -> tumblingWindow,
+    "sliding_window" -> slidingWindow,
+    "session_gap" -> sessionGap,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q3_top_orders" -> q3TopOrdersSql,
+    "semi_anti_join" -> semiAntiJoinSql,
+    "range_join_events" -> rangeJoinEventsSql,
+    "asof_latest_order" -> asofLatestOrderSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "distinct_users" -> distinctUsersSql,
+    "rollup_sales" -> rollupSalesSql,
+    "set_ops" -> setOpsSql,
+    "string_funcs" -> stringFuncsSql,
+    "date_trunc_agg" -> dateTruncAggSql,
+    "json_extract" -> jsonExtractSql,
+    "props_map" -> propsMapSql,
+    "tumbling_window" -> tumblingWindowSql,
+    "sliding_window" -> slidingWindowSql,
+    "session_gap" -> sessionGapSql,
+  )
+}
