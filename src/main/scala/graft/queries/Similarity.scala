@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * SURVEY.md §2C.
+  *
+  * Scale posture: dot products run as codegen'd higher-order functions
+  * (zip_with + aggregate) over the vector column — no UDF, no collect.
+  * `cosine_topk` broadcasts the single query vector and reduces with
+  * TakeOrderedAndProject (no global sort). The IVF path (`ivf_*`) is the
+  * 100 TB strategy: a small centroid table is broadcast, every vector is
+  * assigned to its nearest centroid in one narrow pass, and top-k probes
+  * only the query's cell.
+  *
+  * All math is done in double precision after an explicit cast so the
+  * DuckDB oracle (which also accumulates in double) matches bit-for-bit
+  * after rounding.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+  import graft.Tables.t
+
+  /** dot(a, b) over two ARRAY<DOUBLE> columns — codegen'd HOF, no UDF. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val vecD: Column = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+
+  // ------------------------------------------------------ brute-force top-k
+  /** Top-10 cosine neighbors of vector vec_id=0 — exact brute force, the
+    * correctness baseline for any ANN variant. One scan, broadcast query,
+    * TakeOrderedAndProject. */
+  val cosineTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD.as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val cosineTopkSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+      |    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos
+      |FROM embeddings CROSS JOIN q
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------ pairwise near-dup
+  /** Embedding near-duplicate pairs: cosine >= 0.9 over all pairs within
+    * the same label (label acts as the blocking key — the same plan shape
+    * as LSH-bucketed near-dup at scale; cross-label pairs of near-dups
+    * would be caught by a multi-probe variant). */
+  val embeddingNearDup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"), vecD.as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))), 4).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val embeddingNearDupSql: String =
+    """SELECT a.vec_id AS va, b.vec_id AS vb,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+      |ORDER BY va, vb""".stripMargin
+
+  // ------------------------------------------------------ IVF centroids
+  /** IVF coarse quantizer, step 1: per-label centroids (label = cluster id
+    * stand-in for k-means at test scale) and each vector's distance-to-own
+    * -centroid stats. posexplode → groupBy(label, dim) computes centroids
+    * in one shuffle of (label, dim) — never materializing a dense matrix. */
+  val ivfCentroidStats: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vecD.as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label").as("clabel"), expr("transform(dc, p -> p.c)").as("cv"))
+    e.join(broadcast(cents), col("label") === col("clabel"))
+      .select(col("label"), col("vec_id"),
+        sqrt(aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 4).as("avg_dist"),
+        round(max(col("dist")), 4).as("max_dist"))
+      .orderBy(col("label"))
+  }
+
+  val ivfCentroidStatsSql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, label, unnest(range(1, 65)) AS dim FROM embeddings),
+      |flat AS (
+      |  SELECT d.vec_id, d.label, d.dim, e.embedding[d.dim]::DOUBLE AS x
+      |  FROM dims d JOIN embeddings e ON d.vec_id = e.vec_id),
+      |cents AS (
+      |  SELECT label, dim, avg(x) AS c FROM flat GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT f.vec_id, f.label, sqrt(sum((f.x - c.c) * (f.x - c.c))) AS dist
+      |  FROM flat f JOIN cents c ON f.label = c.label AND f.dim = c.dim
+      |  GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist
+      |FROM dists GROUP BY label ORDER BY label""".stripMargin
+
+  /** IVF top-k, step 2: search only the cell of the query's label (single
+    * -probe ANN). Same result shape as cosine_topk; recall vs the exact
+    * baseline is asserted in the ScalaTest spec, and the restricted-scan
+    * semantics themselves are oracle-checked here. */
+  val ivfCosineTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vecD.as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("label").as("qlabel"))
+    e.join(broadcast(q), col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val ivfCosineTopkSql: String =
+    """WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+      |    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos
+      |FROM embeddings JOIN q ON label = qlabel
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "cosine_topk" -> cosineTopk,
+    "embedding_near_dup" -> embeddingNearDup,
+    "ivf_centroid_stats" -> ivfCentroidStats,
+    "ivf_cosine_topk" -> ivfCosineTopk,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cosine_topk" -> cosineTopkSql,
+    "embedding_near_dup" -> embeddingNearDupSql,
+    "ivf_centroid_stats" -> ivfCentroidStatsSql,
+    "ivf_cosine_topk" -> ivfCosineTopkSql,
+  )
+}

@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (SURVEY.md §2C) — the LLM-training-pipeline surface.
+  *
+  * Scale posture: everything here is a scan → narrow transform →
+  * groupBy/join pipeline with no driver-side loops. The only quadratic
+  * candidate (pairwise jaccard) is bounded by an inverted-index join on
+  * shingles (`ngram_jaccard_pairs`) and by MinHash-LSH banding
+  * (`minhash_near_dup`) — at 100 TB only the banded variant runs; the
+  * exact one is its verification oracle at test scale.
+  *
+  * All hashes are md5-based so the DuckDB oracle can reproduce them
+  * bit-for-bit (Spark's xxhash64/hash are engine-specific).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+  import graft.Tables.t
+
+  /** Tokens of `text`, split on single spaces (testdata is single-spaced). */
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-token shingles of `text` as `shingle` rows (doc_id keyed).
+    * transform over an index sequence builds the sliding 3-grams without
+    * any UDF — stays inside whole-stage codegen. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+          .as("shingle"))
+
+  /** DuckDB twin of shingleRows (1-based list indexing). */
+  private val shingleCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
+
+  // ------------------------------------------------------ exact dedup
+  /** Exact dedup accounting per source: hash-groupBy on md5(text).
+    * At 100 TB this is one shuffle on the 16-byte digest — the canonical
+    * exact-dedup plan. */
+  val exactDedupDocs: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val exactDedupDocsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Dedup keep-first: one surviving doc_id (the smallest) per distinct
+    * text; reduced to global counts so the result is one stable row. */
+  val dedupKeepFirst: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n") - lit(1)).as("n_removed"),
+        sum(col("keep_id")).as("keep_id_sum"))
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT count(*) AS n_kept,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_removed,
+      |  CAST(sum(keep_id) AS BIGINT) AS keep_id_sum
+      |FROM (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      |      FROM documents GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------------ token stats
+  /** Per-language token/char statistics (whitespace tokenizer). */
+  val docTokenStats: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("lang"), size(toks).as("n_tokens"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val docTokenStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+      |  round(avg(len(string_split(text,' '))), 4) AS avg_tokens,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  max(len(string_split(text,' '))) AS max_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------ top terms
+  /** Top-3 terms per source by frequency (row_number with term tiebreak —
+    * fully deterministic under count ties). Explode → partial-agg →
+    * window over the small aggregate. */
+  val topTerms: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    t(s, dir, "documents")
+      .select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("term"), col("cnt"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val topTermsSql: String =
+    """SELECT source, rnk, term, cnt FROM (
+      |  SELECT source, term, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+      |  FROM (SELECT source, term, count(*) AS cnt
+      |        FROM (SELECT source, unnest(string_split(text,' ')) AS term FROM documents)
+      |        GROUP BY 1, 2) c
+      |) WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  // ------------------------------------------------------ tf-idf
+  /** Per-source top-2 terms by summed tf-idf (idf = ln(N/df) over the whole
+    * corpus). Scores are rounded to 6 decimals before ranking so the
+    * cross-engine double noise (~1e-15) cannot flip the order. */
+  val tfidfTopTerms: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    val tf = docs.select(col("doc_id"), col("source"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("source"), col("term"))
+      .agg(round(sum(col("tf") * log(col("n") / col("df"))), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("source"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, source, term, count(*) AS tf
+      |  FROM (SELECT doc_id, source, unnest(string_split(text,' ')) AS term FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.source, tf.term,
+      |    round(sum(tf.tf * ln(n.n * 1.0 / df.df)), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  GROUP BY 1, 2)
+      |SELECT source, rnk, term, score FROM (
+      |  SELECT source, term, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 2 ORDER BY source, rnk""".stripMargin
+
+  // ------------------------------------------------------ quality score
+  /** Per-language quality metrics: vocabulary-uniqueness ratio and average
+    * token length — the standard cheap text-quality signals. */
+  val textQuality: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"),
+        (col("n_chars") - size(toks) + lit(1)).as("n_nonspace"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_uniq").cast("double") / col("n_tok")), 4).as("avg_uniq_ratio"),
+        round(avg(col("n_nonspace").cast("double") / col("n_tok")), 4).as("avg_tok_len"),
+        min(col("n_tok")).as("min_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val textQualitySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(len(list_distinct(string_split(text,' '))) * 1.0
+      |            / len(string_split(text,' '))), 4) AS avg_uniq_ratio,
+      |  round(avg((n_chars - len(string_split(text,' ')) + 1) * 1.0
+      |            / len(string_split(text,' '))), 4) AS avg_tok_len,
+      |  min(len(string_split(text,' '))) AS min_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------ language id
+  /** Stopword-ratio language heuristic with a fixed English stopword list;
+    * reports per-source mean ratio and the share of docs the heuristic
+    * calls English. (Real n-gram models plug into the same shape.) */
+  val langIdHeuristic: Q = (s, dir) => {
+    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is").map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), toks.as("t"))
+      .select(col("source"), col("lang"),
+        (size(filter_cond(col("t"), x => array_contains(stop, x))).cast("double")
+          / size(col("t"))).as("stop_ratio"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        sum(when(col("stop_ratio") > 0.03, 1).otherwise(0)).cast("long").as("n_en_guess"))
+      .orderBy(col("source"))
+  }
+
+  // Spark 4 renamed nothing here — `filter` the function collides with the
+  // DataFrame method in scope, so alias it.
+  private def filter_cond(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(c, f)
+
+  val langIdHeuristicSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+      |  CAST(sum(CASE WHEN stop_ratio > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_guess
+      |FROM (
+      |  SELECT source,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x))) * 1.0
+      |      / len(string_split(text,' ')) AS stop_ratio
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ fingerprint
+  /** Per-document fingerprint = lexicographic min md5 of its 3-shingles
+    * (a 1-permutation MinHash). Engine-independent by construction. */
+  val docFingerprint: Q = (s, dir) => {
+    shingleRows(t(s, dir, "documents"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    s"""WITH $shingleCte
+       |SELECT doc_id, min(md5(shingle)) AS fingerprint
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ exact jaccard
+  /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.8) via an
+    * inverted-index self-join on shingle — the exact-verification path.
+    * At 100 TB the candidate generation moves to `minhash_near_dup`;
+    * this operator is then only run on the candidate pairs. */
+  val ngramJaccardPairs: Q = (s, dir) => {
+    val sh = shingleRows(t(s, dir, "documents"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------ MinHash + LSH
+  /** MinHash signature (32 md5-derived permutations) + LSH banding
+    * (8 bands × 4 rows) + exact-Jaccard verification of candidates.
+    * The 100 TB plan: signatures are one narrow projection; the band
+    * self-join shuffles only on 8 short bucket keys per doc, never on
+    * raw shingles; verification touches candidate pairs only.
+    *
+    * Hash h_i(s) = substr(md5(i || ':' || s), 1, 8) compared as hex text
+    * — identical in DuckDB, so the whole pipeline is oracle-checkable. */
+  val minhashNearDup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // signature: array of 32 min-hashes per doc
+    val sigs = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 31),
+          |  i -> array_min(transform(sh, s -> substring(md5(concat(i, ':', s)), 1, 8))))"""
+          .stripMargin).as("sig"))
+    // bands: 8 buckets of 4 signature entries each
+    val bands = sigs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> concat_ws('|', b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+      .as(Seq("band", "bucket")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // exact verify on candidates only
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    cand.join(inter, Seq("da", "db"))
+      .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val minhashNearDupSql: String =
+    s"""WITH $shingleCte,
+       |hashed AS (
+       |  SELECT doc_id, i, min(substr(md5(i || ':' || shingle), 1, 8)) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    (i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i) AS bucket
+       |  FROM hashed GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bands x JOIN bands y
+       |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.da, i.db, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+       |FROM cand JOIN inter i ON cand.da = i.da AND cand.db = i.db
+       |JOIN sizes sa ON i.da = sa.doc_id
+       |JOIN sizes sb ON i.db = sb.doc_id
+       |WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= 0.8
+       |ORDER BY i.da, i.db""".stripMargin
+
+  // ------------------------------------------------------ SimHash
+  /** 32-bit SimHash per document from token md5s, grouped into buckets —
+    * duplicate-cluster counting. Bit j of the simhash is the sign of the
+    * sum over tokens of (bit j of md5(token) ? +tf : -tf).
+    * No SQL oracle (bit fiddling is impractical to mirror) — covered by
+    * a ScalaTest spec instead; the driver records a rows-only check. */
+  val simhashBuckets: Q = (s, dir) => {
+    val sims = simhashOf(t(s, dir, "documents"))
+    sims.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("simhash"))
+  }
+
+  /** (doc_id, simhash) for every document — exposed for the spec. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tokenBits = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // 32-bit int from the first 8 hex chars of md5(term)
+      .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+    val withBits = tokenBits.select(col("doc_id"), col("tf"),
+      posexplode(expr("transform(sequence(0, 31), j -> CASE WHEN (shiftright(h, j) % 2) = 1 THEN tf ELSE -tf END)"))
+        .as(Seq("j", "contrib")))
+    withBits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+  }
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "exact_dedup_docs" -> exactDedupDocs,
+    "dedup_keep_first" -> dedupKeepFirst,
+    "doc_token_stats" -> docTokenStats,
+    "top_terms" -> topTerms,
+    "tfidf_top_terms" -> tfidfTopTerms,
+    "text_quality" -> textQuality,
+    "lang_id_heuristic" -> langIdHeuristic,
+    "doc_fingerprint" -> docFingerprint,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "minhash_near_dup" -> minhashNearDup,
+    "simhash_buckets" -> simhashBuckets,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "exact_dedup_docs" -> exactDedupDocsSql,
+    "dedup_keep_first" -> dedupKeepFirstSql,
+    "doc_token_stats" -> docTokenStatsSql,
+    "top_terms" -> topTermsSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "text_quality" -> textQualitySql,
+    "lang_id_heuristic" -> langIdHeuristicSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "minhash_near_dup" -> minhashNearDupSql,
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import graft.queries.TextOps
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("simhash: identical texts get identical hashes; near texts are close") {
+    val base = "spark scan filter join agg window sort merge hash batch stream value"
+    val oneEdit = base.replace("merge", "shuffle")
+    val different = "completely unrelated words about gardens flowers rivers mountains sunshine"
+    val df = docsDf(Seq(1L -> base, 2L -> base, 3L -> oneEdit, 4L -> different))
+    val hs = TextOps.simhashOf(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L), "exact duplicates must collide")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(3L)) < ham(hs(1L), hs(4L)),
+      s"one-token edit (${ham(hs(1L), hs(3L))} bits) must be closer than unrelated (${ham(hs(1L), hs(4L))} bits)")
+  }
+
+  test("minhash LSH finds the same >=0.8-jaccard pairs as the exact join (sf0.001)") {
+    val exact = TextOps.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.minhashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH=$lsh exact=$exact")
+  }
+
+  test("exact dedup accounting is idempotent: re-deduping kept docs removes nothing") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val kept = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val n1 = kept.count()
+    val n2 = kept.select(col("h")).distinct().count()
+    assert(n1 == n2, "second dedup pass must be a no-op")
+  }
+
+  test("doc_fingerprint is total: one row per doc with >=3 tokens") {
+    val nDocs = Tables.t(spark, sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(TextOps.docFingerprint(spark, sf0001).count() == nDocs)
+  }
+}
