@@ -20,11 +20,19 @@ object Tables {
   val nanosAsLongConf: (String, String) =
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
-    else df
-  }
+  /** Plan cache: re-reading the same table re-lists files and re-reads
+    * parquet footers on every call; reusing the analyzed DataFrame keeps
+    * one shared FileIndex per (session, dir, table). On a cluster this is
+    * what a catalog table gives you for free. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+      else df
+    })
 }
