@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.TensorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.TextOps.oracle ++
-      graft.queries.Similarity.oracle
+      graft.queries.Similarity.oracle ++
+      graft.queries.TensorQueries.oracle
 }

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tensor._
+
+/** Driver-gated tensor operators (SURVEY.md §2A) over the events raster
+  * (Images.eventsRaster: 48×64 grid, 16×16 chunks → 12 distributed
+  * blocks). Each query runs the REAL distributed pipeline — rasterize →
+  * halo exchange → kernel → pixel reduction — and each oracle reproduces
+  * the stencil arithmetic relationally in DuckDB (neighborhood joins with
+  * explicit reflect boundary index maps, recursive-CTE connected
+  * components), so the per-pixel math is hash-checked end to end.
+  */
+object TensorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = 48; private val W = 64
+
+  /** Shared oracle prelude: the dense raster grid. */
+  private val gridCte: String =
+    """px AS (
+      |  SELECT CAST(user_id % 48 AS INT) AS i,
+      |         CAST((epoch_ns(ts) // 3600000000000) % 64 AS INT) AS j,
+      |         sum(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j, coalesce(px.v, 0) AS v
+      |  FROM (SELECT unnest(range(0, 48)) AS i) gi
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) gj
+      |  LEFT JOIN px ON gi.i = px.i AND gj.j = px.j)""".stripMargin
+
+  /** reflect-mode index map (single reflection; radius < grid dims). */
+  private def refl(x: String, n: Int): String =
+    s"CASE WHEN $x < 0 THEN -($x) - 1 WHEN $x >= $n THEN 2*$n - 1 - ($x) ELSE $x END"
+
+  private def pixelsOut(ds: org.apache.spark.sql.Dataset[Block]): DataFrame =
+    Images.toPixels(ds)
+      .select(col("i"), col("j"), round(col("v"), 4).as("v"))
+      .orderBy(col("i"), col("j"))
+
+  // ------------------------------------------------------ uniform filter
+  val tensorUniform3: Q = (s, dir) =>
+    pixelsOut(Filters.uniformFilter(Images.eventsRaster(s, dir), Seq(3, 3)))
+
+  val tensorUniform3Sql: String =
+    s"""WITH $gridCte,
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, round(sum(n.v) / 9, 4) AS v
+       |FROM grid g CROSS JOIN offs o
+       |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ gaussian
+  val tensorGaussian: Q = (s, dir) =>
+    pixelsOut(Filters.gaussianFilter(Images.eventsRaster(s, dir), Seq(1.5, 1.5)))
+
+  val tensorGaussianSql: String =
+    s"""WITH $gridCte,
+       |wr AS (SELECT d, exp(-0.5 * d * d / 2.25) AS w0
+       |       FROM (SELECT unnest(range(-6, 7)) AS d)),
+       |wn AS (SELECT d, w0 / (SELECT sum(w0) FROM wr) AS w FROM wr),
+       |p1 AS (
+       |  SELECT g.i, g.j, sum(n.v * wn.w) AS v
+       |  FROM grid g CROSS JOIN wn
+       |  JOIN grid n ON n.i = ${refl("g.i + wn.d", 48)} AND n.j = g.j
+       |  GROUP BY g.i, g.j)
+       |SELECT g.i, g.j, round(sum(n.v * wn.w), 4) AS v
+       |FROM p1 g CROSS JOIN wn
+       |JOIN p1 n ON n.i = g.i AND n.j = ${refl("g.j + wn.d", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ order stats
+  /** min and max 3×3 filters in one result frame. */
+  val tensorMinmax3: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val mn = Images.toPixels(Filters.minimumFilter(raster, Seq(3, 3)))
+      .select(col("i"), col("j"), round(col("v"), 4).as("vmin"))
+    val mx = Images.toPixels(Filters.maximumFilter(raster, Seq(3, 3)))
+      .select(col("i").as("i2"), col("j").as("j2"), round(col("v"), 4).as("vmax"))
+    mn.join(mx, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("vmin"), col("vmax"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorMinmax3Sql: String =
+    s"""WITH $gridCte,
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, round(min(n.v), 4) AS vmin, round(max(n.v), 4) AS vmax
+       |FROM grid g CROSS JOIN offs o
+       |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ median
+  val tensorMedian3: Q = (s, dir) =>
+    pixelsOut(Filters.medianFilter(Images.eventsRaster(s, dir), Seq(3, 3)))
+
+  val tensorMedian3Sql: String =
+    s"""WITH $gridCte,
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, round(median(n.v), 4) AS v
+       |FROM grid g CROSS JOIN offs o
+       |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ laplace
+  val tensorLaplace: Q = (s, dir) =>
+    pixelsOut(Filters.laplace(Images.eventsRaster(s, dir)))
+
+  val tensorLaplaceSql: String =
+    s"""WITH $gridCte
+       |SELECT g.i, g.j,
+       |  round(ni.v + pi.v + nj.v + pj.v - 4 * g.v, 4) AS v
+       |FROM grid g
+       |JOIN grid ni ON ni.i = ${refl("g.i - 1", 48)} AND ni.j = g.j
+       |JOIN grid pi ON pi.i = ${refl("g.i + 1", 48)} AND pi.j = g.j
+       |JOIN grid nj ON nj.i = g.i AND nj.j = ${refl("g.j - 1", 64)}
+       |JOIN grid pj ON pj.i = g.i AND pj.j = ${refl("g.j + 1", 64)}
+       |ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ sobel
+  val tensorSobel: Q = (s, dir) =>
+    pixelsOut(Filters.sobel(Images.eventsRaster(s, dir), axis = 0))
+
+  /** sobel axis 0: derivative [−1,0,1] on i (correlate: tap d applies to
+    * i+d with weight d), smoothing [1,2,1] on j. */
+  val tensorSobelSql: String =
+    s"""WITH $gridCte,
+       |di AS (SELECT unnest([-1, 0, 1]) AS d, unnest([-1.0, 0.0, 1.0]) AS w),
+       |dj AS (SELECT unnest([-1, 0, 1]) AS d, unnest([1.0, 2.0, 1.0]) AS w),
+       |p1 AS (
+       |  SELECT g.i, g.j, sum(n.v * di.w) AS v
+       |  FROM grid g CROSS JOIN di
+       |  JOIN grid n ON n.i = ${refl("g.i + di.d", 48)} AND n.j = g.j
+       |  GROUP BY g.i, g.j)
+       |SELECT g.i, g.j, round(sum(n.v * dj.w), 4) AS v
+       |FROM p1 g CROSS JOIN dj
+       |JOIN p1 n ON n.i = g.i AND n.j = ${refl("g.j + dj.d", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------------------ morphology
+  /** Binary pipeline counts: threshold → erosion/dilation/opening with the
+    * cross structure, border constant 0 — one row of totals. */
+  val tensorMorphCounts: Q = (s, dir) => {
+    val spark = s
+    val bin = Filters.mapBlocks(Images.eventsRaster(s, dir)) { b =>
+      b.data.map(v => if (v > 150.0) 1.0 else 0.0)
+    }
+    def cnt(ds: org.apache.spark.sql.Dataset[Block], name: String): DataFrame =
+      Images.toPixels(ds).agg(sum(col("v")).cast("long").as(name))
+    cnt(bin, "n_fg")
+      .crossJoin(cnt(Morph.binaryErosion(bin, 2), "n_eroded"))
+      .crossJoin(cnt(Morph.binaryDilation(bin, 2), "n_dilated"))
+      .crossJoin(cnt(Morph.binaryOpening(bin, 2), "n_opened"))
+  }
+
+  val tensorMorphCountsSql: String =
+    s"""WITH $gridCte,
+       |bin AS (SELECT i, j, CASE WHEN v > 150 THEN 1 ELSE 0 END AS b FROM grid),
+       |offs AS (SELECT unnest([0, -1, 1, 0, 0]) AS di, unnest([0, 0, 0, -1, 1]) AS dj),
+       |ero AS (
+       |  SELECT c.i, c.j, min(coalesce(n.b, 0)) AS b
+       |  FROM bin c CROSS JOIN offs o
+       |  LEFT JOIN bin n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.i, c.j),
+       |dil AS (
+       |  SELECT c.i, c.j, max(coalesce(n.b, 0)) AS b
+       |  FROM bin c CROSS JOIN offs o
+       |  LEFT JOIN bin n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.i, c.j),
+       |opn AS (
+       |  SELECT c.i, c.j, max(coalesce(n.b, 0)) AS b
+       |  FROM ero c CROSS JOIN offs o
+       |  LEFT JOIN ero n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.i, c.j)
+       |SELECT (SELECT CAST(sum(b) AS BIGINT) FROM bin) AS n_fg,
+       |       (SELECT CAST(sum(b) AS BIGINT) FROM ero) AS n_eroded,
+       |       (SELECT CAST(sum(b) AS BIGINT) FROM dil) AS n_dilated,
+       |       (SELECT CAST(sum(b) AS BIGINT) FROM opn) AS n_opened""".stripMargin
+
+  // ------------------------------------------------------ label + measure
+  /** Distributed connected components + labeled measurements in one
+    * result: per component (scan-order label), area, center of mass, and
+    * mean raster value. The oracle recomputes CC with a recursive CTE. */
+  val tensorLabelStats: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    // raster values are exact 2-decimal sums, so rounding each partial sum
+    // to 2 decimals makes it bit-identical across engines BEFORE the
+    // divisions — otherwise avg() of order-dependent float sums lands on
+    // .5 round boundaries (events values have 2 decimals) and the 4th
+    // decimal flips between engines.
+    Measure.labeledPixels(raster, labels, 2)
+      .filter(col("label") =!= 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("area"),
+        round(sum(col("value")), 2).as("sv"),
+        round(sum(col("c0") * col("value")), 2).as("s0"),
+        round(sum(col("c1") * col("value")), 2).as("s1"))
+      .select(col("label"), col("area"),
+        round(col("s0") / col("sv"), 4).as("com_i"),
+        round(col("s1") / col("sv"), 4).as("com_j"),
+        round(col("sv") / col("area"), 4).as("mean_v"))
+      .orderBy(col("label"))
+  }
+
+  val tensorLabelStatsSql: String =
+    s"""WITH RECURSIVE $gridCte,
+       |bin AS (SELECT i, j FROM grid WHERE v > 150),
+       |reach(i, j, ri, rj) AS (
+       |  SELECT i, j, i, j FROM bin
+       |  UNION
+       |  SELECT r.i, r.j, n.i, n.j
+       |  FROM reach r JOIN bin n
+       |    ON abs(n.i - r.ri) + abs(n.j - r.rj) = 1),
+       |comp AS (
+       |  SELECT i, j, min(ri * 64 + rj) AS root FROM reach GROUP BY i, j),
+       |lab AS (
+       |  SELECT i, j, dense_rank() OVER (ORDER BY root) AS label FROM comp),
+       |sums AS (
+       |  SELECT CAST(lab.label AS BIGINT) AS label, count(*) AS area,
+       |    round(sum(g.v), 2) AS sv,
+       |    round(sum(lab.i * g.v), 2) AS s0,
+       |    round(sum(lab.j * g.v), 2) AS s1
+       |  FROM lab JOIN grid g ON lab.i = g.i AND lab.j = g.j
+       |  GROUP BY lab.label)
+       |SELECT label, area,
+       |  round(s0 / sv, 4) AS com_i,
+       |  round(s1 / sv, 4) AS com_j,
+       |  round(sv / area, 4) AS mean_v
+       |FROM sums ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "tensor_uniform3" -> tensorUniform3,
+    "tensor_gaussian" -> tensorGaussian,
+    "tensor_minmax3" -> tensorMinmax3,
+    "tensor_median3" -> tensorMedian3,
+    "tensor_laplace" -> tensorLaplace,
+    "tensor_sobel" -> tensorSobel,
+    "tensor_morph_counts" -> tensorMorphCounts,
+    "tensor_label_stats" -> tensorLabelStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tensor_uniform3" -> tensorUniform3Sql,
+    "tensor_gaussian" -> tensorGaussianSql,
+    "tensor_minmax3" -> tensorMinmax3Sql,
+    "tensor_median3" -> tensorMedian3Sql,
+    "tensor_laplace" -> tensorLaplaceSql,
+    "tensor_sobel" -> tensorSobelSql,
+    "tensor_morph_counts" -> tensorMorphCountsSql,
+    "tensor_label_stats" -> tensorLabelStatsSql,
+  )
+}

@@ -1,0 +1,404 @@
+package graft.tensor
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Labeled measurements + connected components (dask_image.ndmeasure,
+  * 16 ops — SURVEY.md §2A.5, "the relational heart").
+  *
+  * Every measurement is a group-by over (label) of the pixel relation
+  * `(coords…, value, label)` — exactly the reference's partial+tree-reduce
+  * plan (ndmeasure/__init__.py::mean ≈ L430–465 etc.), expressed as Spark
+  * partial aggregation. Pixels are never materialized globally: `explode`
+  * happens inside the scan-side of one shuffle whose reduce side is
+  * num_labels rows.
+  *
+  * `label` is the one genuinely distributed algorithm
+  * (ndmeasure/__init__.py::label ≈ L250–330): per-block union-find, then
+  * face-adjacency edges, then iterative min-label propagation on an edge
+  * DataFrame (the large-star/small-star style loop), then a broadcast
+  * relabel join. No driver-side connected-components solve — unlike the
+  * reference, which funnels the global graph through one task.
+  */
+object Measure {
+
+  /** The pixel relation: one row per element with global coordinates.
+    * Schema: imageId, c0..c{d-1} LONG, value DOUBLE [, label LONG]. */
+  def pixels(ds: Dataset[Block], ndim: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val rows = ds.flatMap { b =>
+      val nd = Nd.of(b.shape.toArray, b.data)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Long], Double)]
+      nd.foreachCoord { c =>
+        val g = c.indices.map(k => (b.origin(k) + c(k)).toLong)
+        buf += ((b.imageId, g, nd(c)))
+      }
+      buf
+    }.toDF("imageId", "coords", "value")
+    (0 until ndim).foldLeft(rows)((df, k) => df.withColumn(s"c$k", col("coords")(k)))
+      .drop("coords")
+  }
+
+  /** Pixel relation of (value block, label block) pairs joined on idx. */
+  def labeledPixels(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame = {
+    val spark = image.sparkSession
+    import spark.implicits._
+    val joined = image.joinWith(labels,
+      image("imageId") === labels("imageId") && image("idx") === labels("idx"))
+    val rows = joined.flatMap { case (b, lb) =>
+      val nd = Nd.of(b.shape.toArray, b.data)
+      val ln = Nd.of(lb.shape.toArray, lb.data)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], Double, Long)]
+      nd.foreachCoord { c =>
+        val g = c.indices.map(k => (b.origin(k) + c(k)).toLong)
+        buf += ((g, nd(c), ln(c).toLong))
+      }
+      buf
+    }.toDF("coords", "value", "label")
+    (0 until ndim).foldLeft(rows)((df, k) => df.withColumn(s"c$k", col("coords")(k)))
+      .drop("coords")
+  }
+
+  // ---------------------------------------------------------- measurements
+  // Each returns a DataFrame keyed by label (background 0 excluded),
+  // ordered by label — directly comparable to the reference's per-index
+  // outputs.
+
+  private def lp(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    labeledPixels(image, labels, ndim).filter(col("label") =!= 0)
+
+  /** area (pixel count per label). */
+  def area(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(count(lit(1)).as("area")).orderBy("label")
+
+  /** sum_labels. */
+  def sumLabels(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(sum("value").as("sum")).orderBy("label")
+
+  /** mean. */
+  def mean(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(avg("value").as("mean")).orderBy("label")
+
+  /** variance / standard_deviation (population, as scipy). */
+  def variance(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(var_pop("value").as("variance")).orderBy("label")
+
+  def standardDeviation(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(stddev_pop("value").as("std")).orderBy("label")
+
+  /** minimum / maximum. */
+  def minimum(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(min("value").as("min")).orderBy("label")
+
+  def maximum(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label").agg(max("value").as("max")).orderBy("label")
+
+  /** median (exact, as the reference's labeled_comprehension-based median). */
+  def median(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
+    lp(image, labels, ndim).groupBy("label")
+      .agg(expr("percentile(value, 0.5)").as("median")).orderBy("label")
+
+  /** Raveled index for positional tie-breaks (C-order, as scipy's
+    * first-encounter argmin/argmax). */
+  private def ravel(ndim: Int, arrayShape: Seq[Int]): org.apache.spark.sql.Column = {
+    val strides = new Array[Long](ndim)
+    var acc = 1L
+    for (k <- (ndim - 1) to 0 by -1) { strides(k) = acc; acc *= arrayShape(k) }
+    (0 until ndim).map(k => col(s"c$k") * lit(strides(k)))
+      .reduce(_ + _)
+  }
+
+  /** minimum_position / maximum_position — min_by/max_by on
+    * (value, ravel_idx): one pass, deterministic scipy tiebreak. */
+  def minimumPosition(image: Dataset[Block], labels: Dataset[Block], ndim: Int,
+      arrayShape: Seq[Int]): DataFrame = {
+    val px = lp(image, labels, ndim).withColumn("ridx", ravel(ndim, arrayShape))
+    val coords = struct((0 until ndim).map(k => col(s"c$k")): _*)
+    px.groupBy("label")
+      .agg(min_by(coords, struct(col("value"), col("ridx"))).as("pos"))
+      .select(col("label") +: (0 until ndim).map(k => col(s"pos.c$k")): _*)
+      .orderBy("label")
+  }
+
+  def maximumPosition(image: Dataset[Block], labels: Dataset[Block], ndim: Int,
+      arrayShape: Seq[Int]): DataFrame = {
+    val px = lp(image, labels, ndim).withColumn("ridx", ravel(ndim, arrayShape))
+    val coords = struct((0 until ndim).map(k => col(s"c$k")): _*)
+    // max on value, but FIRST occurrence on ties → minimize ridx: flip sign
+    px.groupBy("label")
+      .agg(min_by(coords, struct(negate(col("value")), col("ridx"))).as("pos"))
+      .select(col("label") +: (0 until ndim).map(k => col(s"pos.c$k")): _*)
+      .orderBy("label")
+  }
+
+  /** extrema — (min, max, min_pos, max_pos) in one aggregation pass. */
+  def extrema(image: Dataset[Block], labels: Dataset[Block], ndim: Int,
+      arrayShape: Seq[Int]): DataFrame = {
+    val px = lp(image, labels, ndim).withColumn("ridx", ravel(ndim, arrayShape))
+    val coords = struct((0 until ndim).map(k => col(s"c$k")): _*)
+    px.groupBy("label").agg(
+      min("value").as("min"), max("value").as("max"),
+      min_by(coords, struct(col("value"), col("ridx"))).as("min_pos"),
+      min_by(coords, struct(negate(col("value")), col("ridx"))).as("max_pos"))
+      .orderBy("label")
+  }
+
+  /** center_of_mass — Σ(coordᵢ·value)/Σvalue per axis. */
+  def centerOfMass(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame = {
+    val px = lp(image, labels, ndim)
+    val aggs = (0 until ndim).map(k =>
+      (sum(col(s"c$k") * col("value")) / sum(col("value"))).as(s"com$k"))
+    px.groupBy("label").agg(aggs.head, aggs.tail: _*).orderBy("label")
+  }
+
+  /** histogram(min, max, bins) per label — width_bucket + count, pivoted to
+    * an array per label (ndmeasure/__init__.py::histogram ≈ L185–245). */
+  def histogram(image: Dataset[Block], labels: Dataset[Block], ndim: Int,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val px = lp(image, labels, ndim)
+      .filter(col("value") >= lo && col("value") < hi)
+      .withColumn("bin", floor((col("value") - lo) / ((hi - lo) / bins)).cast("int"))
+    px.groupBy("label", "bin").agg(count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("bin"), col("n"))))).as("hist"))
+      .orderBy("label")
+  }
+
+  /** labeled_comprehension — arbitrary serializable reduction over each
+    * label's values (the UDAF extension point,
+    * ndmeasure/__init__.py::labeled_comprehension ≈ L745–830). */
+  def labeledComprehension(image: Dataset[Block], labels: Dataset[Block], ndim: Int)(
+      fn: Iterator[Double] => Double): DataFrame = {
+    val spark = image.sparkSession
+    import spark.implicits._
+    lp(image, labels, ndim)
+      .select(col("label"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (label: Long, it: Iterator[(Long, Double)]) => (label, fn(it.map(_._2))) }
+      .toDF("label", "result")
+      .orderBy("label")
+  }
+
+  // ---------------------------------------------------------------- label
+
+  /** Connected components of a boolean image (ndmeasure/__init__.py::label).
+    *
+    * 1. per-block union-find → locally-rooted labels, globally disjoint
+    *    (offset = C-order linear cell index, so labels are deterministic);
+    * 2. face plane exchange → cross-block adjacency edge DataFrame;
+    * 3. iterative min-label propagation over edges (converges in
+    *    O(log diameter) rounds with path doubling; checkpointed);
+    * 4. broadcast relabel map join; labels densified to 1..n by first
+    *    pixel order (scipy's scan-order numbering).
+    *
+    * Returns (label blocks, num_labels).
+    */
+  def label(ds: Dataset[Block], ndim: Int, connectivity: Int = 1): (Dataset[Block], Long) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+
+    // ---- step 1: local label pass (labels = global linear index of the
+    // component's root cell + 1; 0 = background)
+    val local: Dataset[Block] = Filters.mapBlocks(ds) { b =>
+      localLabel(b, connectivity)
+    }.cache()
+
+    // ---- step 2: adjacency edges across block faces.
+    // A depth-1 halo exchange gives every block its neighbors' boundary
+    // labels; each padded block emits (labelA, labelB) for adjacent fg
+    // cells that straddle a face.
+    val st = Morph.binaryStructure(ndim, connectivity)
+    val center = st.shape.map(_ / 2)
+    val offs = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      st.foreachCoord(c => if (st(c) != 0.0) {
+        val o = c.indices.map(k => c(k) - center(k)).toArray
+        if (o.exists(_ != 0)) buf += o
+      })
+      buf.toArray
+    }
+    val edges = Halo.exchange(local, Seq.fill(ndim)(1), Boundary.Constant(0.0))
+      .flatMap { p =>
+        val in = p.nd
+        val d = p.block.ndim
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val bs = p.block.shape
+        Nd.zeros(bs.toArray).foreachCoord { oc =>
+          var off = 0
+          var k = 0
+          while (k < d) { off += (oc(k) + 1) * in.strides(k); k += 1 }
+          val a = in.data(off)
+          if (a != 0.0) {
+            // only link across faces: at least one neighbor coord outside
+            // this block (inner adjacency already handled by union-find)
+            var t = 0
+            while (t < offs.length) {
+              var outside = false
+              var noff = 0
+              var j = 0
+              while (j < d) {
+                val nc = oc(j) + offs(t)(j)
+                if (nc < 0 || nc >= bs(j)) outside = true
+                noff += (nc + 1) * in.strides(j)
+                j += 1
+              }
+              if (outside) {
+                val bval = in.data(noff)
+                if (bval != 0.0) {
+                  val x = a.toLong; val y = bval.toLong
+                  if (x < y) buf += ((y, x)) else if (y < x) buf += ((x, y))
+                }
+              }
+              t += 1
+            }
+          }
+        }
+        buf.distinct
+      }.toDF("node", "root").distinct()
+
+    // ---- step 3: connected components on the label graph — undirected
+    // min-label propagation with pointer doubling (each round: take the
+    // min of your component id, your neighbors' ids, and your id's id).
+    // Converges in O(log diameter) rounds; every round is two joins on
+    // label ids, checkpointed to truncate lineage. (At extreme label
+    // counts the large-star/small-star variant drops in here unchanged.)
+    val und = edges.select(col("node").as("a"), col("root").as("b"))
+      .union(edges.select(col("root").as("a"), col("node").as("b")))
+      .localCheckpoint(true)
+    var comp = und.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var converged = comp.isEmpty
+    var iter = 0
+    while (!converged && iter < 60) {
+      val viaNbr = und.join(comp, und("b") === comp("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
+      val stepped = comp.as("c")
+        .join(viaNbr, col("c.node") === col("a"), "left")
+        .select(col("c.node").as("node"),
+          least(col("c.comp"), coalesce(col("nbr_min"), col("c.comp"))).as("comp"))
+      // pointer doubling: comp(node) ← comp(comp(node))
+      val doubled = stepped.as("s")
+        .join(comp.as("t"), col("s.comp") === col("t.node"), "left")
+        .select(col("s.node").as("node"),
+          least(col("s.comp"), coalesce(col("t.comp"), col("s.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = doubled.as("x").join(comp.as("y"), col("x.node") === col("y.node"))
+        .filter(col("x.comp") =!= col("y.comp")).limit(1).count()
+      comp = doubled
+      converged = changed == 0
+      iter += 1
+    }
+    val mapping = comp.filter(col("node") =!= col("comp"))
+      .select(col("node"), col("comp").as("root"))
+
+    // ---- step 4: densify to 1..n in root order (deterministic; scipy
+    // numbering is scan-order of component first-cells, and our roots ARE
+    // first-cell linear indices, so rank(root) reproduces it).
+    val allLabels = local.flatMap(b => b.data.filter(_ != 0.0).map(_.toLong).distinct)
+      .toDF("lbl").distinct()
+    val isolated = allLabels
+      .join(mapping, col("lbl") === col("node"), "left_anti")
+      .select(col("lbl").as("root"))
+    val roots = mapping.select(col("root")).distinct()
+      .union(isolated)
+      .distinct()
+      .withColumn("dense", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("root"))))
+    val relabel: Map[Long, Long] = {
+      val direct = roots.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val viaEdges = mapping.collect().map(r => r.getLong(0) -> direct(r.getLong(1))).toMap
+      direct ++ viaEdges
+    }
+    if (relabel.isEmpty) return (local, 0L)
+    val bc = spark.sparkContext.broadcast(relabel)
+    val relabeled = Filters.mapBlocks(local) { b =>
+      val out = new Array[Double](b.data.length)
+      val m = bc.value
+      var i = 0
+      while (i < out.length) {
+        val v = b.data(i)
+        out(i) = if (v == 0.0) 0.0 else m(v.toLong).toDouble
+        i += 1
+      }
+      out
+    }
+    val n = relabel.values.max
+    (relabeled, n)
+  }
+
+  /** Sequential union-find CC inside one block; labels are global C-order
+    * linear indices of component roots + 1 (globally unique without any
+    * coordination — the reference instead offsets by per-chunk counts,
+    * which needs a scan; ndmeasure/_utils/_label.py::_label_adjacency_graph). */
+  private[tensor] def localLabel(b: Block, connectivity: Int): Array[Double] = {
+    val d = b.ndim
+    val nd = Nd.of(b.shape.toArray, b.data)
+    val n = nd.size
+    val parent = new Array[Int](n)
+    var i = 0
+    while (i < n) { parent(i) = i; i += 1 }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, bb: Int): Unit = {
+      val ra = find(a); val rb = find(bb)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val st = Morph.binaryStructure(d, connectivity)
+    val centerSt = st.shape.map(_ / 2)
+    val offs = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      st.foreachCoord(c => if (st(c) != 0.0) {
+        val o = c.indices.map(k => c(k) - centerSt(k)).toArray
+        if (o.exists(_ != 0)) buf += o
+      })
+      buf.toArray
+    }
+    nd.foreachCoord { c =>
+      val self = nd.offset(c)
+      if (nd.data(self) != 0.0) {
+        var t = 0
+        while (t < offs.length) {
+          var ok = true
+          var noff = 0
+          var k = 0
+          while (k < d) {
+            val nc = c(k) + offs(t)(k)
+            if (nc < 0 || nc >= nd.shape(k)) ok = false
+            noff += nc * nd.strides(k)
+            k += 1
+          }
+          if (ok && nd.data(noff) != 0.0) union(self, noff)
+          t += 1
+        }
+      }
+    }
+    // global linear index strides
+    val gStrides = new Array[Long](d)
+    var acc = 1L
+    var k = d - 1
+    while (k >= 0) { gStrides(k) = acc; acc *= b.arrayShape(k); k -= 1 }
+    val out = new Array[Double](n)
+    nd.foreachCoord { c =>
+      val self = nd.offset(c)
+      if (nd.data(self) != 0.0) {
+        val root = find(self)
+        // root's LOCAL coords → GLOBAL linear index
+        val rc = new Array[Int](d)
+        var rem = root
+        var j = 0
+        while (j < d) { rc(j) = rem / nd.strides(j); rem %= nd.strides(j); j += 1 }
+        var g = 0L
+        j = 0
+        while (j < d) { g += (b.origin(j) + rc(j)) * gStrides(j); j += 1 }
+        out(self) = (g + 1).toDouble
+      }
+    }
+    out
+  }
+}

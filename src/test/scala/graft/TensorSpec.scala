@@ -1,0 +1,176 @@
+package graft
+
+import graft.tensor._
+
+/** Tensor-core oracle tests, mirroring the reference's own strategy
+  * (SURVEY.md §5.1): every distributed multi-block result must equal the
+  * same operator on a single block covering the whole array ("one big
+  * chunk" — halo logic cannot hide there), and small fixtures pin the
+  * kernel math itself against naive direct implementations computed here.
+  */
+class TensorSpec extends SparkSpec {
+
+  /** Deterministic test image (values vary smoothly + pseudo-noise). */
+  private def testImage(h: Int, w: Int): Nd = {
+    val nd = Nd.zeros(Array(h, w))
+    for (i <- 0 until h; j <- 0 until w)
+      nd.data(i * w + j) = math.sin(i * 0.7) * 3 + math.cos(j * 1.3) * 2 +
+        ((i * 7919 + j * 104729) % 13) * 0.25
+    nd
+  }
+
+  private def maxAbsDiff(a: Nd, b: Nd): Double = {
+    require(a.shape.sameElements(b.shape), s"${a.shape.toSeq} vs ${b.shape.toSeq}")
+    a.data.zip(b.data).map { case (x, y) => math.abs(x - y) }.max
+  }
+
+  /** Run op on one big chunk vs a 7x9-chunk grid; both must agree. */
+  private def chunkInvariant(img: Nd, tol: Double = 1e-10)(
+      op: org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block]): Unit = {
+    val single = Grid.unblockify(op(Grid.blockify(spark, "t", img, img.shape.toSeq)))
+    val multi = Grid.unblockify(op(Grid.blockify(spark, "t", img, Seq(7, 9))))
+    assert(maxAbsDiff(single, multi) <= tol,
+      s"multi-block diverges from single-block by ${maxAbsDiff(single, multi)}")
+  }
+
+  private val img = testImage(20, 27)
+
+  test("uniform_filter: chunk-invariant and matches naive box mean") {
+    chunkInvariant(img)(ds => Filters.uniformFilter(ds, Seq(3, 3)))
+    // naive reference: 3x3 mean with reflect boundary
+    val out = Grid.unblockify(
+      Filters.uniformFilter(Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(3, 3)))
+    val naive = naiveStencil(img, 1, (win: Array[Double]) => win.sum / win.length)
+    assert(maxAbsDiff(out, naive) <= 1e-10)
+  }
+
+  test("gaussian_filter: chunk-invariant; constant image is preserved") {
+    chunkInvariant(img)(ds => Filters.gaussianFilter(ds, Seq(1.5, 1.5)))
+    val const = Nd.zeros(Array(16, 16)); java.util.Arrays.fill(const.data, 5.0)
+    val sm = Grid.unblockify(
+      Filters.gaussianFilter(Grid.blockify(spark, "t", const, Seq(8, 8)), Seq(2.0, 2.0)))
+    assert(sm.data.forall(v => math.abs(v - 5.0) < 1e-9), "gaussian must preserve constants")
+  }
+
+  test("gaussian derivative orders: gradient magnitude of constant is 0") {
+    chunkInvariant(img)(ds => Filters.gaussianGradientMagnitude(ds, Seq(1.0, 1.0)))
+    chunkInvariant(img)(ds => Filters.gaussianLaplace(ds, Seq(1.0, 1.0)))
+    val const = Nd.zeros(Array(12, 12)); java.util.Arrays.fill(const.data, 3.0)
+    val g = Grid.unblockify(Filters.gaussianGradientMagnitude(
+      Grid.blockify(spark, "t", const, Seq(6, 6)), Seq(1.0, 1.0)))
+    assert(g.data.forall(math.abs(_) < 1e-9))
+  }
+
+  test("convolve/correlate: chunk-invariant; correlate matches naive; convolve flips") {
+    val k = Nd.of(Array(3, 3), Array(1.0, 2, 3, 4, 5, 6, 7, 8, 9))
+    chunkInvariant(img)(ds => Filters.correlate(ds, k))
+    chunkInvariant(img)(ds => Filters.convolve(ds, k))
+    val corr = Grid.unblockify(Filters.correlate(Grid.blockify(spark, "t", img, Seq(7, 9)), k))
+    val naiveCorr = naiveStencilW(img, k)
+    assert(maxAbsDiff(corr, naiveCorr) <= 1e-10)
+  }
+
+  test("min/max/median/rank/percentile filters: chunk-invariant + naive match") {
+    chunkInvariant(img)(ds => Filters.minimumFilter(ds, Seq(3, 3)))
+    chunkInvariant(img)(ds => Filters.maximumFilter(ds, Seq(3, 3)))
+    chunkInvariant(img)(ds => Filters.medianFilter(ds, Seq(3, 3)))
+    chunkInvariant(img)(ds => Filters.rankFilter(ds, 2, Seq(3, 3)))
+    chunkInvariant(img)(ds => Filters.percentileFilter(ds, 30, Seq(3, 3)))
+    val mn = Grid.unblockify(Filters.minimumFilter(Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(3, 3)))
+    assert(maxAbsDiff(mn, naiveStencil(img, 1, _.min)) == 0.0)
+    val md = Grid.unblockify(Filters.medianFilter(Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(3, 3)))
+    assert(maxAbsDiff(md, naiveStencil(img, 1, w => { val s = w.sorted; s(s.length / 2) })) == 0.0)
+  }
+
+  test("sobel/prewitt/laplace: chunk-invariant; sobel of x-ramp is constant") {
+    chunkInvariant(img)(ds => Filters.sobel(ds, 1))
+    chunkInvariant(img)(ds => Filters.prewitt(ds, 0))
+    chunkInvariant(img)(ds => Filters.laplace(ds))
+    // ramp along axis1: I(i,j) = 2j → sobel axis1 interior = 2*((j+1)-(j-1))*[1+2+1] = 16
+    val ramp = Nd.zeros(Array(10, 12))
+    for (i <- 0 until 10; j <- 0 until 12) ramp.data(i * 12 + j) = 2.0 * j
+    val sb = Grid.unblockify(Filters.sobel(Grid.blockify(spark, "t", ramp, Seq(5, 6)), 1))
+    for (i <- 1 until 9; j <- 1 until 11)
+      assert(math.abs(sb.data(i * 12 + j) - 16.0) < 1e-9, s"sobel interior at ($i,$j): ${sb.data(i * 12 + j)}")
+    // laplace of linear ramp = 0 in the interior
+    val lp = Grid.unblockify(Filters.laplace(Grid.blockify(spark, "t", ramp, Seq(5, 6))))
+    for (i <- 1 until 9; j <- 1 until 11) assert(math.abs(lp.data(i * 12 + j)) < 1e-9)
+  }
+
+  test("generic_filter: arbitrary window lambda (range = max-min)") {
+    chunkInvariant(img)(ds => Filters.genericFilter(ds, w => w.max - w.min, Seq(3, 3)))
+  }
+
+  test("threshold_local: binary output, chunk-invariant") {
+    chunkInvariant(img)(ds => Filters.thresholdLocal(ds, 2, 5, "mean"))
+    val out = Grid.unblockify(Filters.thresholdLocal(
+      Grid.blockify(spark, "t", img, Seq(7, 9)), 2, 5, "gaussian"))
+    assert(out.data.forall(v => v == 0.0 || v == 1.0))
+  }
+
+  test("boundary modes agree with naive padding on all five modes") {
+    for (mode <- Seq("reflect", "nearest", "mirror", "wrap", "constant")) {
+      val out = Grid.unblockify(Filters.uniformFilter(
+        Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(3, 3), mode = mode, cval = 1.5))
+      val naive = naiveStencil(img, 1, _.sum / 9.0, mode, 1.5)
+      assert(maxAbsDiff(out, naive) <= 1e-10, s"mode $mode diverges")
+    }
+  }
+
+  test("binary morphology: chunk-invariant; erosion shrinks, dilation grows") {
+    val bin = Nd.zeros(Array(20, 27))
+    for (i <- 0 until 20; j <- 0 until 27)
+      bin.data(i * 27 + j) = if (img.data(i * 27 + j) > 2.0) 1.0 else 0.0
+    def count(n: Nd) = n.data.count(_ != 0.0)
+    chunkInvariant(bin)(ds => Morph.binaryErosion(ds, 2))
+    chunkInvariant(bin)(ds => Morph.binaryDilation(ds, 2))
+    chunkInvariant(bin)(ds => Morph.binaryOpening(ds, 2))
+    chunkInvariant(bin)(ds => Morph.binaryClosing(ds, 2))
+    chunkInvariant(bin)(ds => Morph.binaryErosion(ds, 2, iterations = 2))
+    val er = Grid.unblockify(Morph.binaryErosion(Grid.blockify(spark, "t", bin, Seq(7, 9)), 2))
+    val di = Grid.unblockify(Morph.binaryDilation(Grid.blockify(spark, "t", bin, Seq(7, 9)), 2))
+    assert(count(er) <= count(bin) && count(bin) <= count(di))
+    // duality spot check: dilation(x) == 1 - erosion(1-x) with swapped border
+    val inv = Nd.of(bin.shape, bin.data.map(v => 1.0 - v))
+    val erInv = Grid.unblockify(Morph.binaryErosion(
+      Grid.blockify(spark, "t", inv, Seq(7, 9)), 2, borderValue = 1.0))
+    assert(di.data.zip(erInv.data).forall { case (a, b) => a == 1.0 - b })
+  }
+
+  // ---------------------------------------------------------------- naive
+  /** Direct full-array stencil with boundary handling — the test oracle. */
+  private def naiveStencil(in: Nd, r: Int, f: Array[Double] => Double,
+      mode: String = "reflect", cval: Double = 0.0): Nd = {
+    val Array(h, w) = in.shape
+    val out = Nd.zeros(in.shape)
+    val m = Boundary.of(mode, cval)
+    for (i <- 0 until h; j <- 0 until w) {
+      val win = for (di <- -r to r; dj <- -r to r) yield {
+        val ri = Boundary.resolve(m, i + di, h)
+        val rj = Boundary.resolve(m, j + dj, w)
+        if (ri < 0 || rj < 0) cval else in.data(ri * w + rj)
+      }
+      out.data(i * w + j) = f(win.toArray)
+    }
+    out
+  }
+
+  /** Naive correlate with weights (reflect boundary). */
+  private def naiveStencilW(in: Nd, k: Nd): Nd = {
+    val Array(h, w) = in.shape
+    val Array(kh, kw) = k.shape
+    val (ci, cj) = (kh / 2, kw / 2)
+    val out = Nd.zeros(in.shape)
+    val m = Boundary.Reflect
+    for (i <- 0 until h; j <- 0 until w) {
+      var acc = 0.0
+      for (a <- 0 until kh; b <- 0 until kw) {
+        val ri = Boundary.resolve(m, i - ci + a, h)
+        val rj = Boundary.resolve(m, j - cj + b, w)
+        acc += k.data(a * kw + b) * in.data(ri * w + rj)
+      }
+      out.data(i * w + j) = acc
+    }
+    out
+  }
+}
