@@ -35,9 +35,11 @@ object TensorQueries {
   private def refl(x: String, n: Int): String =
     s"CASE WHEN $x < 0 THEN -($x) - 1 WHEN $x >= $n THEN 2*$n - 1 - ($x) ELSE $x END"
 
+  /** `+ 0.0` normalizes IEEE −0.0 to +0.0 — a signed stencil output that
+    * rounds to zero would otherwise hash differently across engines. */
   private def pixelsOut(ds: org.apache.spark.sql.Dataset[Block]): DataFrame =
     Images.toPixels(ds)
-      .select(col("i"), col("j"), round(col("v"), 4).as("v"))
+      .select(col("i"), col("j"), (round(col("v"), 4) + lit(0.0)).as("v"))
       .orderBy(col("i"), col("j"))
 
   // ------------------------------------------------------ uniform filter
@@ -114,7 +116,7 @@ object TensorQueries {
   val tensorLaplaceSql: String =
     s"""WITH $gridCte
        |SELECT g.i, g.j,
-       |  round(ni.v + pi.v + nj.v + pj.v - 4 * g.v, 4) AS v
+       |  round(ni.v + pi.v + nj.v + pj.v - 4 * g.v, 4) + 0 AS v
        |FROM grid g
        |JOIN grid ni ON ni.i = ${refl("g.i - 1", 48)} AND ni.j = g.j
        |JOIN grid pi ON pi.i = ${refl("g.i + 1", 48)} AND pi.j = g.j
@@ -137,7 +139,7 @@ object TensorQueries {
        |  FROM grid g CROSS JOIN di
        |  JOIN grid n ON n.i = ${refl("g.i + di.d", 48)} AND n.j = g.j
        |  GROUP BY g.i, g.j)
-       |SELECT g.i, g.j, round(sum(n.v * dj.w), 4) AS v
+       |SELECT g.i, g.j, round(sum(n.v * dj.w), 4) + 0 AS v
        |FROM p1 g CROSS JOIN dj
        |JOIN p1 n ON n.i = g.i AND n.j = ${refl("g.j + dj.d", 64)}
        |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
@@ -235,6 +237,91 @@ object TensorQueries {
        |  round(sv / area, 4) AS mean_v
        |FROM sums ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ fourier ops
+  /** fftfreq as SQL (n even here): i/n below n/2, else (i−n)/n. */
+  private def freq(x: String, n: Int): String =
+    s"(CASE WHEN $x < ${(n + 1) / 2} THEN $x / $n.0 ELSE ($x - $n) / $n.0 END)"
+
+  /** fourier_gaussian over the raster treated as an (already-FFT'd)
+    * spectrum — elementwise transfer function of global frequencies;
+    * real input ⇒ real output. */
+  val tensorFourierGaussian: Q = (s, dir) => {
+    val cx = Fourier.fourierGaussian(
+      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(2.0, 2.0))
+    Images.toPixels(cx)
+      .filter(col("j") % 2 === 0)
+      .select(col("i"), (col("j") / 2).cast("int").as("j"), round(col("v"), 4).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorFourierGaussianSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j, round(v * exp(-2 * pi() * pi() *
+       |  (4 * ${freq("i", 48)} * ${freq("i", 48)} +
+       |   4 * ${freq("j", 64)} * ${freq("j", 64)})), 4) AS v
+       |FROM grid ORDER BY i, j""".stripMargin
+
+  /** fourier_shift — complex phase ramp; emits (re, im) per pixel. */
+  val tensorFourierShift: Q = (s, dir) => {
+    val cx = Fourier.fourierShift(
+      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(1.5, -0.5))
+    val px = Images.toPixels(cx)
+    val re = px.filter(col("j") % 2 === 0)
+      .select(col("i"), (col("j") / 2).cast("int").as("j"),
+        (round(col("v"), 4) + lit(0.0)).as("re"))
+    val im = px.filter(col("j") % 2 === 1)
+      .select(col("i").as("i2"), ((col("j") - 1) / 2).cast("int").as("j2"),
+        (round(col("v"), 4) + lit(0.0)).as("im"))
+    re.join(im, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("re"), col("im"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorFourierShiftSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j,
+       |  round(v * cos(-2 * pi() * (${freq("i", 48)} * 1.5 + ${freq("j", 64)} * -0.5)), 4) + 0 AS re,
+       |  round(v * sin(-2 * pi() * (${freq("i", 48)} * 1.5 + ${freq("j", 64)} * -0.5)), 4) + 0 AS im
+       |FROM grid ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------ affine / rotate
+  /** Order-1 affine subpixel shift by (0.5, 0.25) — the gather-join
+    * resampling path; oracle is the explicit 4-tap bilinear blend. */
+  val tensorAffineShift: Q = (s, dir) => {
+    val out = Interp.affineTransform(Images.eventsRaster(s, dir), 2,
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.5, 0.25), order = 1, cval = 0.0)
+    // bilinear weights ⅜/⅛ on 2-decimal data give exactly-5-decimal
+    // values: round to 6 (round-4 would sit on .5 boundaries)
+    Images.toPixels(out)
+      .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorAffineShiftSql: String =
+    s"""WITH $gridCte
+       |SELECT g.i, g.j,
+       |  round(0.375 * coalesce(a.v, 0) + 0.125 * coalesce(b.v, 0) +
+       |        0.375 * coalesce(c.v, 0) + 0.125 * coalesce(d.v, 0), 6) + 0 AS v
+       |FROM grid g
+       |LEFT JOIN grid a ON a.i = g.i     AND a.j = g.j
+       |LEFT JOIN grid b ON b.i = g.i     AND b.j = g.j + 1
+       |LEFT JOIN grid c ON c.i = g.i + 1 AND c.j = g.j
+       |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j + 1
+       |ORDER BY g.i, g.j""".stripMargin
+
+  /** rotate 90° with reshape — an exact permutation, so the whole
+    * matrix/center/gather pipeline is hash-checked with no tolerance. */
+  val tensorRotate90: Q = (s, dir) => {
+    val out = Interp.rotate(Images.eventsRaster(s, dir), 2, 90.0,
+      axes = (0, 1), reshape = true, order = 1, cval = 0.0)
+    pixelsOut(out)
+  }
+
+  val tensorRotate90Sql: String =
+    s"""WITH $gridCte
+       |SELECT CAST(64 - 1 - g.j AS INT) AS i, CAST(g.i AS INT) AS j, round(g.v, 4) AS v
+       |FROM grid g ORDER BY i, j""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "tensor_uniform3" -> tensorUniform3,
@@ -245,9 +332,17 @@ object TensorQueries {
     "tensor_sobel" -> tensorSobel,
     "tensor_morph_counts" -> tensorMorphCounts,
     "tensor_label_stats" -> tensorLabelStats,
+    "tensor_fourier_gaussian" -> tensorFourierGaussian,
+    "tensor_fourier_shift" -> tensorFourierShift,
+    "tensor_affine_shift" -> tensorAffineShift,
+    "tensor_rotate90" -> tensorRotate90,
   )
 
   val oracle: Map[String, String] = Map(
+    "tensor_fourier_gaussian" -> tensorFourierGaussianSql,
+    "tensor_fourier_shift" -> tensorFourierShiftSql,
+    "tensor_affine_shift" -> tensorAffineShiftSql,
+    "tensor_rotate90" -> tensorRotate90Sql,
     "tensor_uniform3" -> tensorUniform3Sql,
     "tensor_gaussian" -> tensorGaussianSql,
     "tensor_minmax3" -> tensorMinmax3Sql,

@@ -1,0 +1,268 @@
+package graft.tensor
+
+import org.apache.spark.sql.Dataset
+
+/** Geometric transforms (dask_image.ndinterp, 4 ops — SURVEY.md §2A.4).
+  *
+  * `affine_transform` uses the reference's output-driven gather plan
+  * (ndinterp/__init__.py::affine_transform ≈ L40–170): every OUTPUT block
+  * computes the input bounding box it needs by transforming its corners,
+  * the needed input blocks are join-shipped to it (one shuffle keyed by
+  * output block), and the resampling kernel runs per output block. Only
+  * the touched input region moves — the distributed analog of the
+  * reference's per-chunk `input[bbox]` slicing.
+  *
+  * Orders 0 (nearest) and 1 (linear) are exact; boundary mode is
+  * `constant` (cval), the reference's own restriction. `spline_filter`
+  * (orders 2–3) is the finite-halo IIR approximation the reference also
+  * makes (documented depth heuristic).
+  */
+/** One output block's requirement of one input block (public: Spark's
+  * encoder codegen cannot touch private classes). */
+case class AffineNeed(
+    outIdx: Seq[Int], outOrigin: Seq[Int], outShape: Seq[Int],
+    inIdx: Seq[Int])
+
+object Interp {
+  private type Need = AffineNeed
+
+  /** affine_transform(input, matrix, offset, output_shape, order, cval):
+    * output(o) = input(M·(o) + offset), order ∈ {0, 1}. Matrix is row-major
+    * d×d. Output grid reuses the input chunking. */
+  def affineTransform(
+      ds: Dataset[Block],
+      ndim: Int,
+      matrix: Array[Array[Double]],
+      offset: Array[Double],
+      outputShape: Option[Seq[Int]] = None,
+      order: Int = 1,
+      cval: Double = 0.0): Dataset[Block] = {
+    require(order == 0 || order == 1, "affine_transform: only spline orders 0/1 (prefilter-free)")
+    val spark = ds.sparkSession
+    import spark.implicits._
+
+    // geometry comes from any input block (metadata-only single-row action)
+    val proto = ds.head()
+    val inShape = proto.arrayShape
+    val chunk = proto.chunk
+    val outShape = outputShape.getOrElse(inShape)
+    val gridDims = outShape.indices.map(k => (outShape(k) + chunk(k) - 1) / chunk(k))
+
+    // driver-side metadata: out blocks and the input blocks each needs
+    val needs: Seq[Need] = Grid.cartesian(gridDims).flatMap { oIdx =>
+      val oOrigin = oIdx.indices.map(k => oIdx(k) * chunk(k))
+      val oShape = oIdx.indices.map(k => math.min(chunk(k), outShape(k) - oOrigin(k)))
+      // transform all 2^d corners → input bbox
+      val corners = Grid.cartesian(Seq.fill(ndim)(2)).map { bits =>
+        val g = oIdx.indices.map(k => (oOrigin(k) + bits(k) * (oShape(k) - 1)).toDouble)
+        (0 until ndim).map(r =>
+          (0 until ndim).map(c => matrix(r)(c) * g(c)).sum + offset(r))
+      }
+      val lo = (0 until ndim).map(k => math.floor(corners.map(_(k)).min).toInt - 1)
+      val hi = (0 until ndim).map(k => math.ceil(corners.map(_(k)).max).toInt + 1)
+      // input blocks overlapping [lo, hi], clipped to the input grid
+      val bLo = lo.indices.map(k => math.max(0, lo(k) / chunk(k)))
+      val bHi = hi.indices.map(k =>
+        math.min((inShape(k) - 1) / chunk(k), math.max(0, hi(k) / chunk(k))))
+      val ranges = bLo.indices.map(k => (bHi(k) - bLo(k) + 1).max(0))
+      val hits = Grid.cartesian(ranges).map { off =>
+        AffineNeed(oIdx, oOrigin, oShape, off.indices.map(k => bLo(k) + off(k)))
+      }
+      // a fully-outside output block still must exist (all-cval): sentinel
+      // need that matches no input block, kept by the left-outer join
+      if (hits.nonEmpty) hits
+      else Seq(AffineNeed(oIdx, oOrigin, oShape, Seq.fill(ndim)(-1)))
+    }
+    val needsDs = spark.createDataset(needs)
+
+    val bcM = spark.sparkContext.broadcast((matrix, offset))
+    val imageId = proto.imageId
+
+    needsDs.joinWith(ds, needsDs("inIdx") === ds("idx"), "left_outer")
+      .groupByKey(_._1.outIdx)
+      .mapGroups { (oIdx: Seq[Int], it: Iterator[(Need, Block)]) =>
+        val rows = it.toSeq
+        val n = rows.head._1
+        val (m, off) = bcM.value
+        // sample from the shipped input blocks via a per-block lookup
+        val byIdx = rows.flatMap(r => Option(r._2)).map(b => b.idx -> b).toMap
+        def sample(g: Array[Int]): Double = {
+          var k = 0
+          var inside = true
+          while (k < ndim) {
+            if (g(k) < 0 || g(k) >= inShape(k)) inside = false
+            k += 1
+          }
+          if (!inside) return cval
+          val bIdx = (0 until ndim).map(k => g(k) / chunk(k))
+          byIdx.get(bIdx) match {
+            case None => cval // block not shipped → outside requested bbox
+            case Some(b) =>
+              val nd = Nd.of(b.shape.toArray, b.data)
+              val local = new Array[Int](ndim)
+              var j = 0
+              while (j < ndim) { local(j) = g(j) - b.origin(j); j += 1 }
+              nd(local)
+          }
+        }
+        val out = Nd.zeros(n.outShape.toArray)
+        out.foreachCoord { c =>
+          val src = new Array[Double](ndim)
+          var r = 0
+          while (r < ndim) {
+            var acc = off(r)
+            var cc = 0
+            while (cc < ndim) { acc += m(r)(cc) * (n.outOrigin(cc) + c(cc)); cc += 1 }
+            src(r) = acc
+            r += 1
+          }
+          out(c) =
+            if (order == 0) {
+              // scipy order-0: nearest via floor(x + 0.5)
+              val g = src.map(x => math.floor(x + 0.5).toInt)
+              sample(g)
+            } else {
+              // multilinear blend over the 2^d floor-corner cube
+              val base = src.map(x => math.floor(x).toInt)
+              val frac = src.indices.map(k => src(k) - base(k))
+              var acc = 0.0
+              Grid.cartesian(Seq.fill(ndim)(2)).foreach { bits =>
+                var w = 1.0
+                val g = new Array[Int](ndim)
+                var k = 0
+                while (k < ndim) {
+                  w *= (if (bits(k) == 1) frac(k) else 1.0 - frac(k))
+                  g(k) = base(k) + bits(k)
+                  k += 1
+                }
+                if (w != 0.0) acc += w * sample(g)
+              }
+              acc
+            }
+        }
+        Block(imageId, oIdx, n.outOrigin, n.outShape, chunk, outShape, out.data)
+      }
+  }
+
+  /** rotate(input, angle, axes, reshape) — 2-d rotation in a coordinate
+    * plane, delegating to affine_transform (ndinterp/__init__.py::rotate
+    * ≈ L180–260; scipy semantics: output coords map to input via the
+    * forward rotation matrix of −angle around the array center). */
+  def rotate(ds: Dataset[Block], ndim: Int, angleDeg: Double, axes: (Int, Int) = (1, 0),
+      reshape: Boolean = true, order: Int = 1, cval: Double = 0.0): Dataset[Block] = {
+    val proto = ds.head()
+    val inShape = proto.arrayShape
+    val (a0, a1) = axes
+    val rad = math.toRadians(angleDeg)
+    val (c, s) = (math.cos(rad), math.sin(rad))
+    // output shape (scipy reshape=True: rotated bbox of the plane)
+    val (h, w) = (inShape(a0), inShape(a1))
+    val (oh, ow) =
+      if (!reshape) (h, w)
+      else {
+        val cs = math.abs(c); val sn = math.abs(s)
+        (math.round(h * cs + w * sn).toInt, math.round(h * sn + w * cs).toInt)
+      }
+    val outShape = inShape.indices.map(k =>
+      if (k == a0) oh else if (k == a1) ow else inShape(k))
+    // inverse map: in = R · (out − outCenter) + inCenter, R = [[c,s],[−s,c]]
+    val inC0 = (h - 1) / 2.0; val inC1 = (w - 1) / 2.0
+    val outC0 = (oh - 1) / 2.0; val outC1 = (ow - 1) / 2.0
+    val m = Array.tabulate(ndim, ndim)((r, cc) =>
+      if (r == a0 && cc == a0) c
+      else if (r == a0 && cc == a1) s
+      else if (r == a1 && cc == a0) -s
+      else if (r == a1 && cc == a1) c
+      else if (r == cc) 1.0 else 0.0)
+    val off = Array.tabulate(ndim) { r =>
+      if (r == a0) inC0 - c * outC0 - s * outC1
+      else if (r == a1) inC1 + s * outC0 - c * outC1
+      else 0.0
+    }
+    affineTransform(ds, ndim, m, off, Some(outShape), order, cval)
+  }
+
+  // ------------------------------------------------------------ splines
+
+  /** Pole(s) of the B-spline prefilter per order (scipy get_spline_poles). */
+  private def poles(order: Int): Array[Double] = order match {
+    case 0 | 1 => Array.empty
+    case 2 => Array(math.sqrt(8.0) - 3.0)
+    case 3 => Array(math.sqrt(3.0) - 2.0)
+    case other => throw new IllegalArgumentException(s"spline order $other unsupported")
+  }
+
+  /** Finite-halo depth so the truncated IIR tail < 1e−10 — the same
+    * approximation the reference documents for its spline_filter
+    * (ndinterp/__init__.py::spline_filter ≈ L270–330). */
+  private def splineDepth(order: Int): Int = {
+    val ps = poles(order)
+    if (ps.isEmpty) 0
+    else ps.map(p => math.ceil(math.log(1e-10) / math.log(math.abs(p))).toInt).max
+  }
+
+  /** In-place causal+anticausal IIR along one line (scipy's
+    * spline_filter1d recursion, truncated-tail initialization). */
+  private def iirLine(line: Array[Double], order: Int): Unit = {
+    val ps = poles(order)
+    if (ps.isEmpty) return
+    for (p <- ps) {
+      val gain = (1.0 - p) * (1.0 - 1.0 / p)
+      var i = 0
+      while (i < line.length) { line(i) *= gain; i += 1 }
+      // causal (init with the value itself — the truncation the halo hides)
+      i = 1
+      while (i < line.length) { line(i) += p * line(i - 1); i += 1 }
+      // anticausal, scipy mirror init: c[n−1] ← p/(p²−1)·(p·c[n−2] + c[n−1])
+      line(line.length - 1) =
+        p / (p * p - 1.0) * (p * line(line.length - 2) + line(line.length - 1))
+      i = line.length - 2
+      while (i >= 0) { line(i) = p * (line(i + 1) - line(i)); i -= 1 }
+    }
+  }
+
+  /** spline_filter1d(image, order, axis) — IIR prefilter along one axis
+    * with finite halo (mirror boundary, scipy's default). */
+  def splineFilter1d(ds: Dataset[Block], ndim: Int, order: Int = 3,
+      axis: Int = -1): Dataset[Block] = {
+    val ax = if (axis < 0) ndim + axis else axis
+    val d = splineDepth(order)
+    if (d == 0) return ds
+    val depth = (0 until ndim).map(k => if (k == ax) d else 0)
+    Halo.mapOverlap(ds, depth, Boundary.Mirror) { p =>
+      val in = p.nd
+      val out = Nd.zeros(p.block.shape.toArray)
+      // iterate lines along `ax`
+      val lineLen = in.shape(ax)
+      val others = (0 until ndim).filter(_ != ax)
+      val otherShape = others.map(in.shape(_)).toArray
+      val iterNd = Nd.zeros(if (otherShape.isEmpty) Array(1) else otherShape)
+      iterNd.foreachCoord { oc =>
+        val line = new Array[Double](lineLen)
+        val base = new Array[Int](ndim)
+        others.zipWithIndex.foreach { case (k, i) => base(k) = oc(i) }
+        var i = 0
+        while (i < lineLen) {
+          base(ax) = i
+          line(i) = in(base)
+          i += 1
+        }
+        iirLine(line, order)
+        // write back the unpadded center
+        val ocOut = new Array[Int](ndim)
+        others.zipWithIndex.foreach { case (k, i) => ocOut(k) = oc(i) }
+        i = 0
+        while (i < out.shape(ax)) {
+          ocOut(ax) = i
+          out(ocOut) = line(i + d)
+          i += 1
+        }
+      }
+      out.data
+    }
+  }
+
+  /** spline_filter — sequential per-axis 1-d prefilters. */
+  def splineFilter(ds: Dataset[Block], ndim: Int, order: Int = 3): Dataset[Block] =
+    (0 until ndim).foldLeft(ds)((acc, ax) => splineFilter1d(acc, ndim, order, ax))
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.tensor._
+
+class InterpFourierSpec extends SparkSpec {
+
+  private def testImage(h: Int, w: Int): Nd = {
+    val nd = Nd.zeros(Array(h, w))
+    for (i <- 0 until h; j <- 0 until w)
+      nd.data(i * w + j) = math.sin(i * 0.5) * 2 + math.cos(j * 0.9) + (i * 13 + j * 7) % 5 * 0.3
+    nd
+  }
+
+  private def maxAbsDiff(a: Nd, b: Nd): Double =
+    a.data.zip(b.data).map { case (x, y) => math.abs(x - y) }.max
+
+  private val img = testImage(20, 24)
+
+  /** Naive full-array affine (constant boundary). */
+  private def naiveAffine(in: Nd, m: Array[Array[Double]], off: Array[Double],
+      outShape: Array[Int], order: Int, cval: Double): Nd = {
+    val Array(h, w) = in.shape
+    val out = Nd.zeros(outShape)
+    def sample(i: Int, j: Int): Double =
+      if (i < 0 || i >= h || j < 0 || j >= w) cval else in.data(i * w + j)
+    for (i <- 0 until outShape(0); j <- 0 until outShape(1)) {
+      val si = m(0)(0) * i + m(0)(1) * j + off(0)
+      val sj = m(1)(0) * i + m(1)(1) * j + off(1)
+      out.data(i * outShape(1) + j) =
+        if (order == 0) sample(math.floor(si + 0.5).toInt, math.floor(sj + 0.5).toInt)
+        else {
+          val bi = math.floor(si).toInt; val bj = math.floor(sj).toInt
+          val fi = si - bi; val fj = sj - bj
+          (1 - fi) * (1 - fj) * sample(bi, bj) + (1 - fi) * fj * sample(bi, bj + 1) +
+            fi * (1 - fj) * sample(bi + 1, bj) + fi * fj * sample(bi + 1, bj + 1)
+        }
+    }
+    out
+  }
+
+  test("affine_transform: identity is exact; matches naive for shift+scale+rotate, orders 0 and 1") {
+    val cases = Seq(
+      (Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0)), // identity
+      (Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(2.5, -1.25)), // subpixel shift
+      (Array(Array(0.5, 0.0), Array(0.0, 2.0)), Array(1.0, 3.0)), // anisotropic scale
+      (Array(Array(0.866, 0.5), Array(-0.5, 0.866)), Array(3.0, -2.0))) // ~30° rotation
+    for ((m, off) <- cases; order <- Seq(0, 1)) {
+      val ds = Grid.blockify(spark, "t", img, Seq(7, 9))
+      val got = Grid.unblockify(Interp.affineTransform(ds, 2, m, off, order = order, cval = -1.0))
+      val want = naiveAffine(img, m, off, img.shape, order, -1.0)
+      assert(maxAbsDiff(got, want) < 1e-12,
+        s"affine order=$order m=${m.map(_.toSeq).toSeq} diff=${maxAbsDiff(got, want)}")
+    }
+  }
+
+  test("affine_transform: chunking does not change the result") {
+    val m = Array(Array(0.7, 0.2), Array(-0.1, 1.1)); val off = Array(1.5, -0.5)
+    val a = Grid.unblockify(Interp.affineTransform(
+      Grid.blockify(spark, "t", img, img.shape.toSeq), 2, m, off, order = 1))
+    val b = Grid.unblockify(Interp.affineTransform(
+      Grid.blockify(spark, "t", img, Seq(5, 6)), 2, m, off, order = 1))
+    assert(maxAbsDiff(a, b) < 1e-12)
+  }
+
+  test("rotate: 90° with reshape swaps dimensions and permutes values exactly") {
+    val ds = Grid.blockify(spark, "t", img, Seq(7, 9))
+    val got = Grid.unblockify(Interp.rotate(ds, 2, 90.0, axes = (0, 1), order = 1))
+    assert(got.shape.toSeq == Seq(24, 20), s"rotated shape ${got.shape.toSeq}")
+    // rotate(90°, axes=(0,1)): out(i,j) == in(j, W−1−i) up to interpolation
+    val Array(oh, ow) = got.shape
+    var bad = 0
+    for (i <- 0 until oh; j <- 0 until ow) {
+      val exp = img.data(j * 24 + (24 - 1 - i))
+      if (math.abs(got.data(i * ow + j) - exp) > 1e-9) bad += 1
+    }
+    assert(bad == 0, s"$bad mismatched cells after 90° rotation")
+  }
+
+  test("rotate: 360° (reshape=false) returns the original image") {
+    val ds = Grid.blockify(spark, "t", img, Seq(7, 9))
+    val got = Grid.unblockify(Interp.rotate(ds, 2, 360.0, reshape = false, order = 1))
+    assert(maxAbsDiff(got, img) < 1e-9)
+  }
+
+  test("spline_filter: orders 0/1 are identity; order 3 is chunk-invariant and invertible-ish") {
+    val ds = Grid.blockify(spark, "t", img, Seq(7, 9))
+    assert(maxAbsDiff(Grid.unblockify(Interp.splineFilter(ds, 2, 1)), img) == 0.0)
+    // IIR halo depth for order 3 is 18 → chunks must be ≥ 18
+    val big = testImage(60, 50)
+    val a = Grid.unblockify(Interp.splineFilter(
+      Grid.blockify(spark, "t", big, big.shape.toSeq), 2, 3))
+    val b = Grid.unblockify(Interp.splineFilter(
+      Grid.blockify(spark, "t", big, Seq(30, 25)), 2, 3))
+    // halo truncation error must be below the documented 1e-10 tail, away
+    // from the array boundary (compare interiors)
+    assert(maxAbsDiff(a, b) < 1e-6, s"spline chunk divergence ${maxAbsDiff(a, b)}")
+    // under-chunked spline must fail loudly, not silently approximate
+    val err = intercept[org.apache.spark.SparkException] {
+      Grid.unblockify(Interp.splineFilter(Grid.blockify(spark, "t", img, Seq(7, 9)), 2, 3))
+    }
+    assert(err.getMessage.contains("halo depth") || err.getCause != null)
+    // B-spline prefilter must reproduce the signal when convolved with the
+    // cubic B-spline kernel [1/6, 4/6, 1/6] (1-d check through the engine)
+    val line = Nd.zeros(Array(1, 40))
+    for (j <- 0 until 40) line.data(j) = math.sin(j * 0.3) + 0.1 * j
+    val coef = Grid.unblockify(Interp.splineFilter1d(
+      Grid.blockify(spark, "t", line, Seq(1, 40)), 2, 3, axis = 1))
+    for (j <- 5 until 35) {
+      val recon = (coef.data(j - 1) + 4 * coef.data(j) + coef.data(j + 1)) / 6.0
+      assert(math.abs(recon - line.data(j)) < 1e-8, s"B3 reconstruction at $j: $recon vs ${line.data(j)}")
+    }
+  }
+
+  test("fourier ops: gaussian/uniform attenuate, shift is exact in phase, all chunk-invariant") {
+    def run(op: org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block],
+        chunks: Seq[Int]): Nd =
+      Grid.unblockify(op(Fourier.toComplex(Grid.blockify(spark, "t", img, chunks))))
+    for (op <- Seq[org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block]](
+        Fourier.fourierGaussian(_, Seq(2.0, 2.0)),
+        Fourier.fourierShift(_, Seq(1.5, -0.5)),
+        Fourier.fourierUniform(_, Seq(3.0, 3.0)))) {
+      val single = run(op, img.shape.toSeq)
+      val multi = run(op, Seq(5, 6))
+      assert(maxAbsDiff(single, multi) < 1e-12, "fourier op not chunk-invariant")
+    }
+    // DC component (freq 0) passes through unchanged for gaussian/uniform
+    val g = run(Fourier.fourierGaussian(_, Seq(2.0, 2.0)), Seq(5, 6))
+    assert(g.data(0) == img.data(0) && g.data(1) == 0.0, "DC must be preserved")
+    // shift preserves magnitude everywhere
+    val sh = run(Fourier.fourierShift(_, Seq(1.5, -0.5)), Seq(5, 6))
+    for (i <- 0 until img.data.length) {
+      val mag2 = sh.data(2 * i) * sh.data(2 * i) + sh.data(2 * i + 1) * sh.data(2 * i + 1)
+      assert(math.abs(math.sqrt(mag2) - math.abs(img.data(i))) < 1e-9)
+    }
+  }
+}
