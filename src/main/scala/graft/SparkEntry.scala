@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.TensorQueries.queries
+      graft.queries.TensorQueries.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.TensorQueries.oracle
+      graft.queries.TensorQueries.oracle ++
+      graft.streaming.StreamOps.oracle
 }

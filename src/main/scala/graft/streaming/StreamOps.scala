@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2B streaming rows + M5).
+  *
+  * The batch and streaming engines share the same event-time expressions
+  * (window / session_window / watermark); these entry points run a REAL
+  * streaming query over the events parquet as a file stream, drain it with
+  * Trigger.AvailableNow into a memory sink, and hand back the result as a
+  * normal DataFrame — so the driver's DuckDB oracle checks streaming
+  * semantics against the same SQL as the batch twin.
+  *
+  * Aggregations run with a declared watermark in complete/update mode
+  * (append would hold back the final windows at end-of-stream); the
+  * late-data DROP path needs multi-batch arrival order and is covered by
+  * the MemoryStream spec instead.
+  */
+object StreamOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The events table as a file STREAM with the same µs `ts` derivation
+    * as the batch Tables.t. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  /** Drain a streaming frame into a memory sink and return the settled
+    * result (detached from the temp view; the query is stopped). */
+  def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(name)
+    val settled = spark.createDataFrame(out.collectAsList(), out.schema)
+    spark.catalog.dropTempView(name)
+    settled
+  }
+
+  // ------------------------------------------------------ windowed aggs
+
+  /** Tumbling 1-hour event-time window with a 10-minute watermark —
+    * streaming twin of Relational.tumblingWindow (same oracle SQL). */
+  val streamTumbling: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    drain(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Sliding 1h/15min window — twin of Relational.slidingWindow. */
+  val streamSliding: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    drain(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  /** Native session_window (30-minute gap) sessionization per user —
+    * shares the batch sessionGap oracle (n_sessions + n_events per user). */
+  val streamSession: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    drain(agg, OutputMode.Complete())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------ custom state
+
+  /** flatMapGroupsWithState custom sessionizer (the reference-free
+    * extension point for arbitrary streaming state). Emits per-user
+    * (n_sessions, n_events) with the same 30-minute-gap semantics, so the
+    * batch oracle applies. */
+  val streamStateSessions: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), col("ts_ns"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    val out = typed.flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionAcc]) =>
+        val prev = state.getOption.getOrElse(SessionAcc(0L, 0L, Long.MinValue))
+        var (sessions, events, lastNs) = (prev.sessions, prev.events, prev.lastTsNs)
+        for (tsNs <- it.map(_._2).toSeq.sorted) {
+          if (lastNs == Long.MinValue || tsNs - lastNs > 1800L * 1000000000L)
+            sessions += 1
+          events += 1
+          lastNs = tsNs
+        }
+        state.update(SessionAcc(sessions, events, lastNs))
+        Iterator((user, sessions, events))
+    }
+    drain(out.toDF("user_id", "n_sessions", "n_events"), OutputMode.Update())
+      // Update mode re-emits per micro-batch: keep the final row per user
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_state_sessions" -> streamStateSessions,
+  )
+
+  /** Streaming twins reuse the batch oracle SQL. */
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> graft.queries.Relational.tumblingWindowSql,
+    "stream_sliding" -> graft.queries.Relational.slidingWindowSql,
+    "stream_session" -> graft.queries.Relational.sessionGapSql,
+    "stream_state_sessions" -> graft.queries.Relational.sessionGapSql,
+  )
+}
+
+/** Per-user sessionization state for flatMapGroupsWithState. */
+case class SessionAcc(sessions: Long, events: Long, lastTsNs: Long)

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+
+  test("watermark drops late data in append mode (multi-batch MemoryStream)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: events in hour 0 and hour 2 → watermark → 02:00−10min
+    input.addData((t(0, 10), 1.0), (t(0, 50), 1.0), (t(2, 0), 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for hour 0 (before watermark 01:50) must be
+    // dropped; an on-time event for hour 2 must count
+    input.addData((t(0, 30), 99.0), (t(2, 30), 1.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark beyond hour 2 so its window closes
+    input.addData((t(4, 0), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("wm_test")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 00:00:00") == 2L,
+      s"late event must be dropped, got $rows")
+    assert(rows("2024-01-01 02:00:00") == 2L,
+      s"on-time events must both count, got $rows")
+  }
+
+  test("streaming tumbling aggregation equals the batch result") {
+    val streamed = graft.streaming.StreamOps.streamTumbling(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.queries.Relational.tumblingWindow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer equals the batch lag/cumsum idiom") {
+    val a = graft.streaming.StreamOps.streamStateSessions(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.queries.Relational.sessionGap(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
