@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * functions (`spark.sql.extensions=graft.functions.GraftExtensions`),
+  * plus an imperative registrar for sessions created without the config
+  * (both paths are idempotent). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.minhashSig)
+  }
+}
+
+object GraftExtensions {
+
+  private type FnDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val cosineSim: FnDesc = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
+
+  val minhashSig: FnDesc = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (es: Seq[Expression]) => MinHashSig(es.head))
+
+  /** Register on an existing session (no-op if already present). */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig))
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+  }
+}

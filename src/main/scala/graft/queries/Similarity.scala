@@ -152,9 +152,25 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------ native expression
+  /** cosine_topk through the custom codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) instead of the HOF pipeline —
+    * same semantics, same oracle, no per-row intermediate arrays. */
+  val cosineTopkNative: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, qv)"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "cosine_topk" -> cosineTopk,
+    "cosine_topk_native" -> cosineTopkNative,
     "embedding_near_dup" -> embeddingNearDup,
     "ivf_centroid_stats" -> ivfCentroidStats,
     "ivf_cosine_topk" -> ivfCosineTopk,
@@ -162,6 +178,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "cosine_topk" -> cosineTopkSql,
+    "cosine_topk_native" -> cosineTopkSql,
     "embedding_near_dup" -> embeddingNearDupSql,
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
     "ivf_cosine_topk" -> ivfCosineTopkSql,

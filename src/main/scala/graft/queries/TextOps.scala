@@ -383,8 +383,31 @@ object TextOps {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  // ------------------------------------------------ native aggregate
+  /** Per-document MinHash signatures via the custom
+    * TypedImperativeAggregate (graft.functions.MinHashSig): one narrow
+    * partial-mergeable aggregation over shingle rows — the scale path the
+    * HOF-based minhash_near_dup signature step upgrades to. Oracle
+    * reproduces the md5 permutation hashes in SQL. */
+  val minhashSignatures: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    shingleRows(t(s, dir, "documents"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("|", expr("minhash_sig(shingle)")).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val minhashSignaturesSql: String =
+    s"""WITH $shingleCte
+       |SELECT doc_id, string_agg(h, '|' ORDER BY i) AS sig FROM (
+       |  SELECT doc_id, i, min(substr(md5(i || ':' || shingle), 1, 8)) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  GROUP BY doc_id, i)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "minhash_signatures" -> minhashSignatures,
     "exact_dedup_docs" -> exactDedupDocs,
     "dedup_keep_first" -> dedupKeepFirst,
     "doc_token_stats" -> docTokenStats,
@@ -399,6 +422,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "minhash_signatures" -> minhashSignaturesSql,
     "exact_dedup_docs" -> exactDedupDocsSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
     "doc_token_stats" -> docTokenStatsSql,
