@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.TensorQueries.queries ++
+      graft.queries.Multimodal.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.TensorQueries.oracle ++
+      graft.queries.Multimodal.oracle ++
       graft.streaming.StreamOps.oracle
 }
