@@ -412,8 +412,45 @@ object Relational {
       |  count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------ SQL surface
+  /** TPC-H Q5 shape through spark.sql — exercises the SQL parser/analyzer
+    * path and Catalyst's join ordering over a 6-table star (dims resolve
+    * to broadcasts; the lineitem⋈orders fact join shuffles on orderkey). */
+  val sqlRevenueByNation: Q = (s, dir) => {
+    for (name <- Seq("region", "nation", "customer", "supplier", "orders", "lineitem"))
+      t(s, dir, name).createOrReplaceTempView(name)
+    s.sql(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val sqlRevenueByNationSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "sql_revenue_by_nation" -> sqlRevenueByNation,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "semi_anti_join" -> semiAntiJoin,
@@ -435,6 +472,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_revenue_by_nation" -> sqlRevenueByNationSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_top_orders" -> q3TopOrdersSql,
     "semi_anti_join" -> semiAntiJoinSql,
