@@ -1,0 +1,81 @@
+package graft
+
+import graft.tensor._
+
+/** Property tests (SURVEY.md §5.2): chunking invariance over RANDOM chunk
+  * shapes (seeded Gen sampling), 3-d operator generality, label
+  * permutation-independence, dedup idempotence. */
+class PropertySpec extends SparkSpec {
+
+  private def image3d(d0: Int, d1: Int, d2: Int): Nd = {
+    val nd = Nd.zeros(Array(d0, d1, d2))
+    var i = 0
+    while (i < nd.data.length) {
+      nd.data(i) = math.sin(i * 0.37) * 2 + (i * 2654435761L % 97) * 0.01
+      i += 1
+    }
+    nd
+  }
+
+  private def maxAbsDiff(a: Nd, b: Nd): Double =
+    a.data.zip(b.data).map { case (x, y) => math.abs(x - y) }.max
+
+  test("3-d gaussian/uniform/morphology are chunk-invariant for random chunk shapes") {
+    val img = image3d(12, 14, 10)
+    val single = Grid.blockify(spark, "t", img, img.shape.toSeq)
+    val gRef = Grid.unblockify(Filters.gaussianFilter(single, Seq(1.0, 1.0, 1.0)))
+    val uRef = Grid.unblockify(Filters.uniformFilter(single, Seq(3, 3, 3)))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 5) {
+      val chunks = Seq(5 + rnd.nextInt(8), 5 + rnd.nextInt(10), 4 + rnd.nextInt(7))
+      val ds = Grid.blockify(spark, "t", img, chunks)
+      assert(maxAbsDiff(Grid.unblockify(Filters.gaussianFilter(ds, Seq(1.0, 1.0, 1.0))), gRef) < 1e-10,
+        s"gaussian diverges at chunks $chunks")
+      assert(maxAbsDiff(Grid.unblockify(Filters.uniformFilter(ds, Seq(3, 3, 3))), uRef) < 1e-10,
+        s"uniform diverges at chunks $chunks")
+    }
+  }
+
+  test("3-d label: component count independent of chunking") {
+    val img = image3d(10, 12, 8)
+    val bin = Nd.of(img.shape, img.data.map(v => if (v > 1.2) 1.0 else 0.0))
+    val (_, nRef) = Measure.label(Grid.blockify(spark, "t", bin, bin.shape.toSeq), 3)
+    for (chunks <- Seq(Seq(5, 6, 4), Seq(4, 5, 8), Seq(10, 4, 3))) {
+      val (ds, n) = Measure.label(Grid.blockify(spark, "t", bin, chunks), 3)
+      assert(n == nRef, s"chunks $chunks: $n != $nRef")
+      assert(Grid.unblockify(ds).data.count(_ != 0.0) == bin.data.count(_ != 0.0))
+    }
+  }
+
+  test("label numbering is invariant under foreground value scaling (permutation robustness)") {
+    val img = image3d(8, 9, 7)
+    val bin = Nd.of(img.shape, img.data.map(v => if (v > 1.2) 1.0 else 0.0))
+    val scaled = Nd.of(bin.shape, bin.data.map(_ * 7.5)) // any nonzero is fg
+    val (a, na) = Measure.label(Grid.blockify(spark, "t", bin, Seq(4, 5, 4)), 3)
+    val (b, nb) = Measure.label(Grid.blockify(spark, "t", scaled, Seq(4, 5, 4)), 3)
+    assert(na == nb)
+    assert(Grid.unblockify(a).data.sameElements(Grid.unblockify(b).data))
+  }
+
+  test("exact dedup is idempotent and order-independent") {
+    val docs = Tables.t(spark, sf001, "documents")
+    import org.apache.spark.sql.functions._
+    val once = docs.orderBy(col("doc_id")).dropDuplicates("text")
+    val twiceShuffled = docs.orderBy(col("text")).dropDuplicates("text").dropDuplicates("text")
+    assert(once.count() == twiceShuffled.count())
+  }
+
+  test("minhash signature entries only decrease as shingles are added (monotone merge)") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a b"), (1L, "c d")).toDF("doc_id", "shingle")
+    val more = Seq((1L, "a b"), (1L, "c d"), (1L, "e f")).toDF("doc_id", "shingle")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("doc_id").agg(expr("minhash_sig(shingle)").as("s"))
+        .collect().head.getSeq[String](1)
+    val (s1, s2) = (sig(base), sig(more))
+    assert(s1.zip(s2).forall { case (a, b) => b <= a })
+  }
+}
