@@ -152,6 +152,68 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------ hyperplane LSH ANN
+  /** Approximate top-k by random-hyperplane LSH (the data-independent ANN
+    * scale path — unlike IVF-by-label it needs no cluster structure):
+    * 6 deterministic hyperplanes (components sin(p·64+d), reproducible in
+    * SQL) give a 6-bit sign bucket per vector; candidates = query bucket
+    * ∪ all buckets at hamming distance 1 (7 probes ≈ 1/9 of the corpus);
+    * exact cosine ranks the candidates. At 100 TB the bucket column is a
+    * partition key and each probe is a pruned partition scan. */
+  val annHyperplaneTopk: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 5), 0L, (acc, p) -> acc +
+        |  CASE WHEN aggregate(zip_with(embedding,
+        |                               transform(sequence(0, 63), d -> sin(CAST(p * 64 + d AS DOUBLE))),
+        |                               (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      0D, (a, x) -> a + x) > 0D
+        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
+    val e = t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    val probes = spark_masks(s)
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .join(broadcast(probes), expr("bucket = (qb ^ mask)"), "left_semi")
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, qv)"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private def spark_masks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L).toDF("mask")
+  }
+
+  val annHyperplaneTopkSql: String =
+    """WITH planes AS (
+      |  SELECT p, d, sin(CAST(p * 64 + d AS DOUBLE)) AS w
+      |  FROM (SELECT unnest(range(0, 6)) AS p)
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d)),
+      |dots AS (
+      |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) AS dp
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id, pl.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+      |  FROM dots GROUP BY vec_id),
+      |qb AS (SELECT b FROM buckets WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT xor(qb.b, m.m) AS pb
+      |  FROM qb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+      |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS cos
+      |FROM embeddings e
+      |JOIN buckets bk ON e.vec_id = bk.vec_id
+      |CROSS JOIN q
+      |WHERE bk.b IN (SELECT pb FROM probes) AND e.vec_id <> 0
+      |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------ native expression
   /** cosine_topk through the custom codegen'd Catalyst expression
     * (graft.functions.CosineSimilarity) instead of the HOF pipeline —
@@ -171,6 +233,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "cosine_topk" -> cosineTopk,
     "cosine_topk_native" -> cosineTopkNative,
+    "ann_hyperplane_topk" -> annHyperplaneTopk,
     "embedding_near_dup" -> embeddingNearDup,
     "ivf_centroid_stats" -> ivfCentroidStats,
     "ivf_cosine_topk" -> ivfCosineTopk,
@@ -179,6 +242,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "cosine_topk" -> cosineTopkSql,
     "cosine_topk_native" -> cosineTopkSql,
+    "ann_hyperplane_topk" -> annHyperplaneTopkSql,
     "embedding_near_dup" -> embeddingNearDupSql,
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
     "ivf_cosine_topk" -> ivfCosineTopkSql,

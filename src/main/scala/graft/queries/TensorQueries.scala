@@ -109,6 +109,47 @@ object TensorQueries {
        |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
        |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
 
+  // ------------------------------------------------------ rank family
+  /** rank_filter(rank=2) over 3×3 — k-th order statistic; oracle indexes
+    * the sorted window list. */
+  val tensorRank3: Q = (s, dir) =>
+    pixelsOut(Filters.rankFilter(Images.eventsRaster(s, dir), 2, Seq(3, 3)))
+
+  private def windowListCte: String =
+    s"""offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b),
+       |win AS (
+       |  SELECT g.i, g.j, list(n.v ORDER BY n.v) AS w
+       |  FROM grid g CROSS JOIN offs o
+       |  JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |  GROUP BY g.i, g.j)""".stripMargin
+
+  val tensorRank3Sql: String =
+    s"""WITH $gridCte,
+       |$windowListCte
+       |SELECT i, j, round(w[3], 4) AS v FROM win ORDER BY i, j""".stripMargin
+
+  /** percentile_filter(30%) over 3×3 — rank = round(0.30·8) = 2 (0-based)
+    * → 3rd smallest. */
+  val tensorPercentile30: Q = (s, dir) =>
+    pixelsOut(Filters.percentileFilter(Images.eventsRaster(s, dir), 30.0, Seq(3, 3)))
+
+  val tensorPercentile30Sql: String =
+    s"""WITH $gridCte,
+       |$windowListCte
+       |SELECT i, j, round(w[3], 4) AS v FROM win ORDER BY i, j""".stripMargin
+
+  /** generic_filter with a user lambda (window range = max − min) — the
+    * arbitrary-Scala-function extension point, driver-gated. */
+  val tensorGenericRange: Q = (s, dir) =>
+    pixelsOut(Filters.genericFilter(Images.eventsRaster(s, dir),
+      w => w.max - w.min, Seq(3, 3)))
+
+  val tensorGenericRangeSql: String =
+    s"""WITH $gridCte,
+       |$windowListCte
+       |SELECT i, j, round(w[9] - w[1], 4) AS v FROM win ORDER BY i, j""".stripMargin
+
   // ------------------------------------------------------ laplace
   val tensorLaplace: Q = (s, dir) =>
     pixelsOut(Filters.laplace(Images.eventsRaster(s, dir)))
@@ -336,9 +377,15 @@ object TensorQueries {
     "tensor_fourier_shift" -> tensorFourierShift,
     "tensor_affine_shift" -> tensorAffineShift,
     "tensor_rotate90" -> tensorRotate90,
+    "tensor_rank3" -> tensorRank3,
+    "tensor_percentile30" -> tensorPercentile30,
+    "tensor_generic_range" -> tensorGenericRange,
   )
 
   val oracle: Map[String, String] = Map(
+    "tensor_rank3" -> tensorRank3Sql,
+    "tensor_percentile30" -> tensorPercentile30Sql,
+    "tensor_generic_range" -> tensorGenericRangeSql,
     "tensor_fourier_gaussian" -> tensorFourierGaussianSql,
     "tensor_fourier_shift" -> tensorFourierShiftSql,
     "tensor_affine_shift" -> tensorAffineShiftSql,

@@ -11,6 +11,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cs.forall(c => c >= -1.0 && c <= 1.0))
   }
 
+  test("hyperplane-LSH ANN: results are a subset-ranked approximation with real recall") {
+    val exact = Similarity.cosineTopk(spark, sf001).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annHyperplaneTopk(spark, sf001).collect()
+    assert(ann.length == 10)
+    val cs = ann.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val recall = ann.map(_.getLong(0)).count(exact.contains) / 10.0
+    // sign-LSH with 7 probes over ~1/9 of the corpus: recall must beat
+    // random candidate selection (expected ~0.11) by a wide margin
+    assert(recall >= 0.3, s"ANN recall $recall vs exact top-10")
+  }
+
   test("ivf_cosine_topk is the restriction of brute force to the query's cell") {
     // every ivf result must appear in the brute-force ranking over the same
     // cell — i.e. ivf == exact when the scan is label-restricted
