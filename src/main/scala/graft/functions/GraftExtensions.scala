@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
 }
 
@@ -36,5 +37,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     for ((id, info, builder) <- Seq(cosineSim, minhashSig))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ReplaceHofCosine
   }
 }

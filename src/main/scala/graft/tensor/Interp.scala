@@ -37,12 +37,17 @@ object Interp {
       outputShape: Option[Seq[Int]] = None,
       order: Int = 1,
       cval: Double = 0.0): Dataset[Block] = {
-    require(order == 0 || order == 1, "affine_transform: only spline orders 0/1 (prefilter-free)")
+    require(Set(0, 1, 3).contains(order),
+      "affine_transform: spline orders 0, 1 and 3 supported")
     val spark = ds.sparkSession
     import spark.implicits._
 
+    // order 3 samples B-spline COEFFICIENTS: prefilter first (scipy's
+    // prefilter=True), then blend with the cubic basis below
+    val src = if (order == 3) splineFilter(ds, ndim, 3) else ds
+
     // geometry comes from any input block (metadata-only single-row action)
-    val proto = ds.head()
+    val proto = src.head()
     val inShape = proto.arrayShape
     val chunk = proto.chunk
     val outShape = outputShape.getOrElse(inShape)
@@ -58,8 +63,9 @@ object Interp {
         (0 until ndim).map(r =>
           (0 until ndim).map(c => matrix(r)(c) * g(c)).sum + offset(r))
       }
-      val lo = (0 until ndim).map(k => math.floor(corners.map(_(k)).min).toInt - 1)
-      val hi = (0 until ndim).map(k => math.ceil(corners.map(_(k)).max).toInt + 1)
+      val margin = if (order == 3) 2 else 1
+      val lo = (0 until ndim).map(k => math.floor(corners.map(_(k)).min).toInt - margin)
+      val hi = (0 until ndim).map(k => math.ceil(corners.map(_(k)).max).toInt + margin)
       // input blocks overlapping [lo, hi], clipped to the input grid
       val bLo = lo.indices.map(k => math.max(0, lo(k) / chunk(k)))
       val bHi = hi.indices.map(k =>
@@ -78,7 +84,7 @@ object Interp {
     val bcM = spark.sparkContext.broadcast((matrix, offset))
     val imageId = proto.imageId
 
-    needsDs.joinWith(ds, needsDs("inIdx") === ds("idx"), "left_outer")
+    needsDs.joinWith(src, needsDs("inIdx") === src("idx"), "left_outer")
       .groupByKey(_._1.outIdx)
       .mapGroups { (oIdx: Seq[Int], it: Iterator[(Need, Block)]) =>
         val rows = it.toSeq
@@ -121,6 +127,32 @@ object Interp {
               // scipy order-0: nearest via floor(x + 0.5)
               val g = src.map(x => math.floor(x + 0.5).toInt)
               sample(g)
+            } else if (order == 3) {
+              // cubic B-spline blend over the 4^d neighborhood of the
+              // prefiltered coefficients
+              val base = src.map(x => math.floor(x).toInt)
+              val wAxis = Array.tabulate(ndim) { k =>
+                val t = src(k) - base(k)
+                val t2 = t * t; val t3 = t2 * t
+                Array(
+                  (1 - 3 * t + 3 * t2 - t3) / 6.0, // offset −1: (1−t)³/6
+                  (3 * t3 - 6 * t2 + 4) / 6.0, // offset 0
+                  (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0, // offset 1
+                  t3 / 6.0) // offset 2
+              }
+              var acc = 0.0
+              Grid.cartesian(Seq.fill(ndim)(4)).foreach { offs4 =>
+                var w = 1.0
+                val g = new Array[Int](ndim)
+                var k = 0
+                while (k < ndim) {
+                  w *= wAxis(k)(offs4(k))
+                  g(k) = base(k) + offs4(k) - 1
+                  k += 1
+                }
+                if (w != 0.0) acc += w * sample(g)
+              }
+              acc
             } else {
               // multilinear blend over the 2^d floor-corner cube
               val base = src.map(x => math.floor(x).toInt)

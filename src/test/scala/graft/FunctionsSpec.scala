@@ -31,6 +31,19 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("ARRAY<FLOAT>") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("ReplaceHofCosine rule rewrites the HOF pattern into the native expression") {
+    graft.functions.GraftExtensions.install(spark)
+    val hofCos = graft.queries.Similarity.cosineTopk(spark, sf001)
+    val optimized = hofCos.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_sim"),
+      s"HOF cosine not rewritten to native expression:\n$optimized")
+    // semantics preserved: rewritten HOF query == native query
+    val a = hofCos.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.queries.Similarity.cosineTopkNative(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("minhash_sig aggregate matches the HOF transform signatures") {
     graft.functions.GraftExtensions.install(spark)
     val s = spark

@@ -53,6 +53,19 @@ class InterpFourierSpec extends SparkSpec {
     }
   }
 
+  test("affine_transform order 3: identity reproduces the image away from edges") {
+    // big enough for the order-3 prefilter halo (depth 18)
+    val big = testImage(40, 44)
+    val ds = Grid.blockify(spark, "t", big, Seq(20, 22))
+    val got = Grid.unblockify(Interp.affineTransform(ds, 2,
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0), order = 3))
+    // interior only: edge coefficients see cval instead of mirror
+    var worst = 0.0
+    for (i <- 4 until 36; j <- 4 until 40)
+      worst = math.max(worst, math.abs(got.data(i * 44 + j) - big.data(i * 44 + j)))
+    assert(worst < 1e-7, s"order-3 identity interior error $worst")
+  }
+
   test("affine_transform: chunking does not change the result") {
     val m = Array(Array(0.7, 0.2), Array(-0.1, 1.1)); val off = Array(1.5, -0.5)
     val a = Grid.unblockify(Interp.affineTransform(
