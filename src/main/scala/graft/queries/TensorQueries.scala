@@ -363,8 +363,71 @@ object TensorQueries {
        |SELECT CAST(64 - 1 - g.j AS INT) AS i, CAST(g.i AS INT) AS j, round(g.v, 4) AS v
        |FROM grid g ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------ extended measurements
+  /** The remaining ndmeasure reductions, driver-gated in one result: per
+    * label min/max/median of the raster value, population variance (from
+    * exactly-rounded sums — cross-engine Welford vs naive is not
+    * hash-stable), argmin/argmax positions with the scipy first-encounter
+    * tiebreak, and a 4-bin histogram bincount. */
+  val tensorMeasureExtended: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    val px = Measure.labeledPixels(raster, labels, 2).filter(col("label") =!= 0)
+      .withColumn("ridx", col("c0") * 64 + col("c1"))
+    px.groupBy(col("label"))
+      .agg(
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        round(sum(col("value")), 2).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"),
+        count(lit(1)).as("n"),
+        min_by(col("ridx"), struct(col("value"), col("ridx"))).as("argmin"),
+        min_by(col("ridx"), struct(negate(col("value")), col("ridx"))).as("argmax"),
+        sum(when(col("value") < 175, 1L).otherwise(0L)).as("bin0"),
+        sum(when(col("value") >= 175 && col("value") < 350, 1L).otherwise(0L)).as("bin1"))
+      .select(col("label"), col("min_v"), col("max_v"), col("median_v"),
+        round(col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")), 4)
+          .as("var_v"),
+        col("argmin"), col("argmax"), col("bin0"), col("bin1"))
+      .orderBy(col("label"))
+  }
+
+  val tensorMeasureExtendedSql: String =
+    s"""WITH RECURSIVE $gridCte,
+       |bin AS (SELECT i, j FROM grid WHERE v > 150),
+       |reach(i, j, ri, rj) AS (
+       |  SELECT i, j, i, j FROM bin
+       |  UNION
+       |  SELECT r.i, r.j, n.i, n.j
+       |  FROM reach r JOIN bin n
+       |    ON abs(n.i - r.ri) + abs(n.j - r.rj) = 1),
+       |comp AS (
+       |  SELECT i, j, min(ri * 64 + rj) AS root FROM reach GROUP BY i, j),
+       |lab AS (
+       |  SELECT i, j, dense_rank() OVER (ORDER BY root) AS label FROM comp),
+       |lpx AS (
+       |  SELECT CAST(lab.label AS BIGINT) AS label, lab.i, lab.j, g.v,
+       |    lab.i * 64 + lab.j AS ridx
+       |  FROM lab JOIN grid g ON lab.i = g.i AND lab.j = g.j)
+       |SELECT label,
+       |  round(min(v), 4) AS min_v,
+       |  round(max(v), 4) AS max_v,
+       |  round(median(v), 4) AS median_v,
+       |  round(round(sum(v * v), 2) / count(*)
+       |        - (round(sum(v), 2) / count(*)) * (round(sum(v), 2) / count(*)), 4) AS var_v,
+       |  CAST(min(CASE WHEN v = (SELECT min(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)
+       |       THEN ridx END) AS BIGINT) AS argmin,
+       |  CAST(min(CASE WHEN v = (SELECT max(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)
+       |       THEN ridx END) AS BIGINT) AS argmax,
+       |  CAST(sum(CASE WHEN v < 175 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+       |  CAST(sum(CASE WHEN v >= 175 AND v < 350 THEN 1 ELSE 0 END) AS BIGINT) AS bin1
+       |FROM lpx GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_uniform3" -> tensorUniform3,
     "tensor_gaussian" -> tensorGaussian,
     "tensor_minmax3" -> tensorMinmax3,
@@ -383,6 +446,7 @@ object TensorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_rank3" -> tensorRank3Sql,
     "tensor_percentile30" -> tensorPercentile30Sql,
     "tensor_generic_range" -> tensorGenericRangeSql,
