@@ -328,15 +328,89 @@ object Filters {
     copy(k)
   }
 
-  /** minimum_filter (ndfilters/_order.py::minimum_filter). */
+  /** O(n) sliding-window extremum along one axis (monotonic-deque van
+    * Herk variant): output shrinks by 2r on `axis`; window-size
+    * independent — the kernel that keeps large-window morphology viable
+    * at 100 TB (the naive window gather is O(n·k)). */
+  private[tensor] def pass1dExtremum(in: Nd, axis: Int, k: Int, isMin: Boolean): Nd = {
+    val r = k / 2
+    val outShape = in.shape.clone()
+    outShape(axis) -= 2 * r
+    require(outShape(axis) > 0, s"extremum pass under-padded on axis $axis")
+    val out = Nd.zeros(outShape)
+    val stride = in.strides(axis)
+    val lineLen = in.shape(axis)
+    val others = (0 until in.ndim).filter(_ != axis)
+    val otherShape = others.map(in.shape(_)).toArray
+    val iter = Nd.zeros(if (otherShape.isEmpty) Array(1) else otherShape)
+    val deque = new Array[Int](lineLen) // indices, monotone values
+    iter.foreachCoord { oc =>
+      var base = 0
+      others.zipWithIndex.foreach { case (ax, i) => base += oc(i) * in.strides(ax) }
+      var head = 0; var tail = 0 // [head, tail)
+      var i = 0
+      while (i < lineLen) {
+        val v = in.data(base + i * stride)
+        // drop dominated entries from the back
+        while (tail > head && {
+          val bv = in.data(base + deque(tail - 1) * stride)
+          if (isMin) bv >= v else bv <= v
+        }) tail -= 1
+        deque(tail) = i; tail += 1
+        // drop entries that left the window [i-k+1, i]
+        while (deque(head) <= i - k) head += 1
+        if (i >= k - 1) {
+          // window ending at i → output index i-k+1 (valid region shift r)
+          val oIdx = i - k + 1
+          var off = 0
+          var kk = 0; var oi = 0
+          while (kk < in.ndim) {
+            val coord = if (kk == axis) oIdx else { val c = oc(oi); c }
+            if (kk != axis) oi += 1
+            off += coord * out.strides(kk)
+            kk += 1
+          }
+          out.data(off) = in.data(base + deque(head) * stride)
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Separable extremum over a box: sequential per-axis O(n) passes. */
+  private def boxExtremum(ds: Dataset[Block], size: Seq[Int], mode: String,
+      cval: Double, isMin: Boolean): Dataset[Block] = {
+    val radii = size.map(_ / 2)
+    Halo.mapOverlap(ds, radii, Boundary.of(mode, cval)) { p =>
+      var cur = p.nd
+      var k = 0
+      while (k < size.length) {
+        cur = pass1dExtremum(cur, k, size(k), isMin)
+        k += 1
+      }
+      require(cur.shape.toSeq == p.block.shape)
+      cur.data
+    }
+  }
+
+  /** minimum_filter (ndfilters/_order.py::minimum_filter). Box windows
+    * take the separable O(n) running-min path; explicit footprints fall
+    * back to the window gather. */
   def minimumFilter(ds: Dataset[Block], size: Seq[Int], footprint: Option[Nd] = None,
       mode: String = "reflect", cval: Double = 0.0): Dataset[Block] =
-    orderFilter(ds, size, footprint, mode, cval)(_.min)
+    footprint match {
+      case None if size.forall(_ % 2 == 1) => boxExtremum(ds, size, mode, cval, isMin = true)
+      case fp => orderFilter(ds, size, fp, mode, cval)(_.min)
+    }
 
   /** maximum_filter. */
   def maximumFilter(ds: Dataset[Block], size: Seq[Int], footprint: Option[Nd] = None,
       mode: String = "reflect", cval: Double = 0.0): Dataset[Block] =
-    orderFilter(ds, size, footprint, mode, cval)(_.max)
+    footprint match {
+      case None if size.forall(_ % 2 == 1) => boxExtremum(ds, size, mode, cval, isMin = false)
+      case fp => orderFilter(ds, size, fp, mode, cval)(_.max)
+    }
 
   /** median_filter — rank n/2 (scipy uses the lower median for even n). */
   def medianFilter(ds: Dataset[Block], size: Seq[Int], footprint: Option[Nd] = None,

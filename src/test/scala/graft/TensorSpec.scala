@@ -73,6 +73,19 @@ class TensorSpec extends SparkSpec {
   test("min/max/median/rank/percentile filters: chunk-invariant + naive match") {
     chunkInvariant(img)(ds => Filters.minimumFilter(ds, Seq(3, 3)))
     chunkInvariant(img)(ds => Filters.maximumFilter(ds, Seq(3, 3)))
+    // separable O(n) running-extremum path == gather path for a 5x5 box
+    val fastMin = Grid.unblockify(Filters.minimumFilter(
+      Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(5, 5)))
+    val slowMin = Grid.unblockify(Filters.minimumFilter(
+      Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(5, 5),
+      footprint = Some({ val b = Nd.zeros(Array(5, 5)); java.util.Arrays.fill(b.data, 1.0); b })))
+    assert(fastMin.data.sameElements(slowMin.data), "van Herk path diverges from gather path")
+    val fastMax = Grid.unblockify(Filters.maximumFilter(
+      Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(5, 5)))
+    val slowMax = Grid.unblockify(Filters.maximumFilter(
+      Grid.blockify(spark, "t", img, Seq(7, 9)), Seq(5, 5),
+      footprint = Some({ val b = Nd.zeros(Array(5, 5)); java.util.Arrays.fill(b.data, 1.0); b })))
+    assert(fastMax.data.sameElements(slowMax.data))
     chunkInvariant(img)(ds => Filters.medianFilter(ds, Seq(3, 3)))
     chunkInvariant(img)(ds => Filters.rankFilter(ds, 2, Seq(3, 3)))
     chunkInvariant(img)(ds => Filters.percentileFilter(ds, 30, Seq(3, 3)))
