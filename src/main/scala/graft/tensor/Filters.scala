@@ -269,15 +269,62 @@ object Filters {
       cval: Double = 0.0): Dataset[Block] =
     edgeFilter(ds, axis, Array(-1.0, 0.0, 1.0), Array(1.0, 1.0, 1.0), mode, cval)
 
-  /** uniform_filter(image, size) — separable box mean. */
+  /** O(n) sliding box mean along one axis (running sum; window-size
+    * independent, like pass1dExtremum). */
+  private[tensor] def pass1dBoxMean(in: Nd, axis: Int, k: Int): Nd = {
+    val r = k / 2
+    val outShape = in.shape.clone()
+    outShape(axis) -= 2 * r
+    require(outShape(axis) > 0, s"box-mean pass under-padded on axis $axis")
+    val out = Nd.zeros(outShape)
+    val stride = in.strides(axis)
+    val lineLen = in.shape(axis)
+    val inv = 1.0 / k
+    val others = (0 until in.ndim).filter(_ != axis)
+    val otherShape = others.map(in.shape(_)).toArray
+    val iter = Nd.zeros(if (otherShape.isEmpty) Array(1) else otherShape)
+    iter.foreachCoord { oc =>
+      var base = 0
+      others.zipWithIndex.foreach { case (ax, i) => base += oc(i) * in.strides(ax) }
+      var winSum = 0.0
+      var i = 0
+      while (i < lineLen) {
+        winSum += in.data(base + i * stride)
+        if (i >= k) winSum -= in.data(base + (i - k) * stride)
+        if (i >= k - 1) {
+          val oIdx = i - k + 1
+          var off = 0
+          var kk = 0; var oi = 0
+          while (kk < in.ndim) {
+            val coord = if (kk == axis) oIdx else { val c = oc(oi); oi += 1; c }
+            off += coord * out.strides(kk)
+            kk += 1
+          }
+          out.data(off) = winSum * inv
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** uniform_filter(image, size) — separable O(n) running-sum box mean. */
   def uniformFilter(ds: Dataset[Block], size: Seq[Int], mode: String = "reflect",
       cval: Double = 0.0): Dataset[Block] = {
     // scipy centers even boxes at size/2 via origin handling; odd sizes
     // (the common case) center exactly
     val radii = size.map(_ / 2)
-    val ws = size.map(s => Array.fill(s)(1.0 / s))
     require(size.forall(_ % 2 == 1), "uniform_filter: even sizes not supported (use odd)")
-    Halo.mapOverlap(ds, radii, Boundary.of(mode, cval))(p => separable(p, ws))
+    Halo.mapOverlap(ds, radii, Boundary.of(mode, cval)) { p =>
+      var cur = p.nd
+      var k = 0
+      while (k < size.length) {
+        cur = pass1dBoxMean(cur, k, size(k))
+        k += 1
+      }
+      require(cur.shape.toSeq == p.block.shape)
+      cur.data
+    }
   }
 
   // ------------------------------------------------------------ order stats
