@@ -383,6 +383,26 @@ object TextOps {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  // ------------------------------------------------------ regex tokens
+  /** Regex (BPE-ish) tokenizer stats: alpha runs only, per source — the
+    * non-whitespace tokenization path (`split` with a regex class). */
+  val regexTokenStats: Q = (s, dir) => {
+    val toksRe = expr("filter(split(text, '[^a-z]+'), t -> t != '')")
+    t(s, dir, "documents")
+      .select(col("source"), toksRe.as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk"))).cast("long").as("n_tokens"),
+        sum(size(array_distinct(col("tk")))).cast("long").as("n_distinct_sum"))
+      .orderBy(col("source"))
+  }
+
+  val regexTokenStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split_regex(text, '[^a-z]+'), t -> t != ''))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(len(list_distinct(list_filter(string_split_regex(text, '[^a-z]+'), t -> t != '')))) AS BIGINT) AS n_distinct_sum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------ native aggregate
   /** Per-document MinHash signatures via the custom
     * TypedImperativeAggregate (graft.functions.MinHashSig): one narrow
@@ -407,6 +427,7 @@ object TextOps {
 
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "regex_token_stats" -> regexTokenStats,
     "minhash_signatures" -> minhashSignatures,
     "exact_dedup_docs" -> exactDedupDocs,
     "dedup_keep_first" -> dedupKeepFirst,
@@ -422,6 +443,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "regex_token_stats" -> regexTokenStatsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "exact_dedup_docs" -> exactDedupDocsSql,
     "dedup_keep_first" -> dedupKeepFirstSql,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+class LakeSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle") {
+    val orders = Tables.t(spark, sf001, "orders")
+    val lineitem = Tables.t(spark, sf001, "lineitem")
+    Lake.bucketize(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    Lake.bucketize(lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-aligned SortMergeJoin: no Exchange below the join
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+      // and the result matches the unbucketed join
+      val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+      val bucketed = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey")).count()
+      assert(plain == bucketed)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals the plain equi-join on a skewed key") {
+    val s = spark
+    import s.implicits._
+    // 90% of left rows hit one hot key
+    val left = s.range(10000)
+      .select((when(col("id") % 10 =!= 0, 7L).otherwise(col("id") % 100)).as("k"),
+        col("id").as("payload"))
+    val right = s.range(100).select(col("id").as("rk"), (col("id") * 2).as("rv"))
+    val plain = left.join(right, col("k") === col("rk"))
+      .agg(count(lit(1)), sum("rv"), sum("payload")).collect().head
+    val salted = Lake.saltedJoin(left, right, "k", "rk", salt = 8)
+      .agg(count(lit(1)), sum("rv"), sum("payload")).collect().head
+    assert(plain == salted, s"salted join diverges: $plain vs $salted")
+  }
+}
