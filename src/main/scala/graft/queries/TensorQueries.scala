@@ -16,8 +16,6 @@ object TensorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val H = 48; private val W = 64
-
   /** Shared oracle prelude: the dense raster grid. */
   private val gridCte: String =
     """px AS (
@@ -363,6 +361,80 @@ object TensorQueries {
        |SELECT CAST(64 - 1 - g.j AS INT) AS i, CAST(g.i AS INT) AS j, round(g.v, 4) AS v
        |FROM grid g ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------------ 3-d pipeline
+  /** 3-d gate: events rasterized onto (user%12, hour%16, weekday-ish%4)
+    * and smoothed with a 3×3×3 box — proves the halo exchange + kernels
+    * are rank-generic under the driver gate, not just in specs. */
+  val tensor3dUniform: Q = (s, dir) => {
+    val px = graft.Tables.t(s, dir, "events")
+      .select((col("user_id") % 12).cast("int").as("i"),
+        (expr("ts_ns div 3600000000000") % 16).cast("int").as("j"),
+        (expr("ts_ns div 86400000000000") % 4).cast("int").as("k"),
+        col("value"))
+      .groupBy("i", "j", "k").agg(sum("value").as("v"))
+    val spark = s
+    import spark.implicits._
+    // assemble 12×16×4 grid as 6×8×2 chunks (8 blocks)
+    val keyed = px.select(
+      (col("i") / 6).cast("int").as("bi"), (col("j") / 8).cast("int").as("bj"),
+      (col("k") / 2).cast("int").as("bk"),
+      col("i").cast("int"), col("j").cast("int"), col("k").cast("int"),
+      col("v").cast("double"))
+      .as[(Int, Int, Int, Int, Int, Int, Double)]
+    val blocks = keyed.groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Int, Int, Int, Double)]) =>
+        val (bi, bj, bk) = key
+        val data = new Array[Double](6 * 8 * 2)
+        for ((_, _, _, i, j, k, v) <- it)
+          data((i - bi * 6) * 16 + (j - bj * 8) * 2 + (k - bk * 2)) = v
+        Block("e3", Seq(bi, bj, bk), Seq(bi * 6, bj * 8, bk * 2),
+          Seq(6, 8, 2), Seq(6, 8, 2), Seq(12, 16, 4), data)
+      }
+    // missing blocks (all grid cells empty) still required for density
+    val all = spark.createDataset(for (bi <- 0 until 2; bj <- 0 until 2; bk <- 0 until 2)
+      yield (bi, bj, bk))
+    val missing = all.except(blocks.map(b => (b.idx(0), b.idx(1), b.idx(2))))
+      .map { case (bi, bj, bk) =>
+        Block("e3", Seq(bi, bj, bk), Seq(bi * 6, bj * 8, bk * 2),
+          Seq(6, 8, 2), Seq(6, 8, 2), Seq(12, 16, 4), new Array[Double](96))
+      }
+    val sm = Filters.uniformFilter(blocks.union(missing), Seq(3, 3, 3))
+    sm.flatMap { b =>
+      val nd = Nd.of(b.shape.toArray, b.data)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+      nd.foreachCoord(c => buf += ((b.origin(0) + c(0), b.origin(1) + c(1),
+        b.origin(2) + c(2), nd(c))))
+      buf
+    }.toDF("i", "j", "k", "v")
+      .select(col("i"), col("j"), col("k"), (round(col("v"), 4) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"), col("k"))
+  }
+
+  val tensor3dUniformSql: String =
+    s"""WITH px3 AS (
+       |  SELECT CAST(user_id % 12 AS INT) AS i,
+       |         CAST((epoch_ns(ts) // 3600000000000) % 16 AS INT) AS j,
+       |         CAST((epoch_ns(ts) // 86400000000000) % 4 AS INT) AS k,
+       |         sum(value) AS v
+       |  FROM events GROUP BY 1, 2, 3),
+       |grid3 AS (
+       |  SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j, CAST(gk.k AS INT) AS k,
+       |         coalesce(px3.v, 0) AS v
+       |  FROM (SELECT unnest(range(0, 12)) AS i) gi
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gj
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) gk
+       |  LEFT JOIN px3 ON gi.i = px3.i AND gj.j = px3.j AND gk.k = px3.k),
+       |offs AS (SELECT a.di, b.dj, c.dk
+       |  FROM (SELECT unnest([-1,0,1]) AS di) a
+       |  CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b
+       |  CROSS JOIN (SELECT unnest([-1,0,1]) AS dk) c)
+       |SELECT g.i, g.j, g.k, round(sum(n.v) / 27, 4) + 0 AS v
+       |FROM grid3 g CROSS JOIN offs o
+       |JOIN grid3 n ON n.i = ${refl("g.i + o.di", 12)}
+       |  AND n.j = ${refl("g.j + o.dj", 16)}
+       |  AND n.k = ${refl("g.k + o.dk", 4)}
+       |GROUP BY g.i, g.j, g.k ORDER BY g.i, g.j, g.k""".stripMargin
+
   // ------------------------------------------------ extended measurements
   /** The remaining ndmeasure reductions, driver-gated in one result: per
     * label min/max/median of the raster value, population variance (from
@@ -427,6 +499,7 @@ object TensorQueries {
 
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_uniform3" -> tensorUniform3,
     "tensor_gaussian" -> tensorGaussian,
@@ -446,6 +519,7 @@ object TensorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_rank3" -> tensorRank3Sql,
     "tensor_percentile30" -> tensorPercentile30Sql,

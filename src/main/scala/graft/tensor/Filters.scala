@@ -65,13 +65,14 @@ object Filters {
     val out = Nd.zeros(outShape)
     val stride = in.strides(axis)
     out.foreachCoord { oc =>
+      // output coord oc maps to input window starting at the same coord
+      // (the padded margin supplies the r left taps)
       var base = 0
       var k = 0
       while (k < out.ndim) {
-        base += (if (k == axis) (oc(k)) else oc(k)) * in.strides(k)
+        base += oc(k) * in.strides(k)
         k += 1
       }
-      // input index along axis starts at oc(axis) and spans 2r+1 taps
       var acc = 0.0
       var j = 0
       while (j < w.length) {
