@@ -383,6 +383,49 @@ object TextOps {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  // ------------------------------------------------------ full pipeline
+  /** End-to-end training-data pipeline in ONE dataflow: exact dedup
+    * (keep-first) → quality gate (vocabulary uniqueness + min length) →
+    * per-language corpus accounting. The shape a real 100 TB curation job
+    * takes: each stage is a narrow transform or one shuffle, and the
+    * whole chain is a single Catalyst plan (no intermediate
+    * materialization). */
+  val pipelineTrainingData: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val kept = docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === 1)
+    val scored = kept
+      .withColumn("tk", toks)
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("uniq_ratio", size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
+      .filter(col("n_tok") >= 20 && col("uniq_ratio") >= 0.25)
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("token_budget"),
+        round(avg(col("uniq_ratio")), 4).as("avg_uniq"))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineTrainingDataSql: String =
+    """WITH kept AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents QUALIFY rn = 1),
+      |scored AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0
+      |      / len(string_split(text, ' ')) AS uniq_ratio
+      |  FROM kept)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS token_budget,
+      |  round(avg(uniq_ratio), 4) AS avg_uniq
+      |FROM scored
+      |WHERE n_tok >= 20 AND uniq_ratio >= 0.25
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ regex tokens
   /** Regex (BPE-ish) tokenizer stats: alpha runs only, per source — the
     * non-whitespace tokenization path (`split` with a regex class). */
@@ -427,6 +470,7 @@ object TextOps {
 
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "pipeline_training_data" -> pipelineTrainingData,
     "regex_token_stats" -> regexTokenStats,
     "minhash_signatures" -> minhashSignatures,
     "exact_dedup_docs" -> exactDedupDocs,
@@ -443,6 +487,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_training_data" -> pipelineTrainingDataSql,
     "regex_token_stats" -> regexTokenStatsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "exact_dedup_docs" -> exactDedupDocsSql,

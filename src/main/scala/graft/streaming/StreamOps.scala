@@ -93,6 +93,26 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming → tensor ingestion: the events raster's pixel aggregation
+    * as a streaming query (update-on-arrival sensor accumulation); shares
+    * the batch rasterization oracle. */
+  val streamRasterPixels: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .select((col("user_id") % 48).cast("int").as("i"),
+        (expr("ts_ns div 3600000000000") % 64).cast("int").as("j"),
+        col("value"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    drain(agg, OutputMode.Complete())
+      .orderBy(col("i"), col("j"))
+  }
+
+  val streamRasterPixelsSql: String =
+    """SELECT CAST(user_id % 48 AS INT) AS i,
+      |  CAST((epoch_ns(ts) // 3600000000000) % 64 AS INT) AS j,
+      |  count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------ custom state
 
   /** flatMapGroupsWithState custom sessionizer (the reference-free
@@ -133,10 +153,12 @@ object StreamOps {
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_state_sessions" -> streamStateSessions,
+    "stream_raster_pixels" -> streamRasterPixels,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "stream_raster_pixels" -> streamRasterPixelsSql,
     "stream_tumbling" -> graft.queries.Relational.tumblingWindowSql,
     "stream_sliding" -> graft.queries.Relational.slidingWindowSql,
     "stream_session" -> graft.queries.Relational.sessionGapSql,
