@@ -451,17 +451,22 @@ object TensorQueries {
       .agg(
         round(min(col("value")), 4).as("min_v"),
         round(max(col("value")), 4).as("max_v"),
-        round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        // +0.0 kills IEEE −0.0; an even-count median of 2-decimal values is
+        // an exact 3-decimal value, so round-4 never sits on a boundary
+        (round(expr("percentile(value, 0.5)"), 4) + lit(0.0)).as("median_v"),
         round(sum(col("value")), 2).as("sv"),
-        round(sum(col("value") * col("value")), 2).as("svv"),
+        // v has 2 decimals ⇒ v² has exactly 4: round at 4 (round-2 lands on
+        // true .xx5 boundaries ~1% of the time and the engines' summation
+        // order decides the flip — the round-1 hash failure)
+        round(sum(col("value") * col("value")), 4).as("svv"),
         count(lit(1)).as("n"),
         min_by(col("ridx"), struct(col("value"), col("ridx"))).as("argmin"),
         min_by(col("ridx"), struct(negate(col("value")), col("ridx"))).as("argmax"),
         sum(when(col("value") < 175, 1L).otherwise(0L)).as("bin0"),
         sum(when(col("value") >= 175 && col("value") < 350, 1L).otherwise(0L)).as("bin1"))
       .select(col("label"), col("min_v"), col("max_v"), col("median_v"),
-        round(col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")), 4)
-          .as("var_v"),
+        (round(col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")), 4)
+          + lit(0.0)).as("var_v"),
         col("argmin"), col("argmax"), col("bin0"), col("bin1"))
       .orderBy(col("label"))
   }
@@ -486,9 +491,9 @@ object TensorQueries {
        |SELECT label,
        |  round(min(v), 4) AS min_v,
        |  round(max(v), 4) AS max_v,
-       |  round(median(v), 4) AS median_v,
-       |  round(round(sum(v * v), 2) / count(*)
-       |        - (round(sum(v), 2) / count(*)) * (round(sum(v), 2) / count(*)), 4) AS var_v,
+       |  round(median(v), 4) + 0 AS median_v,
+       |  round(round(sum(v * v), 4) / count(*)
+       |        - (round(sum(v), 2) / count(*)) * (round(sum(v), 2) / count(*)), 4) + 0 AS var_v,
        |  CAST(min(CASE WHEN v = (SELECT min(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)
        |       THEN ridx END) AS BIGINT) AS argmin,
        |  CAST(min(CASE WHEN v = (SELECT max(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)

@@ -15,6 +15,11 @@ import duckdb
 def norm(rows):
     return [tuple(r) for r in rows]
 
+# The driver's gate HASHES cell values — exact match, no tolerance. Default
+# to the same strictness so a .5-rounding-boundary flip fails locally too;
+# GRAFT_ORACLE_TOL=1 restores the loose 1e-9 mode for triage.
+STRICT = os.environ.get("GRAFT_ORACLE_TOL", "") != "1"
+
 def cells_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -25,6 +30,8 @@ def cells_equal(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if STRICT:
+            return repr(fa) == repr(fb)
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
