@@ -27,12 +27,20 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Bench-only: the testdata files are single-row-group parquet, so every
+    * scan is ONE task regardless of maxPartitionBytes. When >0, tables are
+    * repartitioned at load so the (persisted) in-memory relations scan in
+    * parallel. 0 (the default everywhere but Bench) keeps the raw scan —
+    * on a real lake, row groups already give scan parallelism. */
+  @volatile var benchParts: Int = 0
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumnRenamed("ts", "ts_ns")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val df = if (name == "events")
+        raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
-      else df
+      else raw
+      if (benchParts > 0) df.repartition(benchParts) else df
     })
 }

@@ -230,9 +230,11 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- maps
+  // "cosine_topk" (the benched headline key) runs the codegen'd native
+  // expression; the HOF composition stays oracle-gated under its own key.
   val queries: Map[String, Q] = Map(
-    "cosine_topk" -> cosineTopk,
-    "cosine_topk_native" -> cosineTopkNative,
+    "cosine_topk" -> cosineTopkNative,
+    "cosine_topk_hof" -> cosineTopk,
     "ann_hyperplane_topk" -> annHyperplaneTopk,
     "embedding_near_dup" -> embeddingNearDup,
     "ivf_centroid_stats" -> ivfCentroidStats,
@@ -241,7 +243,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "cosine_topk" -> cosineTopkSql,
-    "cosine_topk_native" -> cosineTopkSql,
+    "cosine_topk_hof" -> cosineTopkSql,
     "ann_hyperplane_topk" -> annHyperplaneTopkSql,
     "embedding_near_dup" -> embeddingNearDupSql,
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
