@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.TensorQueries.queries ++
+      graft.queries.ImreadQueries.queries ++
       graft.queries.Multimodal.queries ++
       graft.streaming.StreamOps.queries
 
@@ -30,6 +31,7 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.TensorQueries.oracle ++
+      graft.queries.ImreadQueries.oracle ++
       graft.queries.Multimodal.oracle ++
       graft.streaming.StreamOps.oracle
 }

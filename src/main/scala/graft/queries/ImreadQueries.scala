@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.ImageSource
+import graft.tensor.{Block, Images}
+
+/** Driver-gated imread queries (dask_image/imread — SURVEY.md §2A.1).
+  *
+  * The gate round-trips real files: a 3-frame fixture is derived
+  * deterministically from the events raster (pixel = round(100·v) mod 256,
+  * shifted per frame), encoded to PGM/PNG on local disk, then read back
+  * through the DISTRIBUTED imread path (binaryFile scan → per-file decode
+  * → frame-indexed Blocks). The oracle recomputes the expected bytes from
+  * the events table — any decode, frame-order, or indexing defect breaks
+  * the hash. All values are integers, so the compare is exact.
+  */
+object ImreadQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = 48
+  private val W = 64
+  private val FRAMES = 3
+
+  /** Write the fixture files (tiny: 3 × 48×64) and return the glob. */
+  private def writeFixture(s: SparkSession, dir: String, codec: String,
+      frameStep: Int): String = {
+    val px = Images.toPixels(Images.eventsRaster(s, dir))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val base = new Array[Double](H * W)
+    for ((i, j, v) <- px)
+      base(i * W + j) = (((math.round(v * 100) % 256) + 256) % 256).toDouble
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_imread_${codec}_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(out)
+    for (f <- 0 until FRAMES) {
+      val frame = base.map(p => (p + frameStep * f) % 256)
+      val bytes = codec match {
+        case "pgm" => ImageSource.encodePgm(H, W, frame)
+        case "png" => ImageSource.encodePng(H, W, frame)
+      }
+      java.nio.file.Files.write(out.resolve(f"frame_$f%03d.$codec"), bytes)
+    }
+    s"$out/*.$codec"
+  }
+
+  /** (frame, i, j, pixel) rows from the stacked frame Blocks. */
+  private def framesToDf(ds: Dataset[Block]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { b =>
+      val h = b.shape(1); val w = b.shape(2)
+      val f = b.origin.head
+      for (i <- 0 until h; j <- 0 until w)
+        yield (f, i, j, b.data(i * w + j).toLong)
+    }.toDF("f", "i", "j", "p")
+  }
+
+  val imreadPgm: Q = (s, dir) => {
+    val glob = writeFixture(s, dir, "pgm", frameStep = 7)
+    framesToDf(ImageSource.readPgm(s, glob)).orderBy("f", "i", "j")
+  }
+
+  val imreadPng: Q = (s, dir) => {
+    val glob = writeFixture(s, dir, "png", frameStep = 13)
+    framesToDf(ImageSource.readPng(s, glob)).orderBy("f", "i", "j")
+  }
+
+  private def roundtripSql(frameStep: Int): String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |        + $frameStep * f.f) % 256 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "imread_pgm" -> imreadPgm,
+    "imread_png" -> imreadPng,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "imread_pgm" -> roundtripSql(7),
+    "imread_png" -> roundtripSql(13),
+  )
+}

@@ -17,7 +17,7 @@ object TensorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Shared oracle prelude: the dense raster grid. */
-  private val gridCte: String =
+  private[queries] val gridCte: String =
     """px AS (
       |  SELECT CAST(user_id % 48 AS INT) AS i,
       |         CAST((epoch_ns(ts) // 3600000000000) % 64 AS INT) AS j,
@@ -148,6 +148,42 @@ object TensorQueries {
        |$windowListCte
        |SELECT i, j, round(w[9] - w[1], 4) AS v FROM win ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------- convolve / correlate
+  /** convolve + correlate with one ASYMMETRIC 3×3 kernel in one frame —
+    * the flip between the two is exactly what the oracle's two weight
+    * lists encode, so kernel orientation is hash-gated. Integer weights
+    * on 2-decimal data keep every output an exact 2-decimal value. */
+  private val ccKernel: Array[Double] =
+    Array(1.0, 2.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 3.0)
+
+  val tensorConvCorr: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val w = Nd.of(Array(3, 3), ccKernel)
+    val co = Images.toPixels(Filters.correlate(raster, w))
+      .select(col("i"), col("j"), (round(col("v"), 2) + lit(0.0)).as("vcorr"))
+    val cv = Images.toPixels(Filters.convolve(raster, w))
+      .select(col("i").as("i2"), col("j").as("j2"),
+        (round(col("v"), 2) + lit(0.0)).as("vconv"))
+    co.join(cv, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("vcorr"), col("vconv"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** correlate: tap (di,dj) weights w[di+1][dj+1]; convolve: the flipped
+    * kernel, w[1−di][1−dj]. */
+  val tensorConvCorrSql: String =
+    s"""WITH $gridCte,
+       |offs AS (SELECT unnest([-1,-1,-1, 0,0,0, 1,1,1]) AS di,
+       |                unnest([-1,0,1, -1,0,1, -1,0,1]) AS dj,
+       |                unnest([1.0,2.0,0.0, 0.0,1.0,0.0, 0.0,0.0,3.0]) AS wc,
+       |                unnest([3.0,0.0,0.0, 0.0,1.0,0.0, 0.0,2.0,1.0]) AS wv)
+       |SELECT g.i, g.j,
+       |  round(sum(n.v * o.wc), 2) + 0 AS vcorr,
+       |  round(sum(n.v * o.wv), 2) + 0 AS vconv
+       |FROM grid g CROSS JOIN offs o
+       |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
   // ------------------------------------------------------ laplace
   val tensorLaplace: Q = (s, dir) =>
     pixelsOut(Filters.laplace(Images.eventsRaster(s, dir)))
@@ -183,6 +219,97 @@ object TensorQueries {
        |JOIN p1 n ON n.i = g.i AND n.j = ${refl("g.j + dj.d", 64)}
        |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
 
+  // ------------------------------------------------------ prewitt
+  val tensorPrewitt: Q = (s, dir) =>
+    pixelsOut(Filters.prewitt(Images.eventsRaster(s, dir), axis = 0))
+
+  /** prewitt axis 0: derivative [−1,0,1] on i, smoothing [1,1,1] on j. */
+  val tensorPrewittSql: String =
+    s"""WITH $gridCte,
+       |di AS (SELECT unnest([-1, 0, 1]) AS d, unnest([-1.0, 0.0, 1.0]) AS w),
+       |dj AS (SELECT unnest([-1, 0, 1]) AS d, unnest([1.0, 1.0, 1.0]) AS w),
+       |p1 AS (
+       |  SELECT g.i, g.j, sum(n.v * di.w) AS v
+       |  FROM grid g CROSS JOIN di
+       |  JOIN grid n ON n.i = ${refl("g.i + di.d", 48)} AND n.j = g.j
+       |  GROUP BY g.i, g.j)
+       |SELECT g.i, g.j, round(sum(n.v * dj.w), 4) + 0 AS v
+       |FROM p1 g CROSS JOIN dj
+       |JOIN p1 n ON n.i = g.i AND n.j = ${refl("g.j + dj.d", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
+  // ------------------------------------------- gaussian derivative ops
+  /** gaussian_gradient_magnitude + gaussian_laplace (σ=1.5) in one frame.
+    * Oracle kernels: w0 = φ/Σφ (the passing tensor_gaussian kernel),
+    * w1(d) = (d/σ²)·w0(d), w2(d) = (d²/σ⁴ − 1/σ²)·w0(d) — scipy's
+    * polynomial-derivative construction with the correlate tap order. */
+  val tensorGaussianDerivs: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val g = Images.toPixels(Filters.gaussianGradientMagnitude(raster, Seq(1.5, 1.5)))
+      .select(col("i"), col("j"), round(col("v"), 4).as("ggm"))
+    val l = Images.toPixels(Filters.gaussianLaplace(raster, Seq(1.5, 1.5)))
+      .select(col("i").as("i2"), col("j").as("j2"),
+        (round(col("v"), 4) + lit(0.0)).as("glap"))
+    g.join(l, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("ggm"), col("glap"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorGaussianDerivsSql: String =
+    s"""WITH $gridCte,
+       |wr AS (SELECT d, exp(-0.5 * d * d / 2.25) AS w0
+       |       FROM (SELECT unnest(range(-6, 7)) AS d)),
+       |wn AS (SELECT d, w0 / (SELECT sum(w0) FROM wr) AS w FROM wr),
+       |w1 AS (SELECT d, (d / 2.25) * w AS w FROM wn),
+       |w2 AS (SELECT d, (d * d / 5.0625 - 1 / 2.25) * w AS w FROM wn),
+       |a1 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM grid g CROSS JOIN w1 k
+       |  JOIN grid n ON n.i = ${refl("g.i + k.d", 48)} AND n.j = g.j GROUP BY g.i, g.j),
+       |a2 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM a1 g CROSS JOIN wn k
+       |  JOIN a1 n ON n.i = g.i AND n.j = ${refl("g.j + k.d", 64)} GROUP BY g.i, g.j),
+       |b1 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM grid g CROSS JOIN wn k
+       |  JOIN grid n ON n.i = ${refl("g.i + k.d", 48)} AND n.j = g.j GROUP BY g.i, g.j),
+       |b2 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM b1 g CROSS JOIN w1 k
+       |  JOIN b1 n ON n.i = g.i AND n.j = ${refl("g.j + k.d", 64)} GROUP BY g.i, g.j),
+       |c1 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM grid g CROSS JOIN w2 k
+       |  JOIN grid n ON n.i = ${refl("g.i + k.d", 48)} AND n.j = g.j GROUP BY g.i, g.j),
+       |c2 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM c1 g CROSS JOIN wn k
+       |  JOIN c1 n ON n.i = g.i AND n.j = ${refl("g.j + k.d", 64)} GROUP BY g.i, g.j),
+       |d2 AS (SELECT g.i, g.j, sum(n.v * k.w) AS v FROM b1 g CROSS JOIN w2 k
+       |  JOIN b1 n ON n.i = g.i AND n.j = ${refl("g.j + k.d", 64)} GROUP BY g.i, g.j)
+       |SELECT a2.i, a2.j,
+       |  round(sqrt(a2.v * a2.v + b2.v * b2.v), 4) AS ggm,
+       |  round(c2.v + d2.v, 4) + 0 AS glap
+       |FROM a2 JOIN b2 ON a2.i = b2.i AND a2.j = b2.j
+       |        JOIN c2 ON a2.i = c2.i AND a2.j = c2.j
+       |        JOIN d2 ON a2.i = d2.i AND a2.j = d2.j
+       |ORDER BY a2.i, a2.j""".stripMargin
+
+  // ------------------------------------------------------ threshold_local
+  /** threshold_local(block_size=3, method=mean, offset=0.005): the 0.005
+    * offset guarantees no exact ties — 9·v − Σ₉v is a multiple of 0.01 on
+    * this data, so |v − (mean − 0.005)| ≥ 0.00055 ≫ float wobble. */
+  val tensorThresholdLocal: Q = (s, dir) => {
+    val th = Filters.thresholdLocal(Images.eventsRaster(s, dir), 2, 3,
+      method = "mean", offset = 0.005)
+    Images.toPixels(th)
+      .select(col("i"), col("j"), col("v").cast("long").as("flag"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorThresholdLocalSql: String =
+    s"""WITH $gridCte,
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b),
+       |sm AS (
+       |  SELECT g.i, g.j, sum(n.v) / 9 AS v
+       |  FROM grid g CROSS JOIN offs o
+       |  JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |  GROUP BY g.i, g.j)
+       |SELECT g.i, g.j,
+       |  CAST(CASE WHEN g.v > sm.v - 0.005 THEN 1 ELSE 0 END AS BIGINT) AS flag
+       |FROM grid g JOIN sm ON g.i = sm.i AND g.j = sm.j
+       |ORDER BY g.i, g.j""".stripMargin
+
   // ------------------------------------------------------ morphology
   /** Binary pipeline counts: threshold → erosion/dilation/opening with the
     * cross structure, border constant 0 — one row of totals. */
@@ -197,6 +324,7 @@ object TensorQueries {
       .crossJoin(cnt(Morph.binaryErosion(bin, 2), "n_eroded"))
       .crossJoin(cnt(Morph.binaryDilation(bin, 2), "n_dilated"))
       .crossJoin(cnt(Morph.binaryOpening(bin, 2), "n_opened"))
+      .crossJoin(cnt(Morph.binaryClosing(bin, 2), "n_closed"))
   }
 
   val tensorMorphCountsSql: String =
@@ -217,11 +345,17 @@ object TensorQueries {
        |  SELECT c.i, c.j, max(coalesce(n.b, 0)) AS b
        |  FROM ero c CROSS JOIN offs o
        |  LEFT JOIN ero n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.i, c.j),
+       |clo AS (
+       |  SELECT c.i, c.j, min(coalesce(n.b, 0)) AS b
+       |  FROM dil c CROSS JOIN offs o
+       |  LEFT JOIN dil n ON n.i = c.i + o.di AND n.j = c.j + o.dj
        |  GROUP BY c.i, c.j)
        |SELECT (SELECT CAST(sum(b) AS BIGINT) FROM bin) AS n_fg,
        |       (SELECT CAST(sum(b) AS BIGINT) FROM ero) AS n_eroded,
        |       (SELECT CAST(sum(b) AS BIGINT) FROM dil) AS n_dilated,
-       |       (SELECT CAST(sum(b) AS BIGINT) FROM opn) AS n_opened""".stripMargin
+       |       (SELECT CAST(sum(b) AS BIGINT) FROM opn) AS n_opened,
+       |       (SELECT CAST(sum(b) AS BIGINT) FROM clo) AS n_closed""".stripMargin
 
   // ------------------------------------------------------ label + measure
   /** Distributed connected components + labeled measurements in one
@@ -322,6 +456,62 @@ object TensorQueries {
        |  round(v * cos(-2 * pi() * (${freq("i", 48)} * 1.5 + ${freq("j", 64)} * -0.5)), 4) + 0 AS re,
        |  round(v * sin(-2 * pi() * (${freq("i", 48)} * 1.5 + ${freq("j", 64)} * -0.5)), 4) + 0 AS im
        |FROM grid ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------ fourier_uniform
+  /** fourier_uniform(size=(3,3)) — Π sinc(size·f) box spectrum. */
+  val tensorFourierUniform: Q = (s, dir) => {
+    val cx = Fourier.fourierUniform(
+      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(3.0, 3.0))
+    Images.toPixels(cx)
+      .filter(col("j") % 2 === 0)
+      .select(col("i"), (col("j") / 2).cast("int").as("j"),
+        (round(col("v"), 4) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorFourierUniformSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j, round(v *
+       |  (CASE WHEN i = 0 THEN 1.0
+       |        ELSE sin(3 * pi() * ${freq("i", 48)}) / (3 * pi() * ${freq("i", 48)}) END) *
+       |  (CASE WHEN j = 0 THEN 1.0
+       |        ELSE sin(3 * pi() * ${freq("j", 64)}) / (3 * pi() * ${freq("j", 64)}) END),
+       |  4) + 0 AS v
+       |FROM grid ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------ spline filters
+  /** spline_filter gate via the interpolation identity: the order-3
+    * prefilter followed by B-spline reconstruction at the integer grid
+    * (separable correlate with [1/6, 4/6, 1/6], mirror boundary — the
+    * prefilter's boundary) reproduces the input exactly. The oracle is
+    * the raster itself; a wrong pole, gain, or boundary breaks the hash.
+    * (A no-op would also round-trip — SplineSpec pins the actual
+    * coefficient values against scipy fixtures.) */
+  val tensorSplineRoundtrip: Q = (s, dir) => {
+    // 24×32 chunks: the order-3 IIR tail needs an 18-deep halo, which must
+    // fit inside one neighbor chunk (the same rechunk-before-spline rule
+    // the reference documents)
+    val c = Interp.splineFilter(Images.eventsRaster(s, dir, ch = 24, cw = 32), 2, order = 3)
+    val k = Nd.of(Array(3, 3),
+      Array(1.0, 4.0, 1.0, 4.0, 16.0, 4.0, 1.0, 4.0, 1.0).map(_ / 36.0))
+    Images.toPixels(Filters.correlate(c, k, mode = "mirror"))
+      .select(col("i"), col("j"), (round(col("v"), 2) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** spline_filter1d gate: same identity along axis 1 only. */
+  val tensorSpline1dRoundtrip: Q = (s, dir) => {
+    val c = Interp.splineFilter1d(Images.eventsRaster(s, dir, ch = 24, cw = 32), 2,
+      order = 3, axis = 1)
+    val k = Nd.of(Array(1, 3), Array(1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0))
+    Images.toPixels(Filters.correlate(c, k, mode = "mirror"))
+      .select(col("i"), col("j"), (round(col("v"), 2) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorSplineRoundtripSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j, round(v, 2) + 0 AS v FROM grid ORDER BY i, j""".stripMargin
 
   // ------------------------------------------------------ affine / rotate
   /** Order-1 affine subpixel shift by (0.5, 0.25) — the gather-join
@@ -471,8 +661,11 @@ object TensorQueries {
       .orderBy(col("label"))
   }
 
-  val tensorMeasureExtendedSql: String =
-    s"""WITH RECURSIVE $gridCte,
+  /** Shared oracle prelude for all labeled-measurement queries: recursive
+    * -CTE connected components over the >150 threshold, labeled pixels
+    * with the C-order ravel index. */
+  private val labelPixelsCte: String =
+    s"""$gridCte,
        |bin AS (SELECT i, j FROM grid WHERE v > 150),
        |reach(i, j, ri, rj) AS (
        |  SELECT i, j, i, j FROM bin
@@ -487,7 +680,10 @@ object TensorQueries {
        |lpx AS (
        |  SELECT CAST(lab.label AS BIGINT) AS label, lab.i, lab.j, g.v,
        |    lab.i * 64 + lab.j AS ridx
-       |  FROM lab JOIN grid g ON lab.i = g.i AND lab.j = g.j)
+       |  FROM lab JOIN grid g ON lab.i = g.i AND lab.j = g.j)""".stripMargin
+
+  val tensorMeasureExtendedSql: String =
+    s"""WITH RECURSIVE $labelPixelsCte
        |SELECT label,
        |  round(min(v), 4) AS min_v,
        |  round(max(v), 4) AS max_v,
@@ -502,10 +698,74 @@ object TensorQueries {
        |  CAST(sum(CASE WHEN v >= 175 AND v < 350 THEN 1 ELSE 0 END) AS BIGINT) AS bin1
        |FROM lpx GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ extrema
+  /** Measure.extrema — (min, max, min_pos, max_pos) in ONE aggregation
+    * pass, scipy first-encounter tiebreak. */
+  val tensorExtrema: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    Measure.extrema(raster, labels, 2, Seq(48, 64))
+      .filter(col("label") =!= 0)
+      .select(col("label"),
+        round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
+        col("min_pos.c0").cast("long").as("min_i"), col("min_pos.c1").cast("long").as("min_j"),
+        col("max_pos.c0").cast("long").as("max_i"), col("max_pos.c1").cast("long").as("max_j"))
+      .orderBy(col("label"))
+  }
+
+  val tensorExtremaSql: String =
+    s"""WITH RECURSIVE $labelPixelsCte,
+       |ext AS (
+       |  SELECT label, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v,
+       |    min(CASE WHEN v = (SELECT min(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)
+       |        THEN ridx END) AS am,
+       |    min(CASE WHEN v = (SELECT max(v2.v) FROM lpx v2 WHERE v2.label = lpx.label)
+       |        THEN ridx END) AS ax
+       |  FROM lpx GROUP BY label)
+       |SELECT label, min_v, max_v,
+       |  CAST(am // 64 AS BIGINT) AS min_i, CAST(am % 64 AS BIGINT) AS min_j,
+       |  CAST(ax // 64 AS BIGINT) AS max_i, CAST(ax % 64 AS BIGINT) AS max_j
+       |FROM ext ORDER BY label""".stripMargin
+
+  // ------------------------------------------- labeled_comprehension
+  /** labeled_comprehension with an arbitrary Scala reduction (sum of the
+    * two largest values per label) — the per-label UDAF extension point,
+    * hash-gated against the SQL top-2 window equivalent. */
+  val tensorLabelComprehension: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    Measure.labeledComprehension(raster, labels, 2) { it =>
+      it.toArray.sorted.takeRight(2).sum
+    }
+      .filter(col("label") =!= 0)
+      .select(col("label"), (round(col("result"), 2) + lit(0.0)).as("top2_sum"))
+      .orderBy(col("label"))
+  }
+
+  val tensorLabelComprehensionSql: String =
+    s"""WITH RECURSIVE $labelPixelsCte,
+       |rnk AS (
+       |  SELECT label, v,
+       |    row_number() OVER (PARTITION BY label ORDER BY v DESC) AS rn
+       |  FROM lpx)
+       |SELECT label, round(sum(v), 2) + 0 AS top2_sum
+       |FROM rnk WHERE rn <= 2 GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
+    "tensor_conv_corr" -> tensorConvCorr,
+    "tensor_prewitt" -> tensorPrewitt,
+    "tensor_gaussian_derivs" -> tensorGaussianDerivs,
+    "tensor_threshold_local" -> tensorThresholdLocal,
+    "tensor_fourier_uniform" -> tensorFourierUniform,
+    "tensor_spline_roundtrip" -> tensorSplineRoundtrip,
+    "tensor_spline1d_roundtrip" -> tensorSpline1dRoundtrip,
+    "tensor_extrema" -> tensorExtrema,
+    "tensor_label_comprehension" -> tensorLabelComprehension,
     "tensor_uniform3" -> tensorUniform3,
     "tensor_gaussian" -> tensorGaussian,
     "tensor_minmax3" -> tensorMinmax3,
@@ -526,6 +786,15 @@ object TensorQueries {
   val oracle: Map[String, String] = Map(
     "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
+    "tensor_conv_corr" -> tensorConvCorrSql,
+    "tensor_prewitt" -> tensorPrewittSql,
+    "tensor_gaussian_derivs" -> tensorGaussianDerivsSql,
+    "tensor_threshold_local" -> tensorThresholdLocalSql,
+    "tensor_fourier_uniform" -> tensorFourierUniformSql,
+    "tensor_spline_roundtrip" -> tensorSplineRoundtripSql,
+    "tensor_spline1d_roundtrip" -> tensorSplineRoundtripSql,
+    "tensor_extrema" -> tensorExtremaSql,
+    "tensor_label_comprehension" -> tensorLabelComprehensionSql,
     "tensor_rank3" -> tensorRank3Sql,
     "tensor_percentile30" -> tensorPercentile30Sql,
     "tensor_generic_range" -> tensorGenericRangeSql,

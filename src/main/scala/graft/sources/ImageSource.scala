@@ -1,7 +1,10 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tensor.Block
 
@@ -12,31 +15,48 @@ import graft.tensor.Block
   * Spark-native shape: `spark.read.format("binaryFile")` scans the glob
   * (distributed, one task per file), a per-file decoder turns each frame
   * into one Block row keyed by frame index. Frames stack on a leading
-  * axis exactly like the reference's nframes chunking. The decoder here
-  * handles binary PGM (P5), a real self-contained format; other codecs
-  * plug into the same `decode` seam.
+  * axis exactly like the reference's nframes chunking. Codecs: binary
+  * PGM (P5) and PNG (grayscale, via the JDK's javax.imageio — no extra
+  * dependency); other decoders plug into the same seam.
   */
 object ImageSource {
 
-  /** Read a glob of PGM files as one stacked Block image: block idx =
+  /** Read a glob of image files as one stacked Block image: block idx =
     * (frame, 0, 0), one chunk per frame (the imread contract). Frame
-    * order is the sorted file path order, matching glob-sorted imread. */
-  def readPgm(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] = {
+    * order is the sorted file path order, matching glob-sorted imread.
+    *
+    * Frame indexing is fully distributed: a row_number window over the
+    * path column (metadata-only — paths, not contents, move through the
+    * single-partition sort; the frame axis of ONE logical image is
+    * bounded, unlike the lake's file population, so this is not the
+    * O(#files)-on-the-driver collect it replaces).
+    */
+  def readFrames(spark: SparkSession, glob: String, codec: String,
+      imageId: String = "imread"): Dataset[Block] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    // frame index = rank of the path among all matched paths (small
-    // metadata-only collect, like imread's eager shape probe)
-    val order = files.select(col("path")).as[String].collect().sorted.zipWithIndex.toMap
-    val bc = spark.sparkContext.broadcast(order)
-    val nFrames = order.size
-    files.map { case (path, bytes) =>
-      val (h, w, px) = decodePgm(bytes)
-      Block(imageId, Seq(bc.value(path), 0, 0), Seq(bc.value(path), 0, 0),
-        Seq(1, h, w), Seq(1, h, w), Seq(nFrames, h, w), px)
+    val nFrames = files.count()
+    val indexed = files
+      .withColumn("frame", row_number().over(Window.orderBy(col("path"))) - 1)
+      .select(col("frame"), col("content"))
+      .as[(Int, Array[Byte])]
+    indexed.map { case (frame, bytes) =>
+      val (h, w, px) = codec match {
+        case "pgm" => decodePgm(bytes)
+        case "png" => decodePng(bytes)
+        case other => throw new IllegalArgumentException(s"imread codec: $other")
+      }
+      Block(imageId, Seq(frame, 0, 0), Seq(frame, 0, 0),
+        Seq(1, h, w), Seq(1, h, w), Seq(nFrames.toInt, h, w), px)
     }
   }
+
+  def readPgm(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] =
+    readFrames(spark, glob, "pgm", imageId)
+
+  def readPng(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] =
+    readFrames(spark, glob, "png", imageId)
 
   /** Binary PGM (P5) decoder: header "P5 <w> <h> <maxval>" then raw
     * bytes. Returns (h, w, doubles). */
@@ -72,10 +92,49 @@ object ImageSource {
     (h, w, out)
   }
 
+  /** PNG decoder via the JDK's ImageIO — first band (grayscale sample)
+    * per pixel. */
+  private[graft] def decodePng(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val h = img.getHeight; val w = img.getWidth
+    val raster = img.getRaster
+    val out = new Array[Double](h * w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = raster.getSample(x, y, 0).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    (h, w, out)
+  }
+
   /** Encode a 2-d array as binary PGM (test/round-trip support). */
   private[graft] def encodePgm(h: Int, w: Int, px: Array[Double]): Array[Byte] = {
     val header = s"P5\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
     val body = px.map(v => math.max(0, math.min(255, math.round(v))).toByte)
     header ++ body
+  }
+
+  /** Encode a 2-d array as 8-bit grayscale PNG (test/round-trip support). */
+  private[graft] def encodePng(h: Int, w: Int, px: Array[Double]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, math.max(0, math.min(255, math.round(px(y * w + x)))).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }

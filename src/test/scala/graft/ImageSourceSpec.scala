@@ -28,6 +28,25 @@ class ImageSourceSpec extends SparkSpec {
     assert(Grid.unblockify(sm).shape.toSeq == Seq(3, 6, 5))
   }
 
+  test("imread PNG: grayscale codec round-trips and frame order follows sorted paths") {
+    val dir = Files.createTempDirectory("graft_png").toFile
+    dir.deleteOnExit()
+    val frames = (0 until 4).map { f =>
+      val px = Array.tabulate(5 * 7)(i => ((i * 11 + f * 13) % 256).toDouble)
+      Files.write(Paths.get(dir.getPath, f"img_$f%03d.png"),
+        ImageSource.encodePng(5, 7, px))
+      px
+    }
+    val ds = ImageSource.readPng(spark, dir.getPath + "/*.png")
+    val blocks = ds.collect().sortBy(_.idx.head)
+    assert(blocks.length == 4)
+    assert(blocks.forall(_.arrayShape == Seq(4, 5, 7)))
+    for ((b, f) <- blocks.zipWithIndex) {
+      assert(b.idx == Seq(f, 0, 0) && b.shape == Seq(1, 5, 7))
+      assert(b.data.sameElements(frames(f)), s"frame $f pixels differ")
+    }
+  }
+
   test("PGM decoder: comments and 16-bit maxval") {
     val ascii = "P5\n# a comment line\n2 2\n65535\n".getBytes("US-ASCII")
     val body = Array[Byte](0x01, 0x00, 0x00, 0xff.toByte, 0x10, 0x00, 0x00, 0x2a)
