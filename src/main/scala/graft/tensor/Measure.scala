@@ -295,6 +295,12 @@ object Measure {
     // ---- step 4: densify to 1..n in root order (deterministic; scipy
     // numbering is scan-order of component first-cells, and our roots ARE
     // first-cell linear indices, so rank(root) reproduces it).
+    //
+    // Fully distributed: rank roots with a range-partitioned sort +
+    // zipWithIndex (no single-partition window), build the old→dense
+    // relabel relation as a DataFrame, and join it against each block's
+    // label set. Per-task state is one map bounded by the block's cell
+    // count — never O(#labels) on the driver or in any one executor.
     val allLabels = local.flatMap(b => b.data.filter(_ != 0.0).map(_.toLong).distinct)
       .toDF("lbl").distinct()
     val isolated = allLabels
@@ -303,27 +309,46 @@ object Measure {
     val roots = mapping.select(col("root")).distinct()
       .union(isolated)
       .distinct()
-      .withColumn("dense", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("root"))))
-    val relabel: Map[Long, Long] = {
-      val direct = roots.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
-      val viaEdges = mapping.collect().map(r => r.getLong(0) -> direct(r.getLong(1))).toMap
-      direct ++ viaEdges
+    val ranked = roots.as[Long].rdd.sortBy(identity).zipWithIndex()
+      .map { case (r, i) => (r, i + 1L) }
+      .toDF("root", "dense")
+      .localCheckpoint(true) // two consumers below; avoid recomputing the sort
+    val n = ranked.agg(max(col("dense"))).as[java.lang.Long].head() match {
+      case null => 0L
+      case v    => v.longValue()
     }
-    if (relabel.isEmpty) return (local, 0L)
-    val bc = spark.sparkContext.broadcast(relabel)
-    val relabeled = Filters.mapBlocks(local) { b =>
-      val out = new Array[Double](b.data.length)
-      val m = bc.value
-      var i = 0
-      while (i < out.length) {
-        val v = b.data(i)
-        out(i) = if (v == 0.0) 0.0 else m(v.toLong).toDouble
-        i += 1
+    if (n == 0L) return (local, 0L)
+    // old label → dense id: roots map via their own rank, interior nodes via
+    // their root's rank.
+    val relabelDf = ranked.select(col("root").as("old"), col("dense"))
+      .union(mapping.join(ranked, "root").select(col("node").as("old"), col("dense")))
+    // Each block's distinct labels, keyed by block; joined to the relabel
+    // relation (shuffle join on label — broadcastable when small, AQE picks),
+    // folded back into one bounded map per block.
+    val blockLabels = local.flatMap { b =>
+      b.data.filter(_ != 0.0).map(_.toLong).distinct.map(l => (b.imageId, b.idx, l))
+    }.toDF("imageId", "idx", "old")
+    val perBlock = blockLabels.join(relabelDf, "old")
+      .groupBy("imageId", "idx")
+      .agg(map_from_entries(collect_list(struct(col("old"), col("dense")))).as("m"))
+      .as[(String, Seq[Int], Map[Long, Long])]
+    val relabeled = local.joinWith(perBlock,
+        local("imageId") === perBlock("imageId") && local("idx") === perBlock("idx"),
+        "left_outer")
+      .map { case (b, pm) =>
+        if (pm == null) b
+        else {
+          val m = pm._3
+          val out = new Array[Double](b.data.length)
+          var i = 0
+          while (i < out.length) {
+            val v = b.data(i)
+            out(i) = if (v == 0.0) 0.0 else m(v.toLong).toDouble
+            i += 1
+          }
+          b.copy(data = out)
+        }
       }
-      out
-    }
-    val n = relabel.values.max
     (relabeled, n)
   }
 
