@@ -57,17 +57,22 @@ object Similarity {
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------ pairwise near-dup
-  /** Embedding near-duplicate pairs: cosine >= 0.9 over all pairs within
+  /** Embedding near-duplicate pairs: cosine >= 0.40 over all pairs within
     * the same label (label acts as the blocking key — the same plan shape
     * as LSH-bucketed near-dup at scale; cross-label pairs of near-dups
-    * would be caught by a multi-probe variant). */
+    * would be caught by a multi-probe variant).
+    *
+    * The threshold is calibrated to the synthetic embeddings: within-label
+    * cosine tops out at ~0.47 (sf0.01) / ~0.51 (sf0.1), so 0.40 yields a
+    * small non-empty result at BOTH scales (5 pairs at sf0.01, 86 at
+    * sf0.1) — the oracle proves the pair arithmetic, not just emptiness. */
   val embeddingNearDup: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"), vecD.as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))), 4).as("cos"))
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= 0.40)
       .orderBy(col("va"), col("vb"))
   }
 
@@ -80,76 +85,181 @@ object Similarity {
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40
       |ORDER BY va, vb""".stripMargin
 
-  // ------------------------------------------------------ IVF centroids
-  /** IVF coarse quantizer, step 1: per-label centroids (label = cluster id
-    * stand-in for k-means at test scale) and each vector's distance-to-own
-    * -centroid stats. posexplode → groupBy(label, dim) computes centroids
-    * in one shuffle of (label, dim) — never materializing a dense matrix. */
+  // ------------------------------------------------------ IVF (k-means)
+  // Real IVF coarse quantizer: spherical k-means (K=10, 2 Lloyd passes,
+  // seeds = vec_id 0..K-1) over the NORMALIZED vectors, then multi-probe
+  // (NPROBE=3) search. Deterministic across engines because centroid
+  // components are rounded to 6 decimals after every update — the DuckDB
+  // oracle replays the identical algorithm and reaches bit-identical
+  // assignments.
+  //
+  // Scale posture: assignment is a zero-shuffle pass — the K centroids ride
+  // along as one broadcast array column and the argmax runs as a codegen'd
+  // HOF fold per row. Each Lloyd update is one (cluster, dim) shuffle via
+  // posexplode; the dense matrix is never materialized. At 100 TB the
+  // cluster column becomes a partition key and each probe a pruned scan.
+  private val K = 10
+  private val NPROBE = 3
+
+  /** (vec_id, v) with v = embedding / ||embedding||, in double. */
+  private def normed(e0: DataFrame): DataFrame =
+    e0.withColumn("nrm", norm(vecD))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("v"))
+
+  /** Seed centroids: the first K vectors, components rounded to 6 dp. */
+  private def seedCents(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").as("c"), expr("transform(v, x -> round(x, 6))").as("cv"))
+
+  /** Nearest-centroid (max cosine, tie → lowest c) assignment with ZERO
+    * shuffle: centroids collapse to one array-of-struct row, broadcast,
+    * and the argmax runs as a strict-`>` fold (keeps the first/lowest c on
+    * ties — mirrors the oracle's ORDER BY dp DESC, c). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents.agg(array_sort(collect_list(struct(col("c"), col("cv")))).as("cs"))
+    vecs.crossJoin(broadcast(carr))
+      .withColumn("cluster", expr(
+        """aggregate(cs,
+          |  named_struct('dp', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
+          |  (acc, s) -> CASE
+          |    WHEN aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) > acc.dp
+          |    THEN named_struct(
+          |      'dp', aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0D, (a, x) -> a + x),
+          |      'c', s.c)
+          |    ELSE acc END,
+          |  acc -> acc.c)""".stripMargin))
+      .drop("cs")
+  }
+
+  /** Lloyd update: per-(cluster, dim) mean in one shuffle, re-normalized
+    * and rounded to 6 dp (the cross-engine determinism anchor). */
+  private def updateCents(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster").as("c"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("c"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("c"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("c"), expr("transform(dm, p -> p.m)").as("mv"))
+      .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
+      .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
+
+  /** Two Lloyd passes from the deterministic seeds. */
+  private def kmeans(vecs: DataFrame): DataFrame = {
+    var cents = seedCents(vecs)
+    for (_ <- 1 to 2) cents = updateCents(assignCells(vecs, cents))
+    cents
+  }
+
+  /** IVF step 1: k-means centroids + per-cell population and L2
+    * distance-to-own-centroid stats (computed as sqrt(v·v − 2 v·c + c·c)
+    * so the oracle's arithmetic order matches exactly). */
   val ivfCentroidStats: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), vecD.as("v"))
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg(avg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
-      .select(col("label").as("clabel"), expr("transform(dc, p -> p.c)").as("cv"))
-    e.join(broadcast(cents), col("label") === col("clabel"))
-      .select(col("label"), col("vec_id"),
-        sqrt(aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)).as("dist"))
-      .groupBy(col("label"))
+    val vecs = normed(t(s, dir, "embeddings"))
+    val cents = kmeans(vecs)
+    assignCells(vecs, cents)
+      .join(broadcast(cents), col("cluster") === col("c"))
+      .withColumn("dist",
+        sqrt(dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))))
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("dist")), 4).as("avg_dist"),
         round(max(col("dist")), 4).as("max_dist"))
-      .orderBy(col("label"))
+      .orderBy(col("cluster"))
   }
 
-  val ivfCentroidStatsSql: String =
-    """WITH dims AS (
-      |  SELECT vec_id, label, unnest(range(1, 65)) AS dim FROM embeddings),
-      |flat AS (
-      |  SELECT d.vec_id, d.label, d.dim, e.embedding[d.dim]::DOUBLE AS x
-      |  FROM dims d JOIN embeddings e ON d.vec_id = e.vec_id),
-      |cents AS (
-      |  SELECT label, dim, avg(x) AS c FROM flat GROUP BY 1, 2),
-      |dists AS (
-      |  SELECT f.vec_id, f.label, sqrt(sum((f.x - c.c) * (f.x - c.c))) AS dist
-      |  FROM flat f JOIN cents c ON f.label = c.label AND f.dim = c.dim
-      |  GROUP BY 1, 2)
-      |SELECT label, count(*) AS n_vecs,
-      |  round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist
-      |FROM dists GROUP BY label ORDER BY label""".stripMargin
+  /** The k-means CTE prefix shared by both IVF oracles — the same
+    * normalize → seed → (assign → mean → round6)×2 → assign pipeline. */
+  private val kmeansCte: String =
+    """WITH vn AS (
+      |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / nrm) AS v
+      |  FROM (SELECT vec_id, embedding,
+      |               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |        FROM embeddings) n),
+      |c0 AS (
+      |  SELECT vec_id AS c, list_transform(v, x -> round(x, 6)) AS cv
+      |  FROM vn WHERE vec_id < 10),
+      |a1 AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vn.vec_id, c0.c,
+      |           row_number() OVER (PARTITION BY vn.vec_id
+      |                              ORDER BY list_dot_product(vn.v, c0.cv) DESC, c0.c) AS rn
+      |    FROM vn CROSS JOIN c0) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a.cluster AS c, d.dim, avg(vn.v[d.dim]) AS m
+      |  FROM a1 a JOIN vn ON a.vec_id = vn.vec_id
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT c, list_transform(mv, x -> round(x / nrm, 6)) AS cv FROM (
+      |    SELECT c, list(m ORDER BY dim) AS mv,
+      |           sqrt(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim))) AS nrm
+      |    FROM m1 GROUP BY c) t),
+      |a2 AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vn.vec_id, c1.c,
+      |           row_number() OVER (PARTITION BY vn.vec_id
+      |                              ORDER BY list_dot_product(vn.v, c1.cv) DESC, c1.c) AS rn
+      |    FROM vn CROSS JOIN c1) t WHERE rn = 1),
+      |m2 AS (
+      |  SELECT a.cluster AS c, d.dim, avg(vn.v[d.dim]) AS m
+      |  FROM a2 a JOIN vn ON a.vec_id = vn.vec_id
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT c, list_transform(mv, x -> round(x / nrm, 6)) AS cv FROM (
+      |    SELECT c, list(m ORDER BY dim) AS mv,
+      |           sqrt(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim))) AS nrm
+      |    FROM m2 GROUP BY c) t),
+      |af AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vn.vec_id, c2.c,
+      |           row_number() OVER (PARTITION BY vn.vec_id
+      |                              ORDER BY list_dot_product(vn.v, c2.cv) DESC, c2.c) AS rn
+      |    FROM vn CROSS JOIN c2) t WHERE rn = 1)""".stripMargin
 
-  /** IVF top-k, step 2: search only the cell of the query's label (single
-    * -probe ANN). Same result shape as cosine_topk; recall vs the exact
-    * baseline is asserted in the ScalaTest spec, and the restricted-scan
-    * semantics themselves are oracle-checked here. */
+  val ivfCentroidStatsSql: String = kmeansCte +
+    """
+      |SELECT cluster, count(*) AS n_vecs,
+      |  round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist FROM (
+      |  SELECT af.vec_id, af.cluster,
+      |    sqrt(list_dot_product(vn.v, vn.v) - 2 * list_dot_product(vn.v, c2.cv)
+      |         + list_dot_product(c2.cv, c2.cv)) AS dist
+      |  FROM af JOIN vn USING (vec_id) JOIN c2 ON af.cluster = c2.c) t
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** IVF step 2: multi-probe top-k — rank cells by centroid·query cosine,
+    * scan the NPROBE nearest cells (~30% of the corpus at K=10), exact
+    * cosine inside. Recall ≥0.9 vs brute force asserted in SimilaritySpec. */
   val ivfCosineTopk: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), vecD.as("v"))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("label").as("qlabel"))
-    e.join(broadcast(q), col("label") === col("qlabel"))
+    val vecs = normed(t(s, dir, "embeddings"))
+    val cents = kmeans(vecs)
+    val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("c"), dot(col("cv"), col("qv")).as("dp"))
+      .orderBy(col("dp").desc, col("c").asc)
+      .limit(NPROBE)
+      .select(col("c").as("pc"))
+    assignCells(vecs, cents)
+      .join(broadcast(probes), col("cluster") === col("pc"), "left_semi")
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 4).as("cos"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
 
-  val ivfCosineTopkSql: String =
-    """WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id,
-      |  round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
-      |    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-      |       * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos
-      |FROM embeddings JOIN q ON label = qlabel
-      |WHERE vec_id <> 0
+  val ivfCosineTopkSql: String = kmeansCte +
+    """,
+      |q AS (SELECT v AS qv FROM vn WHERE vec_id = 0),
+      |pr AS (SELECT c FROM c2 CROSS JOIN q
+      |       ORDER BY list_dot_product(cv, qv) DESC, c LIMIT 3)
+      |SELECT vn.vec_id, round(list_dot_product(vn.v, q.qv), 4) AS cos
+      |FROM af JOIN vn USING (vec_id) CROSS JOIN q
+      |WHERE af.cluster IN (SELECT c FROM pr) AND vn.vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------ hyperplane LSH ANN

@@ -23,13 +23,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall vs exact top-10")
   }
 
-  test("ivf_cosine_topk is the restriction of brute force to the query's cell") {
-    // every ivf result must appear in the brute-force ranking over the same
-    // cell — i.e. ivf == exact when the scan is label-restricted
+  test("ivf_cosine_topk (k-means, multi-probe) has recall >= 0.9 vs brute force") {
+    val exact = Similarity.cosineTopk(spark, sf0001).collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfCosineTopk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(ivf.nonEmpty)
+    assert(ivf.length == 10)
     val cs = ivf.map(_._2)
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val recall = ivf.map(_._1).count(exact.contains) / 10.0
+    assert(recall >= 0.9, s"IVF multi-probe recall $recall vs exact top-10")
+  }
+
+  test("ivf_centroid_stats: k cells partition the corpus, all non-empty") {
+    val rows = Similarity.ivfCentroidStats(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
+
+  test("embedding_near_dup is non-vacuous at sf0.001") {
+    val rows = Similarity.embeddingNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty, "near-dup threshold must fire on the test data")
+    assert(rows.forall(_.getDouble(2) >= 0.40))
   }
 }
