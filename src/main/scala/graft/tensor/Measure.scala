@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * `label` is the one genuinely distributed algorithm
   * (ndmeasure/__init__.py::label ≈ L250–330): per-block union-find, then
   * face-adjacency edges, then iterative min-label propagation on an edge
-  * DataFrame (the large-star/small-star style loop), then a broadcast
-  * relabel join. No driver-side connected-components solve — unlike the
-  * reference, which funnels the global graph through one task.
+  * DataFrame (the large-star/small-star style loop), then a fully
+  * distributed relabel — roots ranked by a range-partitioned
+  * sort+zipWithIndex and shuffle-joined back per block. No driver-side
+  * connected-components solve and no O(#labels) driver or broadcast
+  * state — unlike the reference, which funnels the global graph through
+  * one task.
   */
 object Measure {
 
@@ -189,14 +192,34 @@ object Measure {
     * 2. face plane exchange → cross-block adjacency edge DataFrame;
     * 3. iterative min-label propagation over edges (converges in
     *    O(log diameter) rounds with path doubling; checkpointed);
-    * 4. broadcast relabel map join; labels densified to 1..n by first
-    *    pixel order (scipy's scan-order numbering).
+    * 4. distributed relabel: roots ranked to dense ids 1..n by a
+    *    range-partitioned sort + zipWithIndex (scipy's scan-order
+    *    numbering, since roots are first-cell linear indices), the
+    *    old→dense relation shuffle-joined against each block's label set,
+    *    and applied as one bounded map per block — no driver collect, no
+    *    broadcast of O(#labels) state.
+    *
+    * Checkpointing: lineage is truncated per round with
+    * `localCheckpoint(eager = true)` by default (fast, but not
+    * fault-tolerant — blocks live only in executor storage). Set
+    * `graft.checkpoint.reliable=true` in the session conf AND a
+    * `SparkContext.setCheckpointDir` to use reliable HDFS/FS checkpoints
+    * instead on a real cluster.
     *
     * Returns (label blocks, num_labels).
     */
   def label(ds: Dataset[Block], ndim: Int, connectivity: Int = 1): (Dataset[Block], Long) = {
     val spark = ds.sparkSession
     import spark.implicits._
+
+    // Lineage truncation for the iterative steps: reliable checkpoint when
+    // configured (cluster posture — survives executor loss), local
+    // otherwise (single-machine speed).
+    val reliable = spark.conf.getOption("graft.checkpoint.reliable").contains("true")
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "graft.checkpoint.reliable=true requires SparkContext.setCheckpointDir")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
     // ---- step 1: local label pass (labels = global linear index of the
     // component's root cell + 1; 0 = background)
@@ -263,11 +286,10 @@ object Measure {
     // Converges in O(log diameter) rounds; every round is two joins on
     // label ids, checkpointed to truncate lineage. (At extreme label
     // counts the large-star/small-star variant drops in here unchanged.)
-    val und = edges.select(col("node").as("a"), col("root").as("b"))
-      .union(edges.select(col("root").as("a"), col("node").as("b")))
-      .localCheckpoint(true)
-    var comp = und.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+    val und = cp(edges.select(col("node").as("a"), col("root").as("b"))
+      .union(edges.select(col("root").as("a"), col("node").as("b"))))
+    var comp = cp(und.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var converged = comp.isEmpty
     var iter = 0
     while (!converged && iter < 60) {
@@ -278,17 +300,22 @@ object Measure {
         .select(col("c.node").as("node"),
           least(col("c.comp"), coalesce(col("nbr_min"), col("c.comp"))).as("comp"))
       // pointer doubling: comp(node) ← comp(comp(node))
-      val doubled = stepped.as("s")
+      val doubled = cp(stepped.as("s")
         .join(comp.as("t"), col("s.comp") === col("t.node"), "left")
         .select(col("s.node").as("node"),
-          least(col("s.comp"), coalesce(col("t.comp"), col("s.comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("s.comp"), coalesce(col("t.comp"), col("s.comp"))).as("comp")))
       val changed = doubled.as("x").join(comp.as("y"), col("x.node") === col("y.node"))
         .filter(col("x.comp") =!= col("y.comp")).limit(1).count()
       comp = doubled
       converged = changed == 0
       iter += 1
     }
+    // Non-convergence would leave comp non-idempotent → duplicate `old`
+    // keys in the relabel relation → map_from_entries aborts with
+    // "Duplicate map key". Fail loudly here instead (pointer doubling
+    // covers component diameters up to ~2^60, so this cannot fire on real
+    // inputs — it guards algorithm regressions).
+    require(converged, s"label propagation did not converge in $iter rounds")
     val mapping = comp.filter(col("node") =!= col("comp"))
       .select(col("node"), col("comp").as("root"))
 
@@ -301,18 +328,22 @@ object Measure {
     // relabel relation as a DataFrame, and join it against each block's
     // label set. Per-task state is one map bounded by the block's cell
     // count — never O(#labels) on the driver or in any one executor.
-    val allLabels = local.flatMap(b => b.data.filter(_ != 0.0).map(_.toLong).distinct)
-      .toDF("lbl").distinct()
+    // Each block's distinct labels, keyed by block (consumed twice: to
+    // derive the global label set here and to build the per-block relabel
+    // maps below — one scan of `local`, not two).
+    val blockLabels = local.flatMap { b =>
+      b.data.filter(_ != 0.0).map(_.toLong).distinct.map(l => (b.imageId, b.idx, l))
+    }.toDF("imageId", "idx", "old")
+    val allLabels = blockLabels.select(col("old").as("lbl")).distinct()
     val isolated = allLabels
       .join(mapping, col("lbl") === col("node"), "left_anti")
       .select(col("lbl").as("root"))
     val roots = mapping.select(col("root")).distinct()
       .union(isolated)
       .distinct()
-    val ranked = roots.as[Long].rdd.sortBy(identity).zipWithIndex()
+    val ranked = cp(roots.as[Long].rdd.sortBy(identity).zipWithIndex()
       .map { case (r, i) => (r, i + 1L) }
-      .toDF("root", "dense")
-      .localCheckpoint(true) // two consumers below; avoid recomputing the sort
+      .toDF("root", "dense")) // two consumers below; avoid recomputing the sort
     val n = ranked.agg(max(col("dense"))).as[java.lang.Long].head() match {
       case null => 0L
       case v    => v.longValue()
@@ -322,12 +353,9 @@ object Measure {
     // their root's rank.
     val relabelDf = ranked.select(col("root").as("old"), col("dense"))
       .union(mapping.join(ranked, "root").select(col("node").as("old"), col("dense")))
-    // Each block's distinct labels, keyed by block; joined to the relabel
-    // relation (shuffle join on label — broadcastable when small, AQE picks),
-    // folded back into one bounded map per block.
-    val blockLabels = local.flatMap { b =>
-      b.data.filter(_ != 0.0).map(_.toLong).distinct.map(l => (b.imageId, b.idx, l))
-    }.toDF("imageId", "idx", "old")
+    // Block labels joined to the relabel relation (shuffle join on label —
+    // broadcastable when small, AQE picks), folded back into one bounded
+    // map per block.
     val perBlock = blockLabels.join(relabelDf, "old")
       .groupBy("imageId", "idx")
       .agg(map_from_entries(collect_list(struct(col("old"), col("dense")))).as("m"))

@@ -38,4 +38,45 @@ class LargeTensorSpec extends SparkSpec {
         s"min seam mismatch at ($row,$j)")
     }
   }
+
+  /** 648×648 image, 16 blocks: ~103k isolated dots + 6 full-width stripes
+    * (each crossing 3 block seams). Expected component count is exact:
+    * 318 dot-rows × 324 dots + 6 stripes = 103,038. Exercises the
+    * distributed relabel (sort+zipWithIndex rank + per-block join) at
+    * ≥10⁵ labels, in both lineage-truncation modes. */
+  private def labelStress(): Unit = {
+    val n = 648
+    val img = Nd.zeros(Array(n, n))
+    val stripeRows = Set(50, 150, 250, 350, 450, 550)
+    for (r <- 0 until n by 2; c <- 0 until n) {
+      if (stripeRows(r)) img.data(r * n + c) = 1.0
+      else if (c % 2 == 0) img.data(r * n + c) = 1.0
+    }
+    val expected = (324 - 6) * 324 + 6 // 103,038
+    val ds = Grid.blockify(spark, "stress", img, Seq(162, 162))
+    assert(ds.count() == 16)
+    val (lab, num) = Measure.label(ds, 2, 1)
+    assert(num == expected, s"component count $num != $expected")
+    import spark.implicits._
+    val stats = lab.flatMap(b => b.data.filter(_ != 0.0).map(_.toLong))
+      .toDF("l").agg(
+        org.apache.spark.sql.functions.countDistinct("l"),
+        org.apache.spark.sql.functions.min("l"),
+        org.apache.spark.sql.functions.max("l")).head()
+    assert(stats.getLong(0) == expected, "labels not dense: distinct != n")
+    assert(stats.getLong(1) == 1L && stats.getLong(2) == expected.toLong,
+      "labels not exactly 1..n after densify")
+  }
+
+  test("label at 1e5+ components: distributed relabel, localCheckpoint mode") {
+    labelStress()
+  }
+
+  test("label at 1e5+ components: reliable checkpoint mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try labelStress()
+    finally spark.conf.set("graft.checkpoint.reliable", "false")
+  }
 }
