@@ -67,6 +67,27 @@ object ImreadQueries {
     framesToDf(ImageSource.readPng(s, glob)).orderBy("f", "i", "j")
   }
 
+  /** TIFF gate additionally exercises MULTI-PAGE frame indexing: frames
+    * 0–1 live in one two-page file, frame 2 in a second file — decode,
+    * page chaining, and the cross-file frame base must all line up. */
+  val imreadTiff: Q = (s, dir) => {
+    val px = Images.toPixels(Images.eventsRaster(s, dir))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val base = new Array[Double](H * W)
+    for ((i, j, v) <- px)
+      base(i * W + j) = (((math.round(v * 100) % 256) + 256) % 256).toDouble
+    val frameStep = 11
+    val frames = (0 until FRAMES).map(f => base.map(p => (p + frameStep * f) % 256))
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_imread_tiff_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(out)
+    java.nio.file.Files.write(out.resolve("frames_000_001.tiff"),
+      ImageSource.encodeTiffPages(frames.take(2).map(f => (H, W, f))))
+    java.nio.file.Files.write(out.resolve("frames_002.tiff"),
+      ImageSource.encodeTiff(H, W, frames(2)))
+    framesToDf(ImageSource.readTiff(s, s"$out/*.tiff")).orderBy("f", "i", "j")
+  }
+
   private def roundtripSql(frameStep: Int): String =
     s"""WITH ${TensorQueries.gridCte},
        |frames AS (SELECT unnest([0, 1, 2]) AS f)
@@ -79,10 +100,12 @@ object ImreadQueries {
   val queries: Map[String, Q] = Map(
     "imread_pgm" -> imreadPgm,
     "imread_png" -> imreadPng,
+    "imread_tiff" -> imreadTiff,
   )
 
   val oracle: Map[String, String] = Map(
     "imread_pgm" -> roundtripSql(7),
     "imread_png" -> roundtripSql(13),
+    "imread_tiff" -> roundtripSql(11),
   )
 }

@@ -16,8 +16,10 @@ import graft.tensor.Block
   * (distributed, one task per file), a per-file decoder turns each frame
   * into one Block row keyed by frame index. Frames stack on a leading
   * axis exactly like the reference's nframes chunking. Codecs: binary
-  * PGM (P5) and PNG (grayscale, via the JDK's javax.imageio — no extra
-  * dependency); other decoders plug into the same seam.
+  * PGM (P5), PNG (grayscale, via the JDK's javax.imageio — no extra
+  * dependency), and baseline TIFF (uncompressed grayscale 8/16-bit, II/MM,
+  * multi-page — the reference's primary format); other decoders plug into
+  * the same seam.
   */
 object ImageSource {
 
@@ -57,6 +59,33 @@ object ImageSource {
 
   def readPng(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] =
     readFrames(spark, glob, "png", imageId)
+
+  /** TIFF imread — the reference's primary format. Unlike PGM/PNG, one
+    * TIFF file can hold many frames (multi-IFD), so frame indexing runs in
+    * two passes: a metadata-only pass counts pages per file (only
+    * (path, count) rows cross the ordering window — never pixels), then
+    * the decode pass emits `base + page` frame ids. Baseline codec:
+    * uncompressed grayscale, 8/16-bit, both byte orders, strip layout. */
+  def readTiff(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val counts = files.as[(String, Array[Byte])]
+      .map { case (p, b) => (p, tiffPageCount(b)) }.toDF("path", "np")
+    val win = Window.orderBy(col("path"))
+    val based = counts.withColumn("base",
+      coalesce(sum(col("np")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = based.agg(coalesce(sum(col("np")), lit(0L))).as[Long].head().toInt
+    files.join(based, "path").select(col("base"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (base, bytes) =>
+        decodeTiff(bytes).zipWithIndex.map { case ((h, w, px), pg) =>
+          val f = (base + pg).toInt
+          Block(imageId, Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
+            Seq(total, h, w), px)
+        }
+      }
+  }
 
   /** Binary PGM (P5) decoder: header "P5 <w> <h> <maxval>" then raw
     * bytes. Returns (h, w, doubles). */
@@ -111,6 +140,159 @@ object ImageSource {
     }
     (h, w, out)
   }
+
+  // ------------------------------------------------------------------ TIFF
+
+  private def tiffOrder(bytes: Array[Byte]): Boolean = {
+    require(bytes.length >= 8, "truncated TIFF")
+    val le = (bytes(0).toChar, bytes(1).toChar) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
+    }
+    le
+  }
+
+  private def tU16(bytes: Array[Byte], off: Int, le: Boolean): Int =
+    if (le) (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+
+  private def tU32(bytes: Array[Byte], off: Int, le: Boolean): Long =
+    if (le) tU16(bytes, off, le).toLong | (tU16(bytes, off + 2, le).toLong << 16)
+    else (tU16(bytes, off, le).toLong << 16) | tU16(bytes, off + 2, le).toLong
+
+  /** Number of IFDs (pages) — metadata-only walk, no pixel access. */
+  private[graft] def tiffPageCount(bytes: Array[Byte]): Long = {
+    val le = tiffOrder(bytes)
+    require(tU16(bytes, 2, le) == 42, "not a TIFF: bad magic")
+    var ifd = tU32(bytes, 4, le).toInt
+    var n = 0L
+    while (ifd != 0) {
+      n += 1
+      ifd = tU32(bytes, ifd + 2 + 12 * tU16(bytes, ifd, le), le).toInt
+    }
+    n
+  }
+
+  /** Baseline TIFF decoder: uncompressed (Compression=1) grayscale
+    * (SamplesPerPixel=1), 8- or 16-bit unsigned, strip-organized, II or MM
+    * byte order, one (h, w, pixels) per IFD page. */
+  private[graft] def decodeTiff(bytes: Array[Byte]): Seq[(Int, Int, Array[Double])] = {
+    val le = tiffOrder(bytes)
+    require(tU16(bytes, 2, le) == 42, "not a TIFF: bad magic")
+    var ifd = tU32(bytes, 4, le).toInt
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
+    while (ifd != 0) {
+      val n = tU16(bytes, ifd, le)
+      var width = -1L; var height = -1L; var bps = 1L; var comp = 1L
+      var spp = 1L; var rps = Long.MaxValue
+      var stripOffs: Array[Long] = Array.empty
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + 12 * e
+        val tag = tU16(bytes, off, le)
+        val typ = tU16(bytes, off + 2, le)
+        val cnt = tU32(bytes, off + 4, le).toInt
+        val sz = typ match {
+          case 1 => 1 // BYTE
+          case 3 => 2 // SHORT
+          case 4 => 4 // LONG
+          case _ => 0 // types we never read (RATIONAL etc.)
+        }
+        // values are inline (left-justified) when they fit in 4 bytes
+        def vals: Array[Long] = {
+          val base = if (sz != 0 && sz * cnt <= 4) off + 8 else tU32(bytes, off + 8, le).toInt
+          Array.tabulate(cnt) { i =>
+            sz match {
+              case 1 => (bytes(base + i) & 0xff).toLong
+              case 2 => tU16(bytes, base + 2 * i, le).toLong
+              case _ => tU32(bytes, base + 4 * i, le)
+            }
+          }
+        }
+        tag match {
+          case 256 => width = vals(0)
+          case 257 => height = vals(0)
+          case 258 => bps = vals(0)
+          case 259 => comp = vals(0)
+          case 273 => stripOffs = vals
+          case 277 => spp = vals(0)
+          case 278 => rps = vals(0)
+          case 339 => require(vals(0) == 1L, "TIFF: only unsigned-int samples supported")
+          case _   => // photometric, byte counts, resolution, … not needed
+        }
+        e += 1
+      }
+      require(width > 0 && height > 0, "TIFF: missing dimensions")
+      require(comp == 1L, s"TIFF: compression $comp unsupported (baseline uncompressed only)")
+      require(spp == 1L, "TIFF: only single-sample (grayscale) supported")
+      require(bps == 8L || bps == 16L, s"TIFF: $bps bits/sample unsupported")
+      val h = height.toInt; val w = width.toInt
+      val rowsPerStrip = math.min(rps, height).toInt
+      val out = new Array[Double](h * w)
+      var strip = 0
+      var row = 0
+      while (row < h) {
+        val rows = math.min(rowsPerStrip, h - row)
+        var p = stripOffs(strip).toInt
+        var i = row * w
+        val end = (row + rows) * w
+        while (i < end) {
+          out(i) =
+            if (bps == 8L) (bytes(p) & 0xff).toDouble
+            else tU16(bytes, p, le).toDouble
+          p += (if (bps == 8L) 1 else 2)
+          i += 1
+        }
+        row += rows
+        strip += 1
+      }
+      frames += ((h, w, out))
+      ifd = tU32(bytes, ifd + 2 + 12 * n, le).toInt
+    }
+    frames.toSeq
+  }
+
+  /** Encode pages as a little-endian uncompressed 8-bit grayscale TIFF,
+    * one strip and one chained IFD per page (test/round-trip support). */
+  private[graft] def encodeTiffPages(pages: Seq[(Int, Int, Array[Double])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    def entry(tag: Int, typ: Int, cnt: Long, v: Long): Unit = {
+      u16(tag); u16(typ); u32(cnt); u32(v)
+    }
+    val nEntries = 9
+    val ifdSize = 2 + nEntries * 12 + 4
+    var off = 8L
+    val pixOff = new Array[Long](pages.length)
+    val ifdOff = new Array[Long](pages.length)
+    for (i <- pages.indices) {
+      val (h, w, _) = pages(i)
+      pixOff(i) = off; off += h.toLong * w
+      ifdOff(i) = off; off += ifdSize
+    }
+    bos.write('I'); bos.write('I'); u16(42); u32(ifdOff(0))
+    for (i <- pages.indices) {
+      val (h, w, px) = pages(i)
+      px.foreach(v => bos.write(math.max(0, math.min(255, math.round(v))).toInt))
+      u16(nEntries)
+      entry(256, 4, 1, w)          // ImageWidth
+      entry(257, 4, 1, h)          // ImageLength
+      entry(258, 3, 1, 8)          // BitsPerSample
+      entry(259, 3, 1, 1)          // Compression: none
+      entry(262, 3, 1, 1)          // Photometric: BlackIsZero
+      entry(273, 4, 1, pixOff(i))  // StripOffsets
+      entry(277, 3, 1, 1)          // SamplesPerPixel
+      entry(278, 4, 1, h)          // RowsPerStrip
+      entry(279, 4, 1, h.toLong * w) // StripByteCounts
+      u32(if (i + 1 < pages.length) ifdOff(i + 1) else 0L)
+    }
+    bos.toByteArray
+  }
+
+  private[graft] def encodeTiff(h: Int, w: Int, px: Array[Double]): Array[Byte] =
+    encodeTiffPages(Seq((h, w, px)))
 
   /** Encode a 2-d array as binary PGM (test/round-trip support). */
   private[graft] def encodePgm(h: Int, w: Int, px: Array[Double]): Array[Byte] = {

@@ -47,6 +47,56 @@ class ImageSourceSpec extends SparkSpec {
     }
   }
 
+  test("imread TIFF: multi-page + multi-file frame indexing round-trips") {
+    val dir = Files.createTempDirectory("graft_tif").toFile
+    dir.deleteOnExit()
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(6 * 5)(i => ((i * 17 + f * 29) % 256).toDouble)
+    }
+    // frames 0-2 in one 3-page file, 3 in its own, 4 in its own
+    Files.write(Paths.get(dir.getPath, "a_000_002.tiff"),
+      ImageSource.encodeTiffPages(frames.take(3).map(p => (6, 5, p))))
+    Files.write(Paths.get(dir.getPath, "b_003.tiff"),
+      ImageSource.encodeTiff(6, 5, frames(3)))
+    Files.write(Paths.get(dir.getPath, "c_004.tiff"),
+      ImageSource.encodeTiff(6, 5, frames(4)))
+    val ds = ImageSource.readTiff(spark, dir.getPath + "/*.tiff")
+    val blocks = ds.collect().sortBy(_.idx.head)
+    assert(blocks.length == 5)
+    assert(blocks.forall(_.arrayShape == Seq(5, 6, 5)))
+    for ((b, f) <- blocks.zipWithIndex) {
+      assert(b.idx == Seq(f, 0, 0) && b.shape == Seq(1, 6, 5))
+      assert(b.data.sameElements(frames(f)), s"frame $f pixels differ")
+    }
+  }
+
+  test("TIFF decoder: big-endian (MM) 16-bit strips") {
+    // hand-built MM TIFF: 2x3, 16-bit, two strips of one+one rows... keep
+    // one strip of 2 rows for simplicity; samples 256*r + c + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v & 0xffff) }
+    bos.write('M'); bos.write('M'); u16(42); u32(8 + 12) // pixels then IFD
+    val px = for (r <- 0 until 2; c <- 0 until 3) yield 256 * r + c + 1
+    px.foreach(u16) // 12 bytes of pixels at offset 8
+    u16(8) // 8 IFD entries
+    def entry(tag: Int, typ: Int, cnt: Int, inline: Int): Unit = {
+      u16(tag); u16(typ); u32(cnt)
+      if (typ == 3) { u16(inline); u16(0) } else u32(inline)
+    }
+    entry(256, 4, 1, 3); entry(257, 4, 1, 2)   // w=3 h=2
+    entry(258, 3, 1, 16); entry(259, 3, 1, 1)  // 16-bit, uncompressed
+    entry(273, 4, 1, 8)                        // strip at 8
+    entry(277, 3, 1, 1); entry(278, 4, 1, 2)   // 1 sample, 2 rows/strip
+    entry(279, 4, 1, 12)
+    u32(0) // no next IFD
+    val pages = ImageSource.decodeTiff(bos.toByteArray)
+    assert(pages.length == 1)
+    val (h, w, data) = pages.head
+    assert(h == 2 && w == 3)
+    assert(data.toSeq == px.map(_.toDouble))
+  }
+
   test("PGM decoder: comments and 16-bit maxval") {
     val ascii = "P5\n# a comment line\n2 2\n65535\n".getBytes("US-ASCII")
     val body = Array[Byte](0x01, 0x00, 0x00, 0xff.toByte, 0x10, 0x00, 0x00, 0x2a)
