@@ -499,6 +499,19 @@ object TensorQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Order-2 sibling of the roundtrip gate: quadratic prefilter followed
+    * by reconstruction with B₂ at the integer grid — separable
+    * [1/8, 6/8, 1/8] (B₂(0)=¾, B₂(±1)=⅛). Same identity, different pole
+    * (√8−3) and basis; a wrong pole/gain/depth for order 2 breaks it. */
+  val tensorSpline2Roundtrip: Q = (s, dir) => {
+    val c = Interp.splineFilter(Images.eventsRaster(s, dir, ch = 24, cw = 32), 2, order = 2)
+    val k = Nd.of(Array(3, 3),
+      Array(1.0, 6.0, 1.0, 6.0, 36.0, 6.0, 1.0, 6.0, 1.0).map(_ / 64.0))
+    Images.toPixels(Filters.correlate(c, k, mode = "mirror"))
+      .select(col("i"), col("j"), (round(col("v"), 2) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** spline_filter1d gate: same identity along axis 1 only. */
   val tensorSpline1dRoundtrip: Q = (s, dir) => {
     val c = Interp.splineFilter1d(Images.eventsRaster(s, dir, ch = 24, cw = 32), 2,
@@ -763,6 +776,7 @@ object TensorQueries {
     "tensor_threshold_local" -> tensorThresholdLocal,
     "tensor_fourier_uniform" -> tensorFourierUniform,
     "tensor_spline_roundtrip" -> tensorSplineRoundtrip,
+    "tensor_spline2_roundtrip" -> tensorSpline2Roundtrip,
     "tensor_spline1d_roundtrip" -> tensorSpline1dRoundtrip,
     "tensor_extrema" -> tensorExtrema,
     "tensor_label_comprehension" -> tensorLabelComprehension,
@@ -792,6 +806,7 @@ object TensorQueries {
     "tensor_threshold_local" -> tensorThresholdLocalSql,
     "tensor_fourier_uniform" -> tensorFourierUniformSql,
     "tensor_spline_roundtrip" -> tensorSplineRoundtripSql,
+    "tensor_spline2_roundtrip" -> tensorSplineRoundtripSql,
     "tensor_spline1d_roundtrip" -> tensorSplineRoundtripSql,
     "tensor_extrema" -> tensorExtremaSql,
     "tensor_label_comprehension" -> tensorLabelComprehensionSql,

@@ -14,8 +14,10 @@ import org.apache.spark.sql.Dataset
   *
   * Orders 0 (nearest) and 1 (linear) are exact; boundary mode is
   * `constant` (cval), the reference's own restriction. `spline_filter`
-  * (orders 2–3) is the finite-halo IIR approximation the reference also
-  * makes (documented depth heuristic).
+  * (orders 2–5, scipy's full pole set) is the finite-halo IIR
+  * approximation the reference also makes (documented depth heuristic);
+  * `affine_transform` accepts orders 0–5 (order ≥ 2 samples the
+  * prefiltered coefficients with the matching cardinal B-spline basis).
   */
 /** One output block's requirement of one input block (public: Spark's
   * encoder codegen cannot touch private classes). */
@@ -27,8 +29,8 @@ object Interp {
   private type Need = AffineNeed
 
   /** affine_transform(input, matrix, offset, output_shape, order, cval):
-    * output(o) = input(M·(o) + offset), order ∈ {0, 1}. Matrix is row-major
-    * d×d. Output grid reuses the input chunking. */
+    * output(o) = input(M·(o) + offset), order ∈ {0, …, 5}. Matrix is
+    * row-major d×d. Output grid reuses the input chunking. */
   def affineTransform(
       ds: Dataset[Block],
       ndim: Int,
@@ -37,14 +39,14 @@ object Interp {
       outputShape: Option[Seq[Int]] = None,
       order: Int = 1,
       cval: Double = 0.0): Dataset[Block] = {
-    require(Set(0, 1, 3).contains(order),
-      "affine_transform: spline orders 0, 1 and 3 supported")
+    require(order >= 0 && order <= 5,
+      "affine_transform: spline orders 0..5 supported")
     val spark = ds.sparkSession
     import spark.implicits._
 
-    // order 3 samples B-spline COEFFICIENTS: prefilter first (scipy's
-    // prefilter=True), then blend with the cubic basis below
-    val src = if (order == 3) splineFilter(ds, ndim, 3) else ds
+    // order ≥ 2 samples B-spline COEFFICIENTS: prefilter first (scipy's
+    // prefilter=True), then blend with the matching basis below
+    val src = if (order >= 2) splineFilter(ds, ndim, order) else ds
 
     // geometry comes from any input block (metadata-only single-row action)
     val proto = src.head()
@@ -63,7 +65,7 @@ object Interp {
         (0 until ndim).map(r =>
           (0 until ndim).map(c => matrix(r)(c) * g(c)).sum + offset(r))
       }
-      val margin = if (order == 3) 2 else 1
+      val margin = if (order >= 2) order / 2 + 1 else 1
       val lo = (0 until ndim).map(k => math.floor(corners.map(_(k)).min).toInt - margin)
       val hi = (0 until ndim).map(k => math.ceil(corners.map(_(k)).max).toInt + margin)
       // input blocks overlapping [lo, hi], clipped to the input grid
@@ -153,6 +155,29 @@ object Interp {
                 if (w != 0.0) acc += w * sample(g)
               }
               acc
+            } else if (order >= 2) {
+              // general B-spline blend (orders 2, 4, 5): support = order+1
+              // points starting at scipy's start index — floor(x) − order/2
+              // for odd orders, floor(x + 0.5) − order/2 for even
+              val half = order / 2
+              val base = src.map(x =>
+                (if (order % 2 == 1) math.floor(x) else math.floor(x + 0.5)).toInt - half)
+              val wAxis = Array.tabulate(ndim) { k =>
+                Array.tabulate(order + 1)(t => bspline(order, src(k) - (base(k) + t)))
+              }
+              var acc = 0.0
+              Grid.cartesian(Seq.fill(ndim)(order + 1)).foreach { offs =>
+                var w = 1.0
+                val g = new Array[Int](ndim)
+                var k = 0
+                while (k < ndim) {
+                  w *= wAxis(k)(offs(k))
+                  g(k) = base(k) + offs(k)
+                  k += 1
+                }
+                if (w != 0.0) acc += w * sample(g)
+              }
+              acc
             } else {
               // multilinear blend over the 2^d floor-corner cube
               val base = src.map(x => math.floor(x).toInt)
@@ -216,13 +241,27 @@ object Interp {
 
   // ------------------------------------------------------------ splines
 
-  /** Pole(s) of the B-spline prefilter per order (scipy get_spline_poles). */
+  /** Pole(s) of the B-spline prefilter per order (scipy get_spline_poles:
+    * closed-form roots of the B-spline z-transform denominators). */
   private def poles(order: Int): Array[Double] = order match {
     case 0 | 1 => Array.empty
     case 2 => Array(math.sqrt(8.0) - 3.0)
     case 3 => Array(math.sqrt(3.0) - 2.0)
+    case 4 => Array(
+      math.sqrt(664.0 - math.sqrt(438976.0)) + math.sqrt(304.0) - 19.0,
+      math.sqrt(664.0 + math.sqrt(438976.0)) - math.sqrt(304.0) - 19.0)
+    case 5 => Array(
+      math.sqrt(135.0 / 2.0 - math.sqrt(17745.0 / 4.0)) + math.sqrt(105.0 / 4.0) - 13.0 / 2.0,
+      math.sqrt(135.0 / 2.0 + math.sqrt(17745.0 / 4.0)) - math.sqrt(105.0 / 4.0) - 13.0 / 2.0)
     case other => throw new IllegalArgumentException(s"spline order $other unsupported")
   }
+
+  /** Centered cardinal B-spline B_n(u), exact via Cox–de Boor recursion
+    * (B_0 = 1 on [−½, ½)); used for the order-2/4/5 interpolation basis. */
+  private[graft] def bspline(n: Int, u: Double): Double =
+    if (n == 0) { if (u >= -0.5 && u < 0.5) 1.0 else 0.0 }
+    else (u + (n + 1) * 0.5) / n * bspline(n - 1, u + 0.5) +
+      ((n + 1) * 0.5 - u) / n * bspline(n - 1, u - 0.5)
 
   /** Finite-halo depth so the truncated IIR tail < 1e−10 — the same
     * approximation the reference documents for its spline_filter

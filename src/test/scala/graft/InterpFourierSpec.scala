@@ -124,6 +124,63 @@ class InterpFourierSpec extends SparkSpec {
     }
   }
 
+  test("spline orders 2/4/5: prefilter + B_n reconstruction is the identity; chunk-invariant") {
+    // bspline recursion sanity: cubic closed-form values
+    assert(math.abs(Interp.bspline(3, 0.0) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(Interp.bspline(3, 1.0) - 1.0 / 6.0) < 1e-15)
+    assert(math.abs(Interp.bspline(2, 0.0) - 0.75) < 1e-15)
+    assert(math.abs(Interp.bspline(2, 1.0) - 0.125) < 1e-15)
+    val big = testImage(72, 64)
+    for (order <- Seq(2, 4, 5)) {
+      // chunk-invariance: single block vs 36x32 chunks (halo depth ≤ 28)
+      val a = Grid.unblockify(Interp.splineFilter(
+        Grid.blockify(spark, "t", big, big.shape.toSeq), 2, order))
+      val b = Grid.unblockify(Interp.splineFilter(
+        Grid.blockify(spark, "t", big, Seq(36, 32)), 2, order))
+      assert(maxAbsDiff(a, b) < 1e-6, s"order-$order spline chunk divergence")
+      // 1-d reconstruction identity with the B_order integer-grid taps
+      val line = Nd.zeros(Array(1, 64))
+      for (j <- 0 until 64) line.data(j) = math.sin(j * 0.3) + 0.1 * j
+      val coef = Grid.unblockify(Interp.splineFilter1d(
+        Grid.blockify(spark, "t", line, Seq(1, 64)), 2, order, axis = 1))
+      val half = order / 2
+      for (j <- 8 until 56) {
+        var recon = 0.0
+        for (t <- -half to half)
+          recon += Interp.bspline(order, t.toDouble) * coef.data(j + t)
+        assert(math.abs(recon - line.data(j)) < 1e-8,
+          s"B$order reconstruction at $j: $recon vs ${line.data(j)}")
+      }
+    }
+  }
+
+  test("affine_transform orders 2/4/5: identity reproduces the image interior") {
+    val big = testImage(72, 64)
+    for (order <- Seq(2, 4, 5)) {
+      val ds = Grid.blockify(spark, "t", big, Seq(36, 32))
+      val got = Grid.unblockify(Interp.affineTransform(ds, 2,
+        Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0), order = order))
+      var worst = 0.0
+      for (i <- 8 until 64; j <- 8 until 56)
+        worst = math.max(worst, math.abs(got.data(i * 64 + j) - big.data(i * 64 + j)))
+      assert(worst < 1e-6, s"order-$order identity interior error $worst")
+    }
+  }
+
+  test("affine_transform order 5: subpixel shift matches the single-block result") {
+    val big = testImage(72, 64)
+    val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val off = Array(0.3, -0.7)
+    val multi = Grid.unblockify(Interp.affineTransform(
+      Grid.blockify(spark, "t", big, Seq(36, 32)), 2, m, off, order = 5))
+    val single = Grid.unblockify(Interp.affineTransform(
+      Grid.blockify(spark, "t", big, big.shape.toSeq), 2, m, off, order = 5))
+    var worst = 0.0
+    for (i <- 8 until 64; j <- 8 until 56)
+      worst = math.max(worst, math.abs(multi.data(i * 64 + j) - single.data(i * 64 + j)))
+    assert(worst < 1e-6, s"order-5 chunking divergence $worst")
+  }
+
   test("fourier ops: gaussian/uniform attenuate, shift is exact in phase, all chunk-invariant") {
     def run(op: org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block],
         chunks: Seq[Int]): Nd =
