@@ -113,6 +113,41 @@ object StreamOps {
       |  count(*) AS n, round(sum(value), 2) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Production-sink variant: the tumbling aggregation written to a
+    * PARQUET APPEND SINK with a checkpoint dir — the cluster deployment
+    * shape (file sinks are append-only). Append emits a window exactly
+    * when the watermark passes its end, and AvailableNow's final no-data
+    * batch advances the watermark to max(ts) − 10 min, so the sink holds
+    * precisely the windows with end ≤ max(ts) − 10 min — a deterministic
+    * subset the oracle reproduces with a HAVING clause. The last open
+    * window(s) stay in state, as they would on a live stream. */
+  val streamFileSink: Q = (s, dir) => {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(outDir).orderBy(col("bucket"))
+  }
+
+  val streamFileSinkSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1
+      |HAVING bucket + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ custom state
 
   /** flatMapGroupsWithState custom sessionizer (the reference-free
@@ -154,6 +189,7 @@ object StreamOps {
     "stream_session" -> streamSession,
     "stream_state_sessions" -> streamStateSessions,
     "stream_raster_pixels" -> streamRasterPixels,
+    "stream_file_sink" -> streamFileSink,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -163,6 +199,7 @@ object StreamOps {
     "stream_sliding" -> graft.queries.Relational.slidingWindowSql,
     "stream_session" -> graft.queries.Relational.sessionGapSql,
     "stream_state_sessions" -> graft.queries.Relational.sessionGapSql,
+    "stream_file_sink" -> streamFileSinkSql,
   )
 }
 

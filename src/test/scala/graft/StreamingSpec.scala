@@ -47,6 +47,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("parquet append sink holds exactly the watermark-closed windows") {
+    val sunk = graft.streaming.StreamOps.streamFileSink(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.queries.Relational.tumblingWindow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sunk.nonEmpty)
+    // every emitted window matches the batch result...
+    assert(sunk.forall { case (b, n) => batch.get(b).contains(n) })
+    // ...and the withheld set is exactly the windows still open at
+    // watermark = max(ts) − 10 min (the live-stream behavior)
+    val withheld = batch.keySet -- sunk.keySet
+    assert(withheld.nonEmpty && withheld.forall(_ >= sunk.keySet.max))
+  }
+
   test("flatMapGroupsWithState sessionizer equals the batch lag/cumsum idiom") {
     val a = graft.streaming.StreamOps.streamStateSessions(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
