@@ -67,9 +67,10 @@ object ImreadQueries {
     framesToDf(ImageSource.readPng(s, glob)).orderBy("f", "i", "j")
   }
 
-  /** TIFF gate additionally exercises MULTI-PAGE frame indexing: frames
-    * 0–1 live in one two-page file, frame 2 in a second file — decode,
-    * page chaining, and the cross-file frame base must all line up. */
+  /** TIFF gate additionally exercises MULTI-PAGE frame indexing and LZW:
+    * frames 0–1 live in one two-page LZW-compressed file, frame 2 in a
+    * second uncompressed file — decode (both codecs), page chaining, and
+    * the cross-file frame base must all line up. */
   val imreadTiff: Q = (s, dir) => {
     val px = Images.toPixels(Images.eventsRaster(s, dir))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -82,7 +83,7 @@ object ImreadQueries {
       sys.props("java.io.tmpdir"), s"graft_imread_tiff_${math.abs(dir.hashCode)}")
     java.nio.file.Files.createDirectories(out)
     java.nio.file.Files.write(out.resolve("frames_000_001.tiff"),
-      ImageSource.encodeTiffPages(frames.take(2).map(f => (H, W, f))))
+      ImageSource.encodeTiffPages(frames.take(2).map(f => (H, W, f)), lzw = true))
     java.nio.file.Files.write(out.resolve("frames_002.tiff"),
       ImageSource.encodeTiff(H, W, frames(2)))
     framesToDf(ImageSource.readTiff(s, s"$out/*.tiff")).orderBy("f", "i", "j")

@@ -174,7 +174,8 @@ object ImageSource {
     n
   }
 
-  /** Baseline TIFF decoder: uncompressed (Compression=1) grayscale
+  /** Baseline TIFF decoder: uncompressed (Compression=1) or LZW
+    * (Compression=5, incl. horizontal-differencing Predictor=2) grayscale
     * (SamplesPerPixel=1), 8- or 16-bit unsigned, strip-organized, II or MM
     * byte order, one (h, w, pixels) per IFD page. */
   private[graft] def decodeTiff(bytes: Array[Byte]): Seq[(Int, Int, Array[Double])] = {
@@ -185,8 +186,9 @@ object ImageSource {
     while (ifd != 0) {
       val n = tU16(bytes, ifd, le)
       var width = -1L; var height = -1L; var bps = 1L; var comp = 1L
-      var spp = 1L; var rps = Long.MaxValue
+      var spp = 1L; var rps = Long.MaxValue; var pred = 1L
       var stripOffs: Array[Long] = Array.empty
+      var stripCounts: Array[Long] = Array.empty
       var e = 0
       while (e < n) {
         val off = ifd + 2 + 12 * e
@@ -218,15 +220,20 @@ object ImageSource {
           case 273 => stripOffs = vals
           case 277 => spp = vals(0)
           case 278 => rps = vals(0)
+          case 279 => stripCounts = vals
+          case 317 => pred = vals(0)
           case 339 => require(vals(0) == 1L, "TIFF: only unsigned-int samples supported")
-          case _   => // photometric, byte counts, resolution, … not needed
+          case _   => // photometric, resolution, … not needed
         }
         e += 1
       }
       require(width > 0 && height > 0, "TIFF: missing dimensions")
-      require(comp == 1L, s"TIFF: compression $comp unsupported (baseline uncompressed only)")
+      require(comp == 1L || comp == 5L,
+        s"TIFF: compression $comp unsupported (baseline: 1=none, 5=LZW)")
       require(spp == 1L, "TIFF: only single-sample (grayscale) supported")
       require(bps == 8L || bps == 16L, s"TIFF: $bps bits/sample unsupported")
+      require(pred == 1L || (pred == 2L && bps == 8L),
+        s"TIFF: predictor $pred at $bps bps unsupported")
       val h = height.toInt; val w = width.toInt
       val rowsPerStrip = math.min(rps, height).toInt
       val out = new Array[Double](h * w)
@@ -234,14 +241,36 @@ object ImageSource {
       var row = 0
       while (row < h) {
         val rows = math.min(rowsPerStrip, h - row)
-        var p = stripOffs(strip).toInt
+        val bytesPerPx = if (bps == 8L) 1 else 2
+        val sb: Array[Byte] =
+          if (comp == 1L) {
+            val off = stripOffs(strip).toInt
+            java.util.Arrays.copyOfRange(bytes, off, off + rows * w * bytesPerPx)
+          } else {
+            val off = stripOffs(strip).toInt
+            lzwDecode(java.util.Arrays.copyOfRange(bytes, off,
+              off + stripCounts(strip).toInt), rows * w * bytesPerPx)
+          }
+        if (pred == 2L) {
+          // horizontal differencing: each sample is a delta from the left
+          var r = 0
+          while (r < rows) {
+            var cpos = 1
+            while (cpos < w) {
+              sb(r * w + cpos) = (sb(r * w + cpos) + sb(r * w + cpos - 1)).toByte
+              cpos += 1
+            }
+            r += 1
+          }
+        }
         var i = row * w
+        var p = 0
         val end = (row + rows) * w
         while (i < end) {
           out(i) =
-            if (bps == 8L) (bytes(p) & 0xff).toDouble
-            else tU16(bytes, p, le).toDouble
-          p += (if (bps == 8L) 1 else 2)
+            if (bps == 8L) (sb(p) & 0xff).toDouble
+            else tU16(sb, p, le).toDouble
+          p += bytesPerPx
           i += 1
         }
         row += rows
@@ -253,14 +282,113 @@ object ImageSource {
     frames.toSeq
   }
 
-  /** Encode pages as a little-endian uncompressed 8-bit grayscale TIFF,
-    * one strip and one chained IFD per page (test/round-trip support). */
-  private[graft] def encodeTiffPages(pages: Seq[(Int, Int, Array[Double])]): Array[Byte] = {
+  // TIFF LZW (spec + libtiff convention): MSB-first bit packing, codes
+  // 256=Clear / 257=EOI, 9→12-bit widths with EARLY CHANGE (width bumps
+  // when the table reaches 2^w − 1, one entry before GIF would).
+
+  /** Decompress one TIFF-LZW strip to `expected` bytes. */
+  private[graft] def lzwDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 Clear, 257 EOI
+    }
+    resetDict()
+    var width = 9
+    var bitPos = 0
+    def nextCode(): Int = {
+      if ((bitPos + width) > in.length * 8) return 257
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = bitPos >> 3
+        v = (v << 1) | ((in(b) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && out.size < expected) {
+      val code = nextCode()
+      if (code == 257) done = true
+      else if (code == 256) { resetDict(); width = 9; prev = null }
+      else {
+        val entry =
+          if (code < dict.size && dict(code) != null) dict(code)
+          else prev :+ prev(0) // KwKwK
+        out.write(entry, 0, entry.length)
+        if (prev != null) {
+          dict += (prev :+ entry(0))
+          // decoder's table lags the encoder's by one entry at the same
+          // stream position, so the width bump fires one entry earlier
+          // than the encoder's (1<<w)-1 rule — the classic early-change
+          // pairing
+          if (dict.size >= (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Compress one strip with TIFF-LZW (round-trip/fixture support). */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      cur = (cur << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        out.write((cur >> (nbits - 8)) & 0xff)
+        nbits -= 8
+      }
+      cur &= (1 << nbits) - 1
+    }
+    var table = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258
+    def reset(): Unit = { table = scala.collection.mutable.HashMap.empty; nextCode = 258; width = 9 }
+    emit(256)
+    var prev = -1
+    for (byte <- data) {
+      val b = byte & 0xff
+      if (prev < 0) prev = b
+      else table.get((prev, b)) match {
+        case Some(c) => prev = c
+        case None =>
+          emit(prev)
+          table((prev, b)) = nextCode
+          nextCode += 1
+          if (nextCode >= (1 << width) - 1 && width < 12) width += 1
+          if (nextCode > 4093) { emit(256); reset() }
+          prev = b
+      }
+    }
+    if (prev >= 0) emit(prev)
+    emit(257)
+    if (nbits > 0) out.write((cur << (8 - nbits)) & 0xff)
+    out.toByteArray
+  }
+
+  /** Encode pages as a little-endian 8-bit grayscale TIFF — uncompressed
+    * or LZW — one strip and one chained IFD per page (test/round-trip
+    * support). */
+  private[graft] def encodeTiffPages(pages: Seq[(Int, Int, Array[Double])],
+      lzw: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
     def entry(tag: Int, typ: Int, cnt: Long, v: Long): Unit = {
       u16(tag); u16(typ); u32(cnt); u32(v)
+    }
+    val strips = pages.map { case (_, _, px) =>
+      val raw = px.map(v => math.max(0, math.min(255, math.round(v))).toByte)
+      if (lzw) lzwEncode(raw) else raw
     }
     val nEntries = 9
     val ifdSize = 2 + nEntries * 12 + 4
@@ -268,24 +396,23 @@ object ImageSource {
     val pixOff = new Array[Long](pages.length)
     val ifdOff = new Array[Long](pages.length)
     for (i <- pages.indices) {
-      val (h, w, _) = pages(i)
-      pixOff(i) = off; off += h.toLong * w
+      pixOff(i) = off; off += strips(i).length
       ifdOff(i) = off; off += ifdSize
     }
     bos.write('I'); bos.write('I'); u16(42); u32(ifdOff(0))
     for (i <- pages.indices) {
-      val (h, w, px) = pages(i)
-      px.foreach(v => bos.write(math.max(0, math.min(255, math.round(v))).toInt))
+      val (h, w, _) = pages(i)
+      bos.write(strips(i))
       u16(nEntries)
       entry(256, 4, 1, w)          // ImageWidth
       entry(257, 4, 1, h)          // ImageLength
       entry(258, 3, 1, 8)          // BitsPerSample
-      entry(259, 3, 1, 1)          // Compression: none
+      entry(259, 3, 1, if (lzw) 5 else 1) // Compression
       entry(262, 3, 1, 1)          // Photometric: BlackIsZero
       entry(273, 4, 1, pixOff(i))  // StripOffsets
       entry(277, 3, 1, 1)          // SamplesPerPixel
       entry(278, 4, 1, h)          // RowsPerStrip
-      entry(279, 4, 1, h.toLong * w) // StripByteCounts
+      entry(279, 4, 1, strips(i).length) // StripByteCounts
       u32(if (i + 1 < pages.length) ifdOff(i + 1) else 0L)
     }
     bos.toByteArray

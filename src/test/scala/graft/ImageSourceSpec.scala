@@ -70,6 +70,57 @@ class ImageSourceSpec extends SparkSpec {
     }
   }
 
+  test("TIFF LZW: codec round-trips across all code-width boundaries") {
+    // >4094 dictionary entries forces 9→10→11→12-bit widths AND a mid-
+    // stream Clear/reset; pseudo-random bytes defeat run coalescing
+    val data = Array.tabulate(40000)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val enc = graft.sources.ImageSource.lzwEncode(data)
+    val dec = graft.sources.ImageSource.lzwDecode(enc, data.length)
+    assert(dec.sameElements(data), "LZW round-trip mismatch")
+    // compressible data actually compresses
+    val runs = Array.fill(4096)(7.toByte)
+    assert(graft.sources.ImageSource.lzwEncode(runs).length < runs.length / 4)
+  }
+
+  test("TIFF LZW multi-page file + predictor=2 strips decode correctly") {
+    val dir = Files.createTempDirectory("graft_tifz").toFile
+    dir.deleteOnExit()
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(16 * 24)(i => ((i * 13 + f * 41) % 256).toDouble)
+    }
+    Files.write(Paths.get(dir.getPath, "z.tiff"),
+      ImageSource.encodeTiffPages(frames.map(p => (16, 24, p)), lzw = true))
+    val pages = ImageSource.decodeTiff(Files.readAllBytes(Paths.get(dir.getPath, "z.tiff")))
+    assert(pages.length == 3)
+    for ((p, f) <- pages.zipWithIndex)
+      assert(p._3.sameElements(frames(f)), s"LZW page $f mismatch")
+
+    // predictor=2 (horizontal differencing): hand-assemble one LE page
+    val h = 4; val w = 8
+    val px = Array.tabulate(h * w)(i => (i * 3 % 256))
+    val diffed = new Array[Byte](h * w)
+    for (r <- 0 until h; c <- 0 until w)
+      diffed(r * w + c) =
+        (if (c == 0) px(r * w + c) else px(r * w + c) - px(r * w + c - 1)).toByte
+    val strip = ImageSource.lzwEncode(diffed)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = { u16(tag); u16(typ); u32(cnt); u32(v) }
+    bos.write('I'); bos.write('I'); u16(42); u32(8 + strip.length)
+    bos.write(strip)
+    u16(10)
+    entry(256, 4, 1, w); entry(257, 4, 1, h)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 5) // LZW
+    entry(262, 3, 1, 1); entry(273, 4, 1, 8)
+    entry(277, 3, 1, 1); entry(278, 4, 1, h)
+    entry(279, 4, 1, strip.length); entry(317, 3, 1, 2) // Predictor: horizontal
+    u32(0)
+    val decoded = ImageSource.decodeTiff(bos.toByteArray)
+    assert(decoded.length == 1 && decoded.head._3.sameElements(px.map(_.toDouble)),
+      "predictor=2 decode mismatch")
+  }
+
   test("TIFF decoder: big-endian (MM) 16-bit strips") {
     // hand-built MM TIFF: 2x3, 16-bit, two strips of one+one rows... keep
     // one strip of 2 rows for simplicity; samples 256*r + c + 1
