@@ -711,6 +711,29 @@ object TensorQueries {
        |  CAST(sum(CASE WHEN v >= 175 AND v < 350 THEN 1 ELSE 0 END) AS BIGINT) AS bin1
        |FROM lpx GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ center of mass
+  /** Measure.centerOfMass — Σ(coordᵢ·v)/Σv per axis and label. The
+    * quotient of the two double sums is rounded at 6 dp (+0.0 for −0.0):
+    * cross-engine sum-order drift is ~1e-13 relative, far inside the
+    * rounding grain. */
+  val tensorCenterOfMass: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    Measure.centerOfMass(raster, labels, 2)
+      .select(col("label"),
+        (round(col("com0"), 6) + lit(0.0)).as("com_i"),
+        (round(col("com1"), 6) + lit(0.0)).as("com_j"))
+      .orderBy(col("label"))
+  }
+
+  val tensorCenterOfMassSql: String =
+    s"""WITH RECURSIVE $labelPixelsCte
+       |SELECT label,
+       |  round(sum(i * v) / sum(v), 6) + 0 AS com_i,
+       |  round(sum(j * v) / sum(v), 6) + 0 AS com_j
+       |FROM lpx GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------ extrema
   /** Measure.extrema — (min, max, min_pos, max_pos) in ONE aggregation
     * pass, scipy first-encounter tiebreak. */
@@ -779,6 +802,7 @@ object TensorQueries {
     "tensor_spline2_roundtrip" -> tensorSpline2Roundtrip,
     "tensor_spline1d_roundtrip" -> tensorSpline1dRoundtrip,
     "tensor_extrema" -> tensorExtrema,
+    "tensor_center_of_mass" -> tensorCenterOfMass,
     "tensor_label_comprehension" -> tensorLabelComprehension,
     "tensor_uniform3" -> tensorUniform3,
     "tensor_gaussian" -> tensorGaussian,
@@ -809,6 +833,7 @@ object TensorQueries {
     "tensor_spline2_roundtrip" -> tensorSplineRoundtripSql,
     "tensor_spline1d_roundtrip" -> tensorSplineRoundtripSql,
     "tensor_extrema" -> tensorExtremaSql,
+    "tensor_center_of_mass" -> tensorCenterOfMassSql,
     "tensor_label_comprehension" -> tensorLabelComprehensionSql,
     "tensor_rank3" -> tensorRank3Sql,
     "tensor_percentile30" -> tensorPercentile30Sql,
