@@ -146,10 +146,15 @@ object Similarity {
       .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
       .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
 
-  /** Two Lloyd passes from the deterministic seeds. */
+  /** Two Lloyd passes from the deterministic seeds. Each iteration's
+    * centroid table (K rows) is eagerly truncated with localCheckpoint:
+    * without it the final query tree re-executes the whole Lloyd prefix
+    * once per consumer (assignment + probe ranking), i.e. extra full
+    * scans of the corpus at 100 TB for a 10-row intermediate. */
   private def kmeans(vecs: DataFrame): DataFrame = {
     var cents = seedCents(vecs)
-    for (_ <- 1 to 2) cents = updateCents(assignCells(vecs, cents))
+    for (_ <- 1 to 2)
+      cents = updateCents(assignCells(vecs, cents)).localCheckpoint(true)
     cents
   }
 
