@@ -34,7 +34,7 @@ object ImageSource {
     * O(#files)-on-the-driver collect it replaces).
     */
   def readFrames(spark: SparkSession, glob: String, codec: String,
-      imageId: String = "imread"): Dataset[Block] = {
+      imageId: String = "imread", nframes: Int = 1): Dataset[Block] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
@@ -43,22 +43,55 @@ object ImageSource {
       .withColumn("frame", row_number().over(Window.orderBy(col("path"))) - 1)
       .select(col("frame"), col("content"))
       .as[(Int, Array[Byte])]
-    indexed.map { case (frame, bytes) =>
+    val frames = indexed.map { case (frame, bytes) =>
       val (h, w, px) = codec match {
         case "pgm" => decodePgm(bytes)
         case "png" => decodePng(bytes)
         case other => throw new IllegalArgumentException(s"imread codec: $other")
       }
-      Block(imageId, Seq(frame, 0, 0), Seq(frame, 0, 0),
-        Seq(1, h, w), Seq(1, h, w), Seq(nFrames.toInt, h, w), px)
+      (frame, h, w, px)
     }
+    stackFrames(frames, imageId, nFrames.toInt, nframes)
   }
 
-  def readPgm(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] =
-    readFrames(spark, glob, "pgm", imageId)
+  /** Assemble decoded frames into Blocks with `nframes` frames per chunk
+    * along the leading axis — the reference imread's `nframes` parameter
+    * (chunking knob for tiny-frame stacks). nframes=1 is a narrow map;
+    * larger values shuffle each group of frames to one assembling task. */
+  private def stackFrames(frames: Dataset[(Int, Int, Int, Array[Double])],
+      imageId: String, total: Int, nframes: Int): Dataset[Block] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    require(nframes >= 1, "imread: nframes must be >= 1")
+    if (nframes == 1)
+      frames.map { case (f, h, w, px) =>
+        Block(imageId, Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
+          Seq(total, h, w), px)
+      }
+    else
+      frames.groupByKey(_._1 / nframes).mapGroups { (ci, it) =>
+        val fs = it.toArray.sortBy(_._1)
+        val h = fs.head._2; val w = fs.head._3
+        require(fs.forall(f => f._2 == h && f._3 == w),
+          "imread: frames in one chunk must share dimensions")
+        val data = new Array[Double](fs.length * h * w)
+        var i = 0
+        while (i < fs.length) {
+          System.arraycopy(fs(i)._4, 0, data, i * h * w, h * w)
+          i += 1
+        }
+        Block(imageId, Seq(ci, 0, 0), Seq(ci * nframes, 0, 0), Seq(fs.length, h, w),
+          Seq(nframes, h, w), Seq(total, h, w), data)
+      }
+  }
 
-  def readPng(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] =
-    readFrames(spark, glob, "png", imageId)
+  def readPgm(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[Block] =
+    readFrames(spark, glob, "pgm", imageId, nframes)
+
+  def readPng(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[Block] =
+    readFrames(spark, glob, "png", imageId, nframes)
 
   /** TIFF imread — the reference's primary format. Unlike PGM/PNG, one
     * TIFF file can hold many frames (multi-IFD), so frame indexing runs in
@@ -66,7 +99,8 @@ object ImageSource {
     * (path, count) rows cross the ordering window — never pixels), then
     * the decode pass emits `base + page` frame ids. Baseline codec:
     * uncompressed grayscale, 8/16-bit, both byte orders, strip layout. */
-  def readTiff(spark: SparkSession, glob: String, imageId: String = "imread"): Dataset[Block] = {
+  def readTiff(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[Block] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
@@ -76,15 +110,14 @@ object ImageSource {
     val based = counts.withColumn("base",
       coalesce(sum(col("np")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val total = based.agg(coalesce(sum(col("np")), lit(0L))).as[Long].head().toInt
-    files.join(based, "path").select(col("base"), col("content"))
+    val frames = files.join(based, "path").select(col("base"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (base, bytes) =>
         decodeTiff(bytes).zipWithIndex.map { case ((h, w, px), pg) =>
-          val f = (base + pg).toInt
-          Block(imageId, Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
-            Seq(total, h, w), px)
+          ((base + pg).toInt, h, w, px)
         }
       }
+    stackFrames(frames, imageId, total, nframes)
   }
 
   /** Binary PGM (P5) decoder: header "P5 <w> <h> <maxval>" then raw

@@ -70,6 +70,30 @@ class ImageSourceSpec extends SparkSpec {
     }
   }
 
+  test("imread nframes: frames stack k-per-chunk with a ragged tail") {
+    val dir = Files.createTempDirectory("graft_nf").toFile
+    dir.deleteOnExit()
+    val frames = (0 until 5).map { f =>
+      val px = Array.tabulate(4 * 6)(i => ((i * 3 + f * 17) % 256).toDouble)
+      Files.write(Paths.get(dir.getPath, f"n_$f%03d.pgm"), ImageSource.encodePgm(4, 6, px))
+      px
+    }
+    val ds = ImageSource.readPgm(spark, dir.getPath + "/*.pgm", nframes = 2)
+    val blocks = ds.collect().sortBy(_.idx.head)
+    assert(blocks.length == 3)
+    assert(blocks.map(_.shape) === Seq(Seq(2, 4, 6), Seq(2, 4, 6), Seq(1, 4, 6)))
+    assert(blocks.forall(b => b.chunk == Seq(2, 4, 6) && b.arrayShape == Seq(5, 4, 6)))
+    for ((b, ci) <- blocks.zipWithIndex; k <- 0 until b.shape.head) {
+      val want = frames(ci * 2 + k)
+      val got = b.data.slice(k * 24, (k + 1) * 24)
+      assert(got.sameElements(want), s"chunk $ci frame $k mismatch")
+    }
+    // the stacked image behaves as a normal 3-d tensor, incl. a filter
+    // with a temporal (cross-chunk) extent
+    val sm = Filters.uniformFilter(ds, Seq(3, 1, 1))
+    assert(Grid.unblockify(sm).shape.toSeq == Seq(5, 4, 6))
+  }
+
   test("TIFF LZW: codec round-trips across all code-width boundaries") {
     // >4094 dictionary entries forces 9→10→11→12-bit widths AND a mid-
     // stream Clear/reset; pseudo-random bytes defeat run coalescing
