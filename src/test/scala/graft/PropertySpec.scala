@@ -78,4 +78,16 @@ class PropertySpec extends SparkSpec {
     val (s1, s2) = (sig(base), sig(more))
     assert(s1.zip(s2).forall { case (a, b) => b <= a })
   }
+
+  test("cardinal B-spline basis: partition of unity + non-negativity, orders 0-5") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200; n <- 0 to 5) {
+      val u = rnd.nextDouble() * 6.0 - 3.0
+      val total = (-7 to 7).map(t => Interp.bspline(n, u - t)).sum
+      assert(math.abs(total - 1.0) < 1e-12,
+        s"B_$n partition of unity fails at $u: $total")
+      assert((-7 to 7).forall(t => Interp.bspline(n, u - t) >= -1e-15),
+        s"B_$n negative weight at $u")
+    }
+  }
 }
