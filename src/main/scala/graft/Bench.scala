@@ -77,7 +77,11 @@ object Bench {
       val fn = qs(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        // a crashing query must not silently bench as ~0s
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       (1 to warmups).foreach(_ => once())
