@@ -167,6 +167,24 @@ class InterpFourierSpec extends SparkSpec {
     }
   }
 
+  test("affine_transform is rank-generic: 3-d subpixel shift, multi == single block") {
+    val img = Nd.zeros(Array(10, 12, 8))
+    for (i <- img.data.indices)
+      img.data(i) = math.sin(i * 0.37) * 2 + (i * 2654435761L % 97) * 0.01
+    val m = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val off = Array(0.5, -0.25, 0.75)
+    for (order <- Seq(0, 1)) {
+      val multi = Grid.unblockify(Interp.affineTransform(
+        Grid.blockify(spark, "t3", img, Seq(4, 5, 3)), 3, m, off, order = order, cval = -1.0))
+      val single = Grid.unblockify(Interp.affineTransform(
+        Grid.blockify(spark, "t3", img, img.shape.toSeq), 3, m, off, order = order, cval = -1.0))
+      assert(maxAbsDiff(multi, single) < 1e-12,
+        s"3-d affine order=$order chunking divergence")
+      assert(multi.shape.toSeq == Seq(10, 12, 8))
+    }
+  }
+
   test("affine_transform order 5: subpixel shift matches the single-block result") {
     val big = testImage(72, 64)
     val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
