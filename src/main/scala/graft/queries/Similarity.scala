@@ -121,16 +121,18 @@ object Similarity {
     * ties — mirrors the oracle's ORDER BY dp DESC, c). */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val carr = cents.agg(array_sort(collect_list(struct(col("c"), col("cv")))).as("cs"))
+    // transform-then-fold computes each centroid dot product exactly once
+    // (a CASE that recomputes the dot in its THEN arm would double the
+    // scan's FLOPs); strict > keeps the earliest (lowest c) on ties,
+    // mirroring the oracle's ORDER BY dp DESC, c
     vecs.crossJoin(broadcast(carr))
       .withColumn("cluster", expr(
-        """aggregate(cs,
+        """aggregate(
+          |  transform(cs, s -> named_struct(
+          |    'dp', aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0D, (a, x) -> a + x),
+          |    'c', s.c)),
           |  named_struct('dp', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
-          |  (acc, s) -> CASE
-          |    WHEN aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) > acc.dp
-          |    THEN named_struct(
-          |      'dp', aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0D, (a, x) -> a + x),
-          |      'c', s.c)
-          |    ELSE acc END,
+          |  (acc, x) -> IF(x.dp > acc.dp, x, acc),
           |  acc -> acc.c)""".stripMargin))
       .drop("cs")
   }
