@@ -67,11 +67,16 @@ object Similarity {
     * small non-empty result at BOTH scales (5 pairs at sf0.01, 86 at
     * sf0.1) — the oracle proves the pair arithmetic, not just emptiness. */
   val embeddingNearDup: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"), vecD.as("v"))
+    graft.functions.GraftExtensions.install(s)
+    // the O(pairs) cosine runs through the codegen'd native expression
+    // (same double-precision arithmetic as the HOF pipeline — cosine_topk
+    // proves the hash equivalence) over the raw float arrays: half the
+    // join bytes and no per-pair intermediate arrays
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))), 4).as("cos"))
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 4).as("cos"))
       .filter(col("cos") >= 0.40)
       .orderBy(col("va"), col("vb"))
   }
