@@ -102,6 +102,38 @@ object TextOps {
       |  max(len(string_split(text,' '))) AS max_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ sequence packing
+  /** Training-batch sequence packing: contiguous prefix-sum bucketing of
+    * each shard's docs into fixed 2000-token packs. The cumsum window is
+    * PARTITIONED by shard (doc_id % 8) — the scale-right shape: no global
+    * single-partition prefix sum; each shard packs independently and
+    * deterministically in doc_id order. Emits per-pack population stats
+    * (the downstream batch loader's manifest). */
+  val packSequences: Q = (s, dir) => {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), size(toks).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack", expr("(cum - tok) div 2000"))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).cast("long").as("sum_tokens"))
+      .orderBy(col("shard"), col("pack"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, tok,
+      |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT shard, (cum - tok) // 2000 AS pack,
+      |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------ top terms
   /** Top-3 terms per source by frequency (row_number with term tiebreak —
     * fully deterministic under count ties). Explode → partial-agg →
@@ -476,6 +508,7 @@ object TextOps {
     "exact_dedup_docs" -> exactDedupDocs,
     "dedup_keep_first" -> dedupKeepFirst,
     "doc_token_stats" -> docTokenStats,
+    "pack_sequences" -> packSequences,
     "top_terms" -> topTerms,
     "tfidf_top_terms" -> tfidfTopTerms,
     "text_quality" -> textQuality,
@@ -493,6 +526,7 @@ object TextOps {
     "exact_dedup_docs" -> exactDedupDocsSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
     "doc_token_stats" -> docTokenStatsSql,
+    "pack_sequences" -> packSequencesSql,
     "top_terms" -> topTermsSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_quality" -> textQualitySql,

@@ -46,4 +46,23 @@ class TextOpsSpec extends SparkSpec {
       .filter(size(split(col("text"), " ")) >= 3).count()
     assert(TextOps.docFingerprint(spark, sf0001).count() == nDocs)
   }
+
+  test("pack_sequences: packs are contiguous, conserve tokens, overflow <= one doc") {
+    val packs = TextOps.packSequences(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.t(spark, sf001, "documents")
+      .select((col("doc_id") % 8).as("shard"), size(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val maxTok = docs.map(_._2).max
+    for (shard <- docs.map(_._1).distinct) {
+      val sp = packs.filter(_._1 == shard).sortBy(_._2)
+      // contiguous pack ids from 0
+      assert(sp.map(_._2).toSeq == (0L until sp.length).toSeq, s"shard $shard pack gap")
+      // token conservation: every doc lands in exactly one pack
+      assert(sp.map(_._4).sum == docs.filter(_._1 == shard).map(_._2.toLong).sum)
+      // each pack spans one 2000-token budget interval, so its size can
+      // exceed the budget by at most one straddling doc
+      assert(sp.forall(_._4 <= 2000L + maxTok), s"shard $shard pack overflow")
+    }
+  }
 }
