@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
 }
@@ -32,10 +33,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (es: Seq[Expression]) => MinHashSig(es.head))
 
+  val topkRows: FnDesc = (
+    FunctionIdentifier("topk"),
+    new ExpressionInfo(classOf[TopKRows].getName, "topk"),
+    (es: Seq[Expression]) => TopKRows(es(0), es(1)))
+
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

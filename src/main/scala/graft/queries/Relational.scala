@@ -194,6 +194,22 @@ object Relational {
       |  FROM orders)
       |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
 
+  /** The same top-2-per-customer result through the bounded `topk`
+    * TypedImperativeAggregate instead of a rank window — the 100 TB
+    * shape: per-group state is exactly k rows on every map-side partial
+    * (no per-group sort of the whole fact). Shares window_rank's oracle
+    * (the unique orderkey tiebreak makes rank == row_number). */
+  val windowRankTopk: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("topk(struct(-o_totalprice AS np, o_orderkey AS ok), 2)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("p", "r")))
+      .select(col("o_custkey"), (col("p") + 1).as("rnk"),
+        col("r.ok").as("o_orderkey"), round(-col("r.np"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
   // ------------------------------------------------------ window: running
   /** Analytic window with an explicit rows frame: running sum of event
     * values per user in event-time order (event_id tiebreak). */
@@ -469,6 +485,7 @@ object Relational {
     "range_join_events" -> rangeJoinEvents,
     "asof_latest_order" -> asofLatestOrder,
     "window_rank" -> windowRank,
+    "window_rank_topk" -> windowRankTopk,
     "window_running" -> windowRunning,
     "distinct_users" -> distinctUsers,
     "approx_distinct_users" -> approxDistinctUsers,
@@ -491,6 +508,7 @@ object Relational {
     "range_join_events" -> rangeJoinEventsSql,
     "asof_latest_order" -> asofLatestOrderSql,
     "window_rank" -> windowRankSql,
+    "window_rank_topk" -> windowRankSql,
     "window_running" -> windowRunningSql,
     "distinct_users" -> distinctUsersSql,
     "rollup_sales" -> rollupSalesSql,

@@ -60,4 +60,28 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(viaAgg == viaHof)
   }
+
+  test("topk aggregate: bounded per-group top-k equals sort-and-take, across partitions") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i % 7L, rnd.nextDouble() * 100, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy("g")
+      .agg(expr("topk(struct(-score AS ns, id), 3)").as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("p", "r")))
+      .select(col("g"), col("p"), (-col("r.ns")).as("score"), col("r.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._2, t._3)).take(3).map(t => (t._2, t._3)).toSeq).toMap
+    assert(got == want, "topk disagrees with sort-and-take")
+    // k larger than the group emits the whole group, still sorted
+    val small = Seq((1L, 5.0, 1L), (1L, 9.0, 2L)).toDF("g", "score", "id")
+      .groupBy("g").agg(expr("topk(struct(-score AS ns, id), 10)").as("top"))
+      .select(size(col("top"))).collect().head.getInt(0)
+    assert(small == 2)
+  }
 }
