@@ -24,6 +24,30 @@ object Lake {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Compact a directory of (typically many small) parquet files into
+    * size-targeted output files — the streaming-sink / incremental-ingest
+    * hygiene pass a 100 TB lake runs continuously. Output file count is
+    * computed from the actual input bytes (target ~`targetMb` MiB per
+    * file, compression-ratio agnostic by design: parquet in ≈ parquet
+    * out); rows are range-partitioned on `sortKey` so each output file
+    * covers a contiguous key range (query-time file pruning). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      sortKey: String, targetMb: Int = 128): Long = {
+    val df = spark.read.parquet(inDir)
+    val bytes = {
+      val fs = new java.io.File(inDir)
+      if (fs.isDirectory)
+        fs.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      else 0L
+    }
+    val nFiles = math.max(1L, bytes / (targetMb.toLong << 20) +
+      (if (bytes % (targetMb.toLong << 20) == 0) 0 else 1)).toInt
+    df.repartitionByRange(nFiles, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles.toLong
+  }
+
   /** Join `left` (large, possibly skewed on `leftKey`) with `right` on
     * equality, salting the right side `salt` ways so one hot key spreads
     * over `salt` tasks. Result equals the plain equi-join. */

@@ -48,4 +48,33 @@ class LakeSpec extends SparkSpec {
       .agg(count(lit(1)), sum("rv"), sum("payload")).collect().head
     assert(plain == salted, s"salted join diverges: $plain vs $salted")
   }
+
+  test("compact: many small files become few range-sorted files, content preserved") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    // 40 tiny files
+    (1L to 2000L).map(i => (i, s"row_$i")).toDF("k", "v")
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val nSmall = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nSmall == 40)
+    Lake.compact(spark, in, out, sortKey = "k", targetMb = 128)
+    val outFiles = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length < nSmall, "compaction did not reduce file count")
+    // content preserved exactly
+    val a = spark.read.parquet(in).orderBy("k").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("k").collect().toSeq
+    assert(a == b, "compaction changed the data")
+    // each output file covers a contiguous key range (file-pruning layout)
+    val ranges = outFiles.sortBy(_.getName).map { f =>
+      val d = spark.read.parquet(f.getPath).agg(min("k"), max("k")).collect().head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, "output files overlap in key range")
+  }
 }
