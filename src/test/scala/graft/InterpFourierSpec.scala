@@ -221,4 +221,21 @@ class InterpFourierSpec extends SparkSpec {
       assert(math.abs(math.sqrt(mag2) - math.abs(img.data(i))) < 1e-9)
     }
   }
+
+  test("fourier ops are rank-generic: 3-d chunk-invariance") {
+    val vol = Nd.zeros(Array(8, 10, 6))
+    for (i <- vol.data.indices)
+      vol.data(i) = math.cos(i * 0.23) + (i * 2654435761L % 89) * 0.01
+    def run(op: org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block],
+        chunks: Seq[Int]): Nd =
+      Grid.unblockify(op(Fourier.toComplex(Grid.blockify(spark, "t3f", vol, chunks))))
+    for (op <- Seq[org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block]](
+        Fourier.fourierGaussian(_, Seq(1.5, 2.0, 1.0)),
+        Fourier.fourierShift(_, Seq(0.5, -1.0, 0.25)),
+        Fourier.fourierUniform(_, Seq(3.0, 3.0, 3.0)))) {
+      val single = run(op, vol.shape.toSeq)
+      val multi = run(op, Seq(3, 4, 5))
+      assert(maxAbsDiff(single, multi) < 1e-12, "3-d fourier op not chunk-invariant")
+    }
+  }
 }
