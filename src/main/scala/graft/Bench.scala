@@ -73,13 +73,16 @@ object Bench {
     // the generated code through C2 (one is not enough — run 2 is still
     // ~30% slower than steady state on the join-heavy queries).
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "3").toInt
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        // a crashing query must not silently bench as ~0s
+        // a crashing query must not silently bench as ~0s: record it and
+        // surface the failure in the JSON line, not just stderr
         try fn(spark, sfDir).count() catch {
           case e: Throwable =>
+            failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -105,8 +108,9 @@ object Bench {
     (1 to warmups).foreach(_ => floorQ())
     val floor = Seq(floorQ(), floorQ(), floorQ()).sorted.apply(1)
     val floorTotal = floor * results.size
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""floor_per_query":$floor,"floor_total":$floorTotal,"sf":"$sfDir"}""")
+      s""""failed":$failedJson,"floor_per_query":$floor,"floor_total":$floorTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,11 @@ object GraftExtensions {
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
-    (es: Seq[Expression]) => TopKRows(es(0), es(1)))
+    (es: Seq[Expression]) => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"topk requires exactly 2 arguments (struct, k); got ${es.length}")
+      TopKRows(es(0), es(1))
+    })
 
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {

@@ -39,17 +39,25 @@ case class TopKRows(
     if (!child.dataType.isInstanceOf[StructType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"topk expects a STRUCT ordering key, got ${child.dataType.sql}")
-    else if (!kExpr.foldable)
+    else if (!kExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "topk k must be a constant")
+        "topk k must be an integer constant")
+    else if (kExpr.eval().asInstanceOf[Number].intValue < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "topk k must be >= 1")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override def createAggregationBuffer(): ArrayBuffer[InternalRow] =
     ArrayBuffer.empty[InternalRow]
 
+  /** Compact only at 2k: sorting every k-th... every insert would cost
+    * O(k log k) per row; sorting once the buffer doubles amortizes to
+    * O(log k) per row while state stays ≤ 2k rows. Callers that hand the
+    * buffer onward (eval/serialize) do their own exact take(k). */
   private def trim(buf: ArrayBuffer[InternalRow]): ArrayBuffer[InternalRow] = {
-    if (buf.length > k) {
+    if (buf.length >= 2 * k) {
       val kept = buf.sorted(ord).take(k)
       buf.clear()
       buf ++= kept
@@ -75,10 +83,12 @@ case class TopKRows(
     new GenericArrayData(buf.sorted(ord).take(k).toArray[Any])
 
   override def serialize(buf: ArrayBuffer[InternalRow]): Array[Byte] = {
+    // exact-k before crossing the wire: shuffle bytes stay bounded by k
+    val bounded = if (buf.length > k) buf.sorted(ord).take(k) else buf
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.length)
-    for (row <- buf) {
+    out.writeInt(bounded.length)
+    for (row <- bounded) {
       val u = proj(row)
       out.writeInt(u.getSizeInBytes)
       out.write(u.getBytes)

@@ -23,17 +23,33 @@ object ImreadQueries {
   private val W = 64
   private val FRAMES = 3
 
-  /** Write the fixture files (tiny: 3 × 48×64) and return the glob. */
-  private def writeFixture(s: SparkSession, dir: String, codec: String,
-      frameStep: Int): String = {
+  /** The shared frame-0 pixel array: events raster → round(100·v) mod 256
+    * (the formula every codec's oracle replays). */
+  private def fixtureBase(s: SparkSession, dir: String): Array[Double] = {
     val px = Images.toPixels(Images.eventsRaster(s, dir))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val base = new Array[Double](H * W)
     for ((i, j, v) <- px)
       base(i * W + j) = (((math.round(v * 100) % 256) + 256) % 256).toDouble
+    base
+  }
+
+  /** Per-(codec, sf-dir) fixture directory, wiped of stale codec files so
+    * an old checkout's leftovers can't leak extra frames into the glob. */
+  private def fixtureDir(dir: String, codec: String): java.nio.file.Path = {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_imread_${codec}_${math.abs(dir.hashCode)}")
     java.nio.file.Files.createDirectories(out)
+    out.toFile.listFiles().filter(_.getName.endsWith(s".$codec"))
+      .foreach(_.delete())
+    out
+  }
+
+  /** Write the fixture files (tiny: 3 × 48×64) and return the glob. */
+  private def writeFixture(s: SparkSession, dir: String, codec: String,
+      frameStep: Int): String = {
+    val base = fixtureBase(s, dir)
+    val out = fixtureDir(dir, codec)
     for (f <- 0 until FRAMES) {
       val frame = base.map(p => (p + frameStep * f) % 256)
       val bytes = codec match {
@@ -72,16 +88,10 @@ object ImreadQueries {
     * second uncompressed file — decode (both codecs), page chaining, and
     * the cross-file frame base must all line up. */
   val imreadTiff: Q = (s, dir) => {
-    val px = Images.toPixels(Images.eventsRaster(s, dir))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val base = new Array[Double](H * W)
-    for ((i, j, v) <- px)
-      base(i * W + j) = (((math.round(v * 100) % 256) + 256) % 256).toDouble
+    val base = fixtureBase(s, dir)
     val frameStep = 11
     val frames = (0 until FRAMES).map(f => base.map(p => (p + frameStep * f) % 256))
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_imread_tiff_${math.abs(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(out)
+    val out = fixtureDir(dir, "tiff")
     java.nio.file.Files.write(out.resolve("frames_000_001.tiff"),
       ImageSource.encodeTiffPages(frames.take(2).map(f => (H, W, f)), lzw = true))
     java.nio.file.Files.write(out.resolve("frames_002.tiff"),

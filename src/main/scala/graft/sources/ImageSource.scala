@@ -107,8 +107,12 @@ object ImageSource {
     val counts = files.as[(String, Array[Byte])]
       .map { case (p, b) => (p, tiffPageCount(b)) }.toDF("path", "np")
     val win = Window.orderBy(col("path"))
+    // one tiny (path, np, base) row per file, eagerly materialized: without
+    // the truncation both the `total` action and the decode join would
+    // re-run the page-count pass — i.e. re-read every file's bytes
     val based = counts.withColumn("base",
       coalesce(sum(col("np")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
     val total = based.agg(coalesce(sum(col("np")), lit(0L))).as[Long].head().toInt
     val frames = files.join(based, "path").select(col("base"), col("content"))
       .as[(Long, Array[Byte])]

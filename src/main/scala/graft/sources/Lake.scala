@@ -34,12 +34,15 @@ object Lake {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       sortKey: String, targetMb: Int = 128): Long = {
     val df = spark.read.parquet(inDir)
-    val bytes = {
-      val fs = new java.io.File(inDir)
-      if (fs.isDirectory)
-        fs.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-      else 0L
-    }
+    // size via the Hadoop FileSystem of whatever store the path lives on
+    // (hdfs://, s3a://, file:, nested layouts) — a java.io.File listing
+    // would silently see 0 bytes on any non-local URI and compact the
+    // whole dataset into one partition
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1L, bytes / (targetMb.toLong << 20) +
       (if (bytes % (targetMb.toLong << 20) == 0) 0 else 1)).toInt
     df.repartitionByRange(nFiles, col(sortKey))

@@ -122,8 +122,22 @@ object StreamOps {
     * subset the oracle reproduces with a HAVING clause. The last open
     * window(s) stay in state, as they would on a live stream. */
   val streamFileSink: Q = (s, dir) => {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    // deterministic per-input-dir paths, wiped before each run: the gate
+    // is executed repeatedly (Verify × 3 scales + specs) and fresh
+    // createTempDirectory calls would leak one full sink copy per run
+    def freshDir(tag: String): String = {
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }
+    val outDir = freshDir("sink")
+    val ckpt = freshDir("sink_ckpt")
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
