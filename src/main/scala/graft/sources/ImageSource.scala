@@ -265,8 +265,8 @@ object ImageSource {
         e += 1
       }
       require(width > 0 && height > 0, "TIFF: missing dimensions")
-      require(comp == 1L || comp == 5L,
-        s"TIFF: compression $comp unsupported (baseline: 1=none, 5=LZW)")
+      require(comp == 1L || comp == 5L || comp == 8L || comp == 32946L || comp == 32773L,
+        s"TIFF: compression $comp unsupported (1=none, 5=LZW, 8/32946=deflate, 32773=PackBits)")
       require(spp == 1L, "TIFF: only single-sample (grayscale) supported")
       require(bps == 8L || bps == 16L, s"TIFF: $bps bits/sample unsupported")
       require(pred == 1L || (pred == 2L && bps == 8L),
@@ -279,15 +279,21 @@ object ImageSource {
       while (row < h) {
         val rows = math.min(rowsPerStrip, h - row)
         val bytesPerPx = if (bps == 8L) 1 else 2
-        val sb: Array[Byte] =
-          if (comp == 1L) {
-            val off = stripOffs(strip).toInt
-            java.util.Arrays.copyOfRange(bytes, off, off + rows * w * bytesPerPx)
-          } else {
-            val off = stripOffs(strip).toInt
+        val expectedLen = rows * w * bytesPerPx
+        val off = stripOffs(strip).toInt
+        val sb: Array[Byte] = comp match {
+          case 1L =>
+            java.util.Arrays.copyOfRange(bytes, off, off + expectedLen)
+          case 5L =>
             lzwDecode(java.util.Arrays.copyOfRange(bytes, off,
-              off + stripCounts(strip).toInt), rows * w * bytesPerPx)
-          }
+              off + stripCounts(strip).toInt), expectedLen)
+          case 8L | 32946L =>
+            inflate(java.util.Arrays.copyOfRange(bytes, off,
+              off + stripCounts(strip).toInt), expectedLen)
+          case _ => // 32773 PackBits
+            packBitsDecode(java.util.Arrays.copyOfRange(bytes, off,
+              off + stripCounts(strip).toInt), expectedLen)
+        }
         if (pred == 2L) {
           // horizontal differencing: each sample is a delta from the left
           var r = 0
@@ -317,6 +323,81 @@ object ImageSource {
       ifd = tU32(bytes, ifd + 2 + 12 * n, le).toInt
     }
     frames.toSeq
+  }
+
+  /** Deflate (zlib) strip — TIFF Compression 8 (and legacy 32946). */
+  private[graft] def inflate(in: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new Array[Byte](expected)
+    var pos = 0
+    while (pos < expected && !inf.finished()) {
+      val n = inf.inflate(out, pos, expected - pos)
+      if (n == 0 && inf.needsInput()) {
+        inf.end()
+        throw new IllegalArgumentException("TIFF deflate: truncated strip")
+      }
+      pos += n
+    }
+    inf.end()
+    out
+  }
+
+  /** PackBits strip — TIFF Compression 32773 (Apple RLE: n in 0..127 →
+    * copy n+1 literals; n in -127..-1 → repeat next byte 1−n times;
+    * -128 is a no-op). */
+  private[graft] def packBitsDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var ip = 0
+    var op = 0
+    while (op < expected && ip < in.length) {
+      val n = in(ip)
+      ip += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        System.arraycopy(in, ip, out, op, cnt)
+        ip += cnt
+        op += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        java.util.Arrays.fill(out, op, op + cnt, in(ip))
+        ip += 1
+        op += cnt
+      }
+    }
+    out
+  }
+
+  /** PackBits encoder (round-trip/fixture support): literal runs broken
+    * at repeats of ≥3, repeats capped at 128. */
+  private[graft] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      // measure the repeat run at i
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(data(i))
+        i += run
+      } else {
+        // literal run until the next ≥3 repeat (or 128 bytes)
+        val start = i
+        var j = i
+        var done = false
+        while (!done && j < data.length && j - start < 128) {
+          var r = 1
+          while (j + r < data.length && data(j + r) == data(j) && r < 3) r += 1
+          if (r >= 3) done = true else j += r
+        }
+        val cnt = math.min(j, data.length) - start
+        out.write(cnt - 1)
+        out.write(data, start, cnt)
+        i = start + cnt
+      }
+    }
+    out.toByteArray
   }
 
   // TIFF LZW (spec + libtiff convention): MSB-first bit packing, codes
@@ -412,11 +493,12 @@ object ImageSource {
     out.toByteArray
   }
 
-  /** Encode pages as a little-endian 8-bit grayscale TIFF — uncompressed
-    * or LZW — one strip and one chained IFD per page (test/round-trip
-    * support). */
+  /** Encode pages as a little-endian 8-bit grayscale TIFF — uncompressed,
+    * LZW, deflate, or PackBits — one strip and one chained IFD per page
+    * (test/round-trip support). */
   private[graft] def encodeTiffPages(pages: Seq[(Int, Int, Array[Double])],
-      lzw: Boolean = false): Array[Byte] = {
+      lzw: Boolean = false, compression: Int = 0): Array[Byte] = {
+    val comp = if (compression != 0) compression else if (lzw) 5 else 1
     val bos = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
@@ -425,7 +507,18 @@ object ImageSource {
     }
     val strips = pages.map { case (_, _, px) =>
       val raw = px.map(v => math.max(0, math.min(255, math.round(v))).toByte)
-      if (lzw) lzwEncode(raw) else raw
+      comp match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length * 2 + 64)
+          val n = d.deflate(buf); d.end()
+          java.util.Arrays.copyOf(buf, n)
+        case 32773 => packBitsEncode(raw)
+        case other => throw new IllegalArgumentException(s"encodeTiffPages: compression $other")
+      }
     }
     val nEntries = 9
     val ifdSize = 2 + nEntries * 12 + 4
@@ -444,7 +537,7 @@ object ImageSource {
       entry(256, 4, 1, w)          // ImageWidth
       entry(257, 4, 1, h)          // ImageLength
       entry(258, 3, 1, 8)          // BitsPerSample
-      entry(259, 3, 1, if (lzw) 5 else 1) // Compression
+      entry(259, 3, 1, comp)       // Compression
       entry(262, 3, 1, 1)          // Photometric: BlackIsZero
       entry(273, 4, 1, pixOff(i))  // StripOffsets
       entry(277, 3, 1, 1)          // SamplesPerPixel

@@ -145,6 +145,28 @@ class ImageSourceSpec extends SparkSpec {
       "predictor=2 decode mismatch")
   }
 
+  test("TIFF deflate and PackBits strips round-trip through readTiff") {
+    val dir = Files.createTempDirectory("graft_tifc").toFile
+    dir.deleteOnExit()
+    // mix all four compressions across files of one stacked image
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(12 * 10)(i => ((i * 7 + f * 23) % 256).toDouble)
+    }
+    for ((comp, f) <- Seq(1, 5, 8, 32773).zipWithIndex)
+      Files.write(Paths.get(dir.getPath, f"c_$f%03d.tiff"),
+        ImageSource.encodeTiffPages(Seq((12, 10, frames(f))), compression = comp))
+    val blocks = ImageSource.readTiff(spark, dir.getPath + "/*.tiff")
+      .collect().sortBy(_.idx.head)
+    assert(blocks.length == 4)
+    for ((b, f) <- blocks.zipWithIndex)
+      assert(b.data.sameElements(frames(f)), s"compression mix frame $f mismatch")
+    // PackBits codec unit round-trip incl. long runs and literals
+    val pb = Array.tabulate(1000)(i =>
+      (if (i % 37 < 20) 42 else i % 251).toByte)
+    val dec = ImageSource.packBitsDecode(ImageSource.packBitsEncode(pb), pb.length)
+    assert(dec.sameElements(pb), "PackBits round-trip mismatch")
+  }
+
   test("TIFF decoder: big-endian (MM) 16-bit strips") {
     // hand-built MM TIFF: 2x3, 16-bit, two strips of one+one rows... keep
     // one strip of 2 rows for simplicity; samples 256*r + c + 1
