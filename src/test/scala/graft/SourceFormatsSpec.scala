@@ -14,9 +14,11 @@ class SourceFormatsSpec extends SparkSpec {
 
     base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     base.write.mode("overwrite").json(s"$dir/json")
+    base.write.mode("overwrite").orc(s"$dir/orc")
 
     val fromCsv = spark.read.option("header", "true").schema(base.schema).csv(s"$dir/csv")
     val fromJson = spark.read.schema(base.schema).json(s"$dir/json")
+    val fromOrc = spark.read.orc(s"$dir/orc")
 
     def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
       // ts_ns sums overflow LongType (1e18-scale values): fold mod a prime
@@ -26,6 +28,7 @@ class SourceFormatsSpec extends SparkSpec {
     val fp = fingerprint(base)
     assert(fingerprint(fromCsv) == fp, "csv round-trip differs")
     assert(fingerprint(fromJson) == fp, "json round-trip differs")
+    assert(fingerprint(fromOrc) == fp, "orc round-trip differs")
 
     // and the derived query layer works over any of them
     val perType = fromJson.groupBy("event_type").count().collect()
