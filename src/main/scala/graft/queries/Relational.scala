@@ -66,8 +66,11 @@ object Relational {
     * runs AFTER the joins: both filters (order date, BUILDING customers)
     * shrink the aggregate's input first, and the join's orderkey
     * partitioning already satisfies the group-by distribution, so the agg
-    * adds no exchange (measured: agg-before-join is ~1.5× slower — it
-    * hashes every lineitem row before the joins can filter them). */
+    * adds no exchange. Two measured dead ends (both ~1.5× slower at
+    * sf0.1): agg-before-join hashes every lineitem row before the joins
+    * can filter them, and pre-joining orders⋈customer before the orderkey
+    * exchange breaks the scan→join codegen pipeline for no net row
+    * savings at this selectivity. */
   val q3TopOrders: Q = (s, dir) => {
     val cut = lit("1997-06-01").cast("timestamp")
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
