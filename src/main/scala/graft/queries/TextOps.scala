@@ -130,7 +130,7 @@ object TextOps {
       |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM d)
-      |SELECT shard, (cum - tok) // 2000 AS pack,
+      |SELECT shard, CAST((cum - tok) // 2000 AS BIGINT) AS pack,
       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
