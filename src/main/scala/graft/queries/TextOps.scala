@@ -383,6 +383,65 @@ object TextOps {
        |WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= 0.8
        |ORDER BY i.da, i.db""".stripMargin
 
+  // ------------------------------------- connected-component dedup groups
+  /** Corpus-level near-duplicate clustering: the MinHash-LSH verified
+    * pairs (jaccard ≥ 0.8) are edges of a duplicate graph; connected
+    * components collapse transitive chains (A≈B, B≈C ⇒ {A,B,C} is ONE
+    * cluster) and the min doc_id per component is kept as canonical —
+    * the RefinedWeb/SlimPajama dedup shape. Emits one row per clustered
+    * doc: (component, doc_id, keep).
+    *
+    * Scale: the pair graph is tiny relative to the corpus (edges only
+    * exist where LSH banding collides AND exact jaccard confirms), and
+    * [[graft.plans.GraphCC]] propagates over edge endpoints only —
+    * never a corpus-wide shuffle. */
+  val ccDedupGroups: Q = (s, dir) => {
+    val pairs = minhashNearDup(s, dir).select(col("da"), col("db"))
+    graft.plans.GraphCC.components(pairs)
+      .select(col("comp").as("component"), col("node").as("doc_id"),
+        (col("node") === col("comp")).as("keep"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** DuckDB twin: same pair pipeline, then components via a recursive
+    * reachability CTE (min reachable id = component id). */
+  val ccDedupGroupsSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |hashed AS (
+       |  SELECT doc_id, i, min(substr(md5(i || ':' || shingle), 1, 8)) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    (i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i) AS bucket
+       |  FROM hashed GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bands x JOIN bands y
+       |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.da, i.db
+       |  FROM cand JOIN inter i ON cand.da = i.da AND cand.db = i.db
+       |  JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id
+       |  WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= 0.8),
+       |edges AS (
+       |  SELECT da AS a, db AS b FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs),
+       |walk AS (
+       |  SELECT a AS node, a AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+       |cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+       |SELECT CAST(component AS BIGINT) AS component,
+       |  CAST(node AS BIGINT) AS doc_id, node = component AS keep
+       |FROM cc ORDER BY component, doc_id""".stripMargin
+
   // ------------------------------------------------------ SimHash
   /** 32-bit SimHash per document from token md5s, grouped into buckets —
     * duplicate-cluster counting. Bit j of the simhash is the sign of the
@@ -516,6 +575,7 @@ object TextOps {
     "doc_fingerprint" -> docFingerprint,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dup" -> minhashNearDup,
+    "cc_dedup_groups" -> ccDedupGroups,
     "simhash_buckets" -> simhashBuckets,
   )
 
@@ -534,5 +594,6 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_near_dup" -> minhashNearDupSql,
+    "cc_dedup_groups" -> ccDedupGroupsSql,
   )
 }

@@ -280,43 +280,14 @@ object Measure {
         buf.distinct
       }.toDF("node", "root").distinct()
 
-    // ---- step 3: connected components on the label graph — undirected
-    // min-label propagation with pointer doubling (each round: take the
-    // min of your component id, your neighbors' ids, and your id's id).
-    // Converges in O(log diameter) rounds; every round is two joins on
-    // label ids, checkpointed to truncate lineage. (At extreme label
-    // counts the large-star/small-star variant drops in here unchanged.)
-    val und = cp(edges.select(col("node").as("a"), col("root").as("b"))
-      .union(edges.select(col("root").as("a"), col("node").as("b"))))
-    var comp = cp(und.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")))
-    var converged = comp.isEmpty
-    var iter = 0
-    while (!converged && iter < 60) {
-      val viaNbr = und.join(comp, und("b") === comp("node"))
-        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
-      val stepped = comp.as("c")
-        .join(viaNbr, col("c.node") === col("a"), "left")
-        .select(col("c.node").as("node"),
-          least(col("c.comp"), coalesce(col("nbr_min"), col("c.comp"))).as("comp"))
-      // pointer doubling: comp(node) ← comp(comp(node))
-      val doubled = cp(stepped.as("s")
-        .join(comp.as("t"), col("s.comp") === col("t.node"), "left")
-        .select(col("s.node").as("node"),
-          least(col("s.comp"), coalesce(col("t.comp"), col("s.comp"))).as("comp")))
-      val changed = doubled.as("x").join(comp.as("y"), col("x.node") === col("y.node"))
-        .filter(col("x.comp") =!= col("y.comp")).limit(1).count()
-      comp = doubled
-      converged = changed == 0
-      iter += 1
-    }
-    // Non-convergence would leave comp non-idempotent → duplicate `old`
-    // keys in the relabel relation → map_from_entries aborts with
-    // "Duplicate map key". Fail loudly here instead (pointer doubling
-    // covers component diameters up to ~2^60, so this cannot fire on real
-    // inputs — it guards algorithm regressions).
-    require(converged, s"label propagation did not converge in $iter rounds")
-    val mapping = comp.filter(col("node") =!= col("comp"))
+    // ---- step 3: connected components on the label graph — the shared
+    // min-label-propagation/pointer-doubling kernel (graft.plans.GraphCC;
+    // O(log diameter) rounds, two id-joins per round, checkpointed per the
+    // same reliable/local posture as this method). Non-convergence aborts
+    // inside GraphCC — duplicate `old` keys in the relabel relation would
+    // otherwise surface as a cryptic map_from_entries failure downstream.
+    val mapping = graft.plans.GraphCC.components(edges)
+      .filter(col("node") =!= col("comp"))
       .select(col("node"), col("comp").as("root"))
 
     // ---- step 4: densify to 1..n in root order (deterministic; scipy

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraphCCSpec extends SparkSpec {
+  import graft.plans.GraphCC
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphCC.components(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path, triangle, isolated edge, cross-listed direction") {
+    // path 1-2-3-4 (transitive), triangle 10-11-12, edge 20-21 given
+    // reversed, self-loop 30-30
+    val m = comps(Seq(2L -> 1L, 2L -> 3L, 4L -> 3L,
+      10L -> 11L, 12L -> 10L, 11L -> 12L, 21L -> 20L, 30L -> 30L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L), s"path collapsed wrong: $m")
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+    assert(m(30L) == 30L)
+    assert(m.size == 10)
+  }
+
+  test("long chain needs pointer doubling (diameter 64 > one round)") {
+    val m = comps((1L until 65L).map(i => i -> (i + 1)))
+    assert((1L to 65L).forall(m(_) == 1L))
+  }
+
+  test("empty edge list yields empty components") {
+    assert(comps(Seq.empty).isEmpty)
+  }
+
+  test("cc_dedup_groups: components agree with pair graph on sf0.001") {
+    import graft.queries.TextOps
+    val pairs = TextOps.minhashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = TextOps.ccDedupGroups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = rows.map(r => r._2 -> r._1).toMap
+    // every pair's endpoints share a component
+    assert(pairs.forall { case (a, b) => byDoc(a) == byDoc(b) },
+      "paired docs must share a component")
+    // exactly one kept doc per component, and it is the component id (min)
+    rows.groupBy(_._1).foreach { case (comp, members) =>
+      assert(members.count(_._3) == 1, s"component $comp keep count")
+      assert(members.filter(_._3).head._2 == comp)
+      assert(members.map(_._2).min == comp, s"component id must be min doc")
+    }
+    // endpoints of the pair graph = clustered docs, exactly
+    assert(rows.map(_._2).toSet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+}
