@@ -162,6 +162,70 @@ object StreamOps {
       |HAVING bucket + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- stream-stream join
+  /** Watermarked STREAM-STREAM inner join — click attribution: each view
+    * joined to same-user clicks landing in (view_ts, view_ts + 30 min].
+    * Both sides carry a 10-minute watermark and the join condition bounds
+    * event time on both sides, so state for either stream is dropped once
+    * the other side's watermark passes the window — the bounded-state
+    * production shape (unbounded stream-stream joins never GC). Append is
+    * the only output mode for stream-stream joins; the joined rows are
+    * drained and ordered for the gate. */
+  val streamJoin: Q = (s, dir) => {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    drain(joined, OutputMode.Append())
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts"))).as("gap_s"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT a.user_id,
+      |  a.event_id AS view_id, b.event_id AS click_id,
+      |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS gap_s
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND a.event_type = 'view' AND b.event_type = 'click'
+      |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY a.user_id, view_id, click_id""".stripMargin
+
+  // --------------------------------------------------- streaming dedup
+  /** Event-time streaming dedup: first event per (user, hour) via
+    * `dropDuplicatesWithinWatermark` under a 10-minute watermark — dedup
+    * state is GC'd once the watermark passes a key's first-seen time, so
+    * state size tracks the watermark horizon, not the stream length (the
+    * plain `dropDuplicates` keeps keys forever). Emitted keys are exact
+    * within any one micro-batch regardless of arrival order; the gate
+    * aggregates to active-hours per user, which the batch oracle
+    * reproduces with count(DISTINCT hour). */
+  val streamDedup: Q = (s, dir) => {
+    val dedup = eventsStream(s, dir)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "bucket")
+      .select(col("user_id"), col("bucket"))
+    drain(dedup, OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_hours"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT user_id, count(DISTINCT date_trunc('hour', ts)) AS n_active_hours
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ custom state
 
   /** flatMapGroupsWithState custom sessionizer (the reference-free
@@ -204,6 +268,8 @@ object StreamOps {
     "stream_state_sessions" -> streamStateSessions,
     "stream_raster_pixels" -> streamRasterPixels,
     "stream_file_sink" -> streamFileSink,
+    "stream_join" -> streamJoin,
+    "stream_dedup" -> streamDedup,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -214,6 +280,8 @@ object StreamOps {
     "stream_session" -> graft.queries.Relational.sessionGapSql,
     "stream_state_sessions" -> graft.queries.Relational.sessionGapSql,
     "stream_file_sink" -> streamFileSinkSql,
+    "stream_join" -> streamJoinSql,
+    "stream_dedup" -> streamDedupSql,
   )
 }
 

@@ -61,6 +61,31 @@ class StreamingSpec extends SparkSpec {
     assert(withheld.nonEmpty && withheld.forall(_ >= sunk.keySet.max))
   }
 
+  test("stream-stream join equals the batch time-range join") {
+    val streamed = graft.streaming.StreamOps.streamJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables.t(spark, sf0001, "events")
+    val batch = ev.as("a").filter(col("a.event_type") === "view")
+      .join(ev.as("b").filter(col("b.event_type") === "click"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
+        unix_timestamp(col("b.ts")) - unix_timestamp(col("a.ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming dedup emits each (user, hour) exactly once") {
+    val streamed = graft.streaming.StreamOps.streamDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.t(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(date_trunc("hour", col("ts"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionizer equals the batch lag/cumsum idiom") {
     val a = graft.streaming.StreamOps.streamStateSessions(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
