@@ -443,6 +443,53 @@ object Relational {
       |  count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------ quantiles
+  /** Exact grouped quantiles: p50/p90/p99 of l_extendedprice per return
+    * flag via the exact `percentile` aggregate (linear interpolation —
+    * the same definition as DuckDB's quantile_cont). One shuffle on the
+    * 3-value group key; each group's sort is distributed by the agg
+    * implementation. Rounded to 4 decimals so the two engines' float
+    * summation order can't flip a ulp. At 100 TB the drop-in scale
+    * variant is approx_percentile (t-digest sketch, mergeable,
+    * single-pass) — gated separately without an oracle, like
+    * approx_distinct_users. */
+  val groupedQuantiles: Q = (s, dir) => {
+    val pcts = array(lit(0.5), lit(0.9), lit(0.99))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_extendedprice"), pcts).as("q"))
+      .select(col("l_returnflag"), col("n"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"),
+        round(element_at(col("q"), 3), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val groupedQuantilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sketch twin of grouped_quantiles: approx_percentile at accuracy
+    * 10000 — the 100 TB path (bounded-memory t-digest, partial-mergeable
+    * so the shuffle carries sketches, not values). No SQL oracle
+    * (sketch internals are engine-specific); the driver records a
+    * rows-only check and QuantilesSpec bounds the error vs exact. */
+  val approxQuantiles: Q = (s, dir) => {
+    val pcts = array(lit(0.5), lit(0.9), lit(0.99))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), pcts, lit(10000)).as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"),
+        round(element_at(col("q"), 3), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------ SQL surface
   /** TPC-H Q5 shape through spark.sql — exercises the SQL parser/analyzer
     * path and Catalyst's join ordering over a 6-table star (dims resolve
