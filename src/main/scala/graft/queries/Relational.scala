@@ -548,6 +548,8 @@ object Relational {
     "tumbling_window" -> tumblingWindow,
     "sliding_window" -> slidingWindow,
     "session_gap" -> sessionGap,
+    "grouped_quantiles" -> groupedQuantiles,
+    "approx_quantiles" -> approxQuantiles,
   )
 
   val oracle: Map[String, String] = Map(
@@ -570,5 +572,9 @@ object Relational {
     "tumbling_window" -> tumblingWindowSql,
     "sliding_window" -> slidingWindowSql,
     "session_gap" -> sessionGapSql,
+    "grouped_quantiles" -> groupedQuantilesSql,
+    // approx_quantiles: sketch internals are engine-specific — rows-only
+    // check by design (like approx_distinct_users); QuantilesSpec bounds
+    // the error vs the exact grouped_quantiles result.
   )
 }

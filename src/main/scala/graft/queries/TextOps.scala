@@ -317,7 +317,13 @@ object TextOps {
     * (8 bands × 4 rows) + exact-Jaccard verification of candidates.
     * The 100 TB plan: signatures are one narrow projection; the band
     * self-join shuffles only on 8 short bucket keys per doc, never on
-    * raw shingles; verification touches candidate pairs only.
+    * raw shingles; verification is candidate-restricted — shingle rows
+    * are semi-joined down to candidate endpoints, then intersections are
+    * counted by a three-way join keyed on (da, db, shingle), so the
+    * corpus-wide shingle self-join never executes and a hot shingle
+    * costs |candidate docs containing it| join rows, not k² over the
+    * corpus. `cand` is persisted because it seeds both the semi-join
+    * and the per-pair counts (tiny: one row per confirmed LSH collision).
     *
     * Hash h_i(s) = substr(md5(i || ':' || s), 1, 8) compared as hex text
     * — identical in DuckDB, so the whole pipeline is oracle-checkable. */
@@ -341,14 +347,22 @@ object TextOps {
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // exact verify on candidates only
-    val sh = shingleRows(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .persist()
+    // exact verify on candidates ONLY: restrict shingle rows to candidate
+    // endpoints first, then count per-pair intersections via a three-way
+    // join — never a corpus-wide shingle self-join
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id")))
+      .distinct()
+    val shCand = shingleRows(docs).join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shCand.as("a"), col("da") === col("a.doc_id"))
+      .join(shCand.as("b"),
+        col("db") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("c"))
-    cand.join(inter, Seq("da", "db"))
+    inter
       .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
       .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),

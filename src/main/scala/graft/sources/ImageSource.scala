@@ -4,7 +4,6 @@ import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 import javax.imageio.ImageIO
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tensor.Block
 
@@ -27,23 +26,32 @@ object ImageSource {
     * (frame, 0, 0), one chunk per frame (the imread contract). Frame
     * order is the sorted file path order, matching glob-sorted imread.
     *
-    * Frame indexing is fully distributed: a row_number window over the
-    * path column (metadata-only — paths, not contents, move through the
-    * single-partition sort; the frame axis of ONE logical image is
-    * bounded, unlike the lake's file population, so this is not the
-    * O(#files)-on-the-driver collect it replaces).
+    * Frame indexing is fully distributed: paths (metadata only — column
+    * pruning keeps file CONTENT out of this pass entirely) are
+    * range-sorted and numbered with `zipWithIndex` — per-partition counts
+    * plus driver offsets, the same idiom Measure.label uses for dense
+    * ranking; there is no single-partition global window, so an imaging
+    * lake with millions of files numbers in parallel. Pixels join back on
+    * path and move through one hash shuffle (a broadcast of the index
+    * when the file list is small — AQE picks).
     */
   def readFrames(spark: SparkSession, glob: String, codec: String,
       imageId: String = "imread", nframes: Int = 1): Dataset[Block] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    val nFrames = files.count()
-    val indexed = files
-      .withColumn("frame", row_number().over(Window.orderBy(col("path"))) - 1)
+    // tiny (path, frame) rows; checkpointed so the count and the join
+    // below reuse one sort instead of re-running it
+    val indexed = files.select(col("path")).as[String].rdd
+      .sortBy(identity).zipWithIndex()
+      .map { case (p, i) => (p, i.toInt) }
+      .toDF("path", "frame")
+      .localCheckpoint(true)
+    val nFrames = indexed.count()
+    val withFrames = files.join(indexed, "path")
       .select(col("frame"), col("content"))
       .as[(Int, Array[Byte])]
-    val frames = indexed.map { case (frame, bytes) =>
+    val frames = withFrames.map { case (frame, bytes) =>
       val (h, w, px) = codec match {
         case "pgm" => decodePgm(bytes)
         case "png" => decodePng(bytes)
@@ -96,24 +104,37 @@ object ImageSource {
   /** TIFF imread — the reference's primary format. Unlike PGM/PNG, one
     * TIFF file can hold many frames (multi-IFD), so frame indexing runs in
     * two passes: a metadata-only pass counts pages per file (only
-    * (path, count) rows cross the ordering window — never pixels), then
-    * the decode pass emits `base + page` frame ids. Baseline codec:
+    * (path, count) rows enter the distributed prefix sum — never
+    * pixels), then the decode pass emits `base + page` frame ids.
+    * Baseline codec:
     * uncompressed grayscale, 8/16-bit, both byte orders, strip layout. */
   def readTiff(spark: SparkSession, glob: String, imageId: String = "imread",
       nframes: Int = 1): Dataset[Block] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
+    // one tiny (path, np) row per file, eagerly materialized: without the
+    // truncation the prefix-sum sort, the `total` action and the decode
+    // join would each re-run the page-count pass — i.e. re-read every
+    // file's bytes
     val counts = files.as[(String, Array[Byte])]
-      .map { case (p, b) => (p, tiffPageCount(b)) }.toDF("path", "np")
-    val win = Window.orderBy(col("path"))
-    // one tiny (path, np, base) row per file, eagerly materialized: without
-    // the truncation both the `total` action and the decode join would
-    // re-run the page-count pass — i.e. re-read every file's bytes
-    val based = counts.withColumn("base",
-      coalesce(sum(col("np")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .map { case (p, b) => (p, tiffPageCount(b).toLong) }.toDF("path", "np")
       .localCheckpoint(true)
-    val total = based.agg(coalesce(sum(col("np")), lit(0L))).as[Long].head().toInt
+    // distributed prefix sum for the frame bases: range-sort the tiny
+    // (path, np) rows by path, collect ONE partial sum per partition
+    // (bounded driver state: one Long per partition, not per file), then
+    // assign cumulative bases partition-locally — no single-partition
+    // global window, so millions of files number in parallel
+    val sorted = counts.as[(String, Long)].rdd.sortBy(_._1)
+    val partSums = sorted
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.map(_._2).sum)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val based = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (p, np) => val b = acc; acc += np; (p, b) }
+    }.toDF("path", "base")
+    val total = offsets.last.toInt
     val frames = files.join(based, "path").select(col("base"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (base, bytes) =>

@@ -203,17 +203,20 @@ object StreamOps {
 
   // --------------------------------------------------- streaming dedup
   /** Event-time streaming dedup: first event per (user, hour) via
-    * `dropDuplicatesWithinWatermark` under a 10-minute watermark — dedup
+    * `dropDuplicatesWithinWatermark` under a ONE-HOUR watermark — dedup
     * state is GC'd once the watermark passes a key's first-seen time, so
     * state size tracks the watermark horizon, not the stream length (the
-    * plain `dropDuplicates` keeps keys forever). Emitted keys are exact
-    * within any one micro-batch regardless of arrival order; the gate
-    * aggregates to active-hours per user, which the batch oracle
-    * reproduces with count(DISTINCT hour). */
+    * plain `dropDuplicates` keeps keys forever). The watermark must be at
+    * least as long as the dedup bucket: duplicates of one (user, hour)
+    * key can arrive up to an hour apart in event time, so a shorter
+    * watermark could GC the key's state mid-bucket and re-emit it across
+    * micro-batches, inflating the count vs the batch oracle's
+    * count(DISTINCT hour). With watermark >= bucket the equality holds
+    * for any micro-batch split, not just the single-batch test file. */
   val streamDedup: Q = (s, dir) => {
     val dedup = eventsStream(s, dir)
       .withColumn("bucket", date_trunc("hour", col("ts")))
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "bucket")
       .select(col("user_id"), col("bucket"))
     drain(dedup, OutputMode.Append())
