@@ -5,19 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list.
   *
-  * Min-label propagation with pointer doubling: each round every node
-  * takes the min of its own component id, its neighbors' ids, and its
-  * id's id (comp ∘ comp). Converges in O(log diameter) rounds; each
-  * round is two shuffle joins on node ids, lineage-truncated by a
-  * checkpoint. The same idiom labels tensor components
-  * (`graft.tensor.Measure.label` step 3) and collapses document
-  * near-duplicate clusters (`TextOps.cc_dedup_groups`).
+  * Two interchangeable kernels behind one contract (pick with the session
+  * conf `graft.cc.algorithm`):
   *
-  * Scale posture: state is one (node, comp) row per edge endpoint —
-  * nodes untouched by any edge never enter the computation, so a 100 TB
-  * corpus with a few million duplicate pairs propagates over millions of
-  * rows, not the corpus. At extreme edge counts the large-star/small-star
-  * variant drops in here unchanged.
+  *  - `minlabel` (default): min-label propagation with pointer doubling —
+  *    each round every node takes the min of its own component id, its
+  *    neighbors' ids, and its id's id (comp ∘ comp). Converges in
+  *    O(log diameter) rounds; each round is two shuffle joins on node
+  *    ids. Best when the edge list is modest and degrees are balanced.
+  *  - `stars`: alternating large-star/small-star contraction (Kiveris et
+  *    al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+  *    each round rewires every edge toward its neighborhood minimum via
+  *    a map-side-combined groupBy-min plus one join, then dedups. The
+  *    edge list SHRINKS toward a star forest as it converges, so a
+  *    high-degree hub costs one partial-aggregated min per round instead
+  *    of re-shuffling its full neighbor list every round — the extreme-
+  *    edge-count variant.
+  *
+  * The same idiom labels tensor components (`graft.tensor.Measure.label`
+  * step 3) and collapses document near-duplicate clusters
+  * (`TextOps.cc_dedup_groups`).
+  *
+  * Scale posture: state is one row per edge (stars) or per edge endpoint
+  * (minlabel) — nodes untouched by any edge never enter the computation,
+  * so a 100 TB corpus with a few million duplicate pairs propagates over
+  * millions of rows, not the corpus.
   *
   * Checkpointing follows the session posture (same contract as
   * `Measure.label`): reliable `checkpoint()` when
@@ -27,21 +39,35 @@ import org.apache.spark.sql.functions._
   */
 object GraphCC {
 
-  /** Components of the undirected graph given by a 2-column edge list
-    * (direction ignored; self-loops harmless). Returns (node, comp) with
-    * one row per distinct endpoint; comp = min node id in the component.
-    */
-  def components(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
-    val spark = pairs.sparkSession
+  private def cpFor(spark: org.apache.spark.sql.SparkSession): DataFrame => DataFrame = {
     val reliable = spark.conf.getOption("graft.checkpoint.reliable").contains("true")
     if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
       "graft.checkpoint.reliable=true requires SparkContext.setCheckpointDir")
-    def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    df => if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+  }
 
+  private def edgeCols(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"edge list must have exactly 2 columns, got: ${cols.mkString(",")}")
-    val e = pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+    pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+  }
+
+  /** Components of the undirected graph given by a 2-column edge list
+    * (direction ignored; self-loops harmless). Returns (node, comp) with
+    * one row per distinct endpoint; comp = min node id in the component.
+    * Kernel chosen by `graft.cc.algorithm` (`minlabel` | `stars`).
+    */
+  def components(pairs: DataFrame, maxRounds: Int = 60): DataFrame =
+    pairs.sparkSession.conf.getOption("graft.cc.algorithm") match {
+      case Some("stars") => componentsStars(pairs, maxRounds)
+      case _             => componentsMinLabel(pairs, maxRounds)
+    }
+
+  /** Min-label propagation + pointer doubling kernel. */
+  def componentsMinLabel(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    val cp = cpFor(spark)
+    val e = edgeCols(pairs)
     val und = cp(e.union(e.select(col("b").as("a"), col("a").as("b"))))
     var comp = cp(und.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")))
@@ -71,5 +97,64 @@ object GraphCC {
     // not real inputs.
     require(converged, s"connected-components propagation did not converge in $iter rounds")
     comp
+  }
+
+  /** Alternating large-star/small-star contraction kernel.
+    *
+    * Invariant maintained round to round: `edges` is a deduped set of
+    * (big, small) pairs, self-loop-free. Large-star points every
+    * above-u neighbor of u at u's neighborhood minimum; small-star
+    * points every below-u neighbor (and u itself) at that minimum. The
+    * fixed point is a star forest centered at each component's min id.
+    * Each half-round is one groupBy-min (partial-aggregated map-side —
+    * a hub contributes one partial per task, its neighbor list is never
+    * collected) and one join on the node id, then a dedup that SHRINKS
+    * the edge set as stars form.
+    */
+  def componentsStars(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    val cp = cpFor(spark)
+    val e0 = edgeCols(pairs)
+    // every endpoint must appear in the output even if its only edges are
+    // self-loops (the contraction drops those immediately)
+    val allNodes = cp(e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct())
+    var edges = cp(e0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct())
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      // large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u.
+      // Output rows satisfy v > u ≥ m, so they are already (big, small).
+      val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy(col("a"))
+        .agg(min(col("b")).as("nm"))
+        .select(col("a").as("u"), least(col("a"), col("nm")).as("m"))
+      val ls = und.filter(col("b") > col("a"))
+        .join(mins, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: edges are all (u, v) with v < u; m = min(Γ<(u) ∪ {u});
+      // emit (v, m) for each below neighbor plus (u, m). m ≤ v < u keeps
+      // the (big, small) orientation; (m, m) self-loops drop.
+      val joined = ls.join(
+          ls.groupBy(col("a")).agg(min(col("b")).as("m")).withColumnRenamed("a", "u"),
+          col("a") === col("u"))
+      val next = cp(joined.select(col("b").as("a"), col("m").as("b"))
+        .union(joined.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+      // converged ⇔ identical edge sets (both sides deduped): equal counts
+      // plus an empty one-sided anti-join
+      val grew = next.join(edges, Seq("a", "b"), "left_anti").limit(1).count()
+      converged = grew == 0 && next.count() == edges.count()
+      edges = next
+      iter += 1
+    }
+    require(converged, s"star-contraction did not converge in $iter rounds")
+    allNodes.join(edges.select(col("a").as("node"), col("b").as("cmp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cmp"), col("node")).as("comp"))
   }
 }

@@ -33,6 +33,67 @@ class GraphCCSpec extends SparkSpec {
     assert(comps(Seq.empty).isEmpty)
   }
 
+  // ---------------- large-star/small-star kernel (graft.cc.algorithm=stars)
+
+  private def sequentialCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def starComps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphCC.componentsStars(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("stars kernel: path, triangle, reversed edge, self-loop") {
+    val edges = Seq(2L -> 1L, 2L -> 3L, 4L -> 3L,
+      10L -> 11L, 12L -> 10L, 11L -> 12L, 21L -> 20L, 30L -> 30L)
+    assert(starComps(edges) == comps(edges))
+  }
+
+  test("stars kernel: long chain (diameter 64)") {
+    val edges = (1L until 65L).map(i => i -> (i + 1))
+    val m = starComps(edges)
+    assert((1L to 65L).forall(m(_) == 1L))
+  }
+
+  test("stars kernel: high-degree hub star graph collapses in few rounds") {
+    // hub 1000 connected to 500 spokes — the shape min-label re-shuffles
+    // every round and star-contraction is built for
+    val edges = (1L to 500L).map(i => 1000L -> i)
+    val m = starComps(edges)
+    assert(m.size == 501)
+    assert(m.values.forall(_ == 1L))
+  }
+
+  test("stars kernel: random graphs match sequential union-find") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextLong(50).abs, rnd.nextLong(50).abs))
+      val expected = sequentialCC(edges)
+      val got = starComps(edges)
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("components() dispatches on graft.cc.algorithm") {
+    val edges = Seq(5L -> 6L, 6L -> 7L)
+    spark.conf.set("graft.cc.algorithm", "stars")
+    try {
+      val m = comps(edges)
+      assert(m == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+    } finally spark.conf.unset("graft.cc.algorithm")
+  }
+
   test("cc_dedup_groups: components agree with pair graph on sf0.001") {
     import graft.queries.TextOps
     val pairs = TextOps.minhashNearDup(spark, sf0001).collect()
