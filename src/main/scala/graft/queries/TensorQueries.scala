@@ -790,7 +790,27 @@ object TensorQueries {
        |FROM rnk WHERE rn <= 2 GROUP BY label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------- maps
+  // ------------------------------------------------------ tensor store
+  /** Write the events raster to a block-tensor store (`to_zarr` analog),
+    * read it back restricted to leading grid indices 1..2 — a restriction
+    * that lands as a PartitionFilter on the parquet scan, so only those
+    * chunk files are opened — and emit the pixels. Gates write/read
+    * fidelity plus source-level chunk pruning; the oracle recomputes the
+    * same grid slice (rows 16..47 at 16-row chunks) from events. */
+  val tensorStoreRoundtrip: Q = (s, dir) => {
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_${math.abs(dir.hashCode)}").toString
+    graft.sources.TensorStore.write(Images.eventsRaster(s, dir), store)
+    pixelsOut(graft.sources.TensorStore.read(s, store, frameRange = Some((1, 2))))
+  }
+
+  val tensorStoreRoundtripSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j, round(v, 4) + 0.0 AS v FROM grid
+       |WHERE i >= 16 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tensor_store_roundtrip" -> tensorStoreRoundtrip,
     "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_conv_corr" -> tensorConvCorr,
@@ -822,6 +842,7 @@ object TensorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tensor_store_roundtrip" -> tensorStoreRoundtripSql,
     "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_conv_corr" -> tensorConvCorrSql,
