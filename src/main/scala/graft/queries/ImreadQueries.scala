@@ -99,24 +99,40 @@ object ImreadQueries {
     framesToDf(ImageSource.readTiff(s, s"$out/*.tiff")).orderBy("f", "i", "j")
   }
 
-  private def roundtripSql(frameStep: Int): String =
+  /** DataSource V2 imread gate: the same PGM fixture through
+    * `format("graft-image")` with a `frame >= 1` predicate. The filter
+    * pushes into the source's partition planning, so frame 0's file is
+    * never opened or decoded (file-level pruning — asserted in
+    * ImageSourceSpec); here the oracle checks the surviving frames'
+    * bytes end to end. */
+  val imreadV2Pushdown: Q = (s, dir) => {
+    val glob = writeFixture(s, dir, "pgm", frameStep = 7)
+    val df = graft.sources.v2.ImageBlockSource.read(s, glob, "pgm")
+      .filter(col("frame") >= 1)
+    framesToDf(graft.sources.v2.ImageBlockSource.blocks(df)).orderBy("f", "i", "j")
+  }
+
+  private def roundtripSql(frameStep: Int, minF: Int = 0): String =
     s"""WITH ${TensorQueries.gridCte},
        |frames AS (SELECT unnest([0, 1, 2]) AS f)
        |SELECT f.f AS f, g.i, g.j,
        |  CAST(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
        |        + $frameStep * f.f) % 256 AS BIGINT) AS p
        |FROM grid g CROSS JOIN frames f
+       |WHERE f.f >= $minF
        |ORDER BY f, g.i, g.j""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "imread_pgm" -> imreadPgm,
     "imread_png" -> imreadPng,
     "imread_tiff" -> imreadTiff,
+    "imread_v2_pushdown" -> imreadV2Pushdown,
   )
 
   val oracle: Map[String, String] = Map(
     "imread_pgm" -> roundtripSql(7),
     "imread_png" -> roundtripSql(13),
     "imread_tiff" -> roundtripSql(11),
+    "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
   )
 }

@@ -145,6 +145,27 @@ object ImageSource {
     stackFrames(frames, imageId, total, nframes)
   }
 
+  /** Header-only PGM probe: (h, w) without touching pixel bytes — lets a
+    * column-pruned V2 scan answer metadata queries decode-free. */
+  private[graft] def pgmDims(bytes: Array[Byte]): (Int, Int) = {
+    var pos = 0
+    def token(): String = {
+      val sb = new StringBuilder
+      while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+      while (pos < bytes.length && bytes(pos).toChar == '#') {
+        while (pos < bytes.length && bytes(pos).toChar != '\n') pos += 1
+        while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+      }
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) {
+        sb.append(bytes(pos).toChar); pos += 1
+      }
+      sb.toString
+    }
+    require(token() == "P5", "not a binary PGM")
+    val w = token().toInt; val h = token().toInt
+    (h, w)
+  }
+
   /** Binary PGM (P5) decoder: header "P5 <w> <h> <maxval>" then raw
     * bytes. Returns (h, w, doubles). */
   private[graft] def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Double]) = {

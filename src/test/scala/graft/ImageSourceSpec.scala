@@ -201,4 +201,57 @@ class ImageSourceSpec extends SparkSpec {
     assert(h == 2 && w == 2)
     assert(px.toSeq == Seq(256.0, 255.0, 4096.0, 42.0))
   }
+
+  // -------------------------------------------- DataSource V2 image scan
+
+  private def v2Fixture(n: Int): String = {
+    val dir = Files.createTempDirectory("graft_v2").toFile
+    dir.deleteOnExit()
+    for (f <- 0 until n)
+      Files.write(Paths.get(dir.getPath, f"frame_$f%03d.pgm"),
+        ImageSource.encodePgm(4, 5, Array.tabulate(4 * 5)(i => ((i * 3 + f * 17) % 251).toDouble)))
+    dir.getPath + "/*.pgm"
+  }
+
+  test("V2 scan equals the binaryFile imread path") {
+    import graft.sources.v2.ImageBlockSource
+    val glob = v2Fixture(3)
+    val v2 = ImageBlockSource.blocks(ImageBlockSource.read(spark, glob, "pgm"))
+      .collect().sortBy(_.idx.head)
+    val v1 = ImageSource.readPgm(spark, glob).collect().sortBy(_.idx.head)
+    assert(v2.length == 3 && v1.length == 3)
+    for ((a, b) <- v2.zip(v1)) {
+      assert(a.idx == b.idx && a.origin == b.origin && a.shape == b.shape
+        && a.arrayShape == b.arrayShape)
+      assert(a.data.sameElements(b.data))
+    }
+  }
+
+  test("V2 frame predicate prunes files at partition planning") {
+    import graft.sources.v2.ImageBlockSource
+    import org.apache.spark.sql.functions.col
+    val glob = v2Fixture(4)
+    val full = ImageBlockSource.read(spark, glob, "pgm")
+    assert(full.rdd.getNumPartitions == 4, "one partition per file expected")
+    val pruned = full.filter(col("frame") >= 2)
+    // the filter reached planInputPartitions: 2 surviving files = 2 parts
+    assert(pruned.rdd.getNumPartitions == 2,
+      s"expected file pruning, got ${pruned.rdd.getNumPartitions} partitions")
+    val rows = pruned.collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // arrayShape still reports the FULL stack under a pruned read
+    assert(rows.forall(_.getSeq[Int](6) == Seq(4, 4, 5)))
+  }
+
+  test("V2 column pruning: metadata query decodes headers only") {
+    import graft.sources.v2.ImageBlockSource
+    val glob = v2Fixture(2)
+    val meta = ImageBlockSource.read(spark, glob, "pgm").select("frame", "shape")
+    val rows = meta.collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(rows.forall(_.getSeq[Int](1) == Seq(1, 4, 5)))
+    // the scan's read schema must have shrunk to the requested columns
+    val scan = meta.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("data"), s"data column not pruned from scan:\n$scan")
+  }
 }
