@@ -460,8 +460,10 @@ object TextOps {
   /** 32-bit SimHash per document from token md5s, grouped into buckets —
     * duplicate-cluster counting. Bit j of the simhash is the sign of the
     * sum over tokens of (bit j of md5(token) ? +tf : -tf).
-    * No SQL oracle (bit fiddling is impractical to mirror) — covered by
-    * a ScalaTest spec instead; the driver records a rows-only check. */
+    * Hash-checked against DuckDB: the hex→int parse is strpos arithmetic
+    * and the bit tests are DuckDB's native `>>`/`&`/`<<`, so the whole
+    * signature is engine-independent (ties v=0 land on bit 0 both
+    * sides). */
   val simhashBuckets: Q = (s, dir) => {
     val sims = simhashOf(t(s, dir, "documents"))
     sims.groupBy(col("simhash"))
@@ -469,6 +471,29 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .orderBy(col("simhash"))
   }
+
+  val simhashBucketsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t(doc_id, term)
+      |  GROUP BY 1, 2),
+      |hx AS (
+      |  SELECT doc_id, tf,
+      |    (SELECT sum((strpos('0123456789abcdef', substr(md5(term), k, 1)) - 1)
+      |                * (1::BIGINT << (4 * (8 - k))))
+      |     FROM (SELECT unnest(range(1, 9)) AS k))::BIGINT AS h
+      |  FROM tf),
+      |bits AS (
+      |  SELECT doc_id, j.j,
+      |    sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN tf ELSE -tf END) AS v
+      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      |  FROM bits GROUP BY 1)
+      |SELECT simhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc
+      |FROM sh GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
   /** (doc_id, simhash) for every document — exposed for the spec. */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
@@ -609,5 +634,6 @@ object TextOps {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_near_dup" -> minhashNearDupSql,
     "cc_dedup_groups" -> ccDedupGroupsSql,
+    "simhash_buckets" -> simhashBucketsSql,
   )
 }
