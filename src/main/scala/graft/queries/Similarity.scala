@@ -354,7 +354,59 @@ object Similarity {
   // ---------------------------------------------------------------- maps
   // "cosine_topk" (the benched headline key) runs the codegen'd native
   // expression; the HOF composition stays oracle-gated under its own key.
+  // ------------------------------------------------- int8 quantization
+  /** Scalar int8 embedding quantization + quantized-cosine top-k — the
+    * memory-bound ANN scale lever (4× smaller vectors than float32, 8×
+    * smaller than the double pipeline; at 100 TB the code table is what
+    * fits in cluster RAM). Per-dimension (min, max) is one tiny
+    * 64-row aggregate broadcast back as two ordered arrays; encode
+    * (code = round((x−mn)·255/(mx−mn))) and dequantized cosine run as
+    * codegen'd HOFs — zero shuffle beyond the 64-key scale aggregate.
+    * Assumes non-constant dimensions (random-real embeddings), else the
+    * scale is 0/0. The oracle replays the identical arithmetic; codes
+    * are exact integers and both engines accumulate the dot products in
+    * array order, so the compare is the same shape as `cosine_topk`. */
+  val embeddingQuantTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD.as("v"))
+    val sc = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, mn, mx))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mn, mx))), s -> s.mx)").as("mxs"))
+    val deq = e.crossJoin(broadcast(sc))
+      .select(col("vec_id"), expr(
+        """zip_with(v, zip_with(mns, mxs, (a, b) -> named_struct('mn', a, 'mx', b)),
+          |  (x, s) -> s.mn + round((x - s.mn) * 255D / (s.mx - s.mn)) * (s.mx - s.mn) / 255D)"""
+          .stripMargin).as("dv"))
+    val q = deq.filter(col("vec_id") === 0).select(col("dv").as("qdv"))
+    deq.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("dv"), col("qdv")) / (norm(col("dv")) * norm(col("qdv"))), 4).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val embeddingQuantTopkSql: String =
+    """WITH dims AS (
+      |  SELECT i.i AS d, min(embedding[i.i+1]::DOUBLE) AS mn, max(embedding[i.i+1]::DOUBLE) AS mx
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      |  GROUP BY 1),
+      |deq AS (
+      |  SELECT e.vec_id, dm.d,
+      |    dm.mn + round((e.embedding[dm.d+1]::DOUBLE - dm.mn) * 255.0 / (dm.mx - dm.mn))
+      |            * (dm.mx - dm.mn) / 255.0 AS x
+      |  FROM embeddings e CROSS JOIN dims dm),
+      |deqv AS (SELECT vec_id, list(x ORDER BY d) AS v FROM deq GROUP BY 1),
+      |q AS (SELECT v AS qv FROM deqv WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS qcos
+      |FROM deqv CROSS JOIN q
+      |WHERE vec_id <> 0
+      |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embedding_quantize_topk" -> embeddingQuantTopk,
     "cosine_topk" -> cosineTopkNative,
     "cosine_topk_hof" -> cosineTopk,
     "ann_hyperplane_topk" -> annHyperplaneTopk,
@@ -364,6 +416,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize_topk" -> embeddingQuantTopkSql,
     "cosine_topk" -> cosineTopkSql,
     "cosine_topk_hof" -> cosineTopkSql,
     "ann_hyperplane_topk" -> annHyperplaneTopkSql,

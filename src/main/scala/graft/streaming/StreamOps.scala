@@ -121,23 +121,25 @@ object StreamOps {
     * precisely the windows with end ≤ max(ts) − 10 min — a deterministic
     * subset the oracle reproduces with a HAVING clause. The last open
     * window(s) stay in state, as they would on a live stream. */
-  val streamFileSink: Q = (s, dir) => {
-    // deterministic per-input-dir paths, wiped before each run: the gate
-    // is executed repeatedly (Verify × 3 scales + specs) and fresh
-    // createTempDirectory calls would leak one full sink copy per run
-    def freshDir(tag: String): String = {
-      val p = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.createDirectories(p)
-      p.toString
+  /** Deterministic per-(input-dir, tag) scratch path, wiped before each
+    * run: the sink gates execute repeatedly (Verify × 3 scales + specs)
+    * and fresh createTempDirectory calls would leak one full sink copy
+    * per run. */
+  private def freshDir(dir: String, tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
     }
-    val outDir = freshDir("sink")
-    val ckpt = freshDir("sink_ckpt")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  val streamFileSink: Q = (s, dir) => {
+    val outDir = freshDir(dir, "sink")
+    val ckpt = freshDir(dir, "sink_ckpt")
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
@@ -161,6 +163,51 @@ object StreamOps {
       |FROM events GROUP BY 1
       |HAVING bucket + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
       |ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- foreachBatch upsert
+  /** foreachBatch upsert sink — the production pattern for maintaining a
+    * queryable aggregate table from a stream when the store has no
+    * native streaming writer (parquet upsert, JDBC merge, …).
+    * Update-mode per-user totals arrive as key deltas; each batch merges
+    * key-wise into the previous table version (prev ⟕anti delta ∪ delta)
+    * and lands as a NEW immutable version directory, so readers always
+    * see one complete consistent version, the publish is a pointer move,
+    * and a replayed batch rewrites its own version id — the foreachBatch
+    * idempotency contract. Table state is one row per user key, bounded
+    * by the key population, not the stream length. The one-file test
+    * input drains in a single batch; multi-batch upsert (overlapping
+    * keys across batches, latest-total-wins) is driven by the
+    * MemoryStream spec. */
+  val streamForeachBatch: Q = (s, dir) => {
+    val outDir = freshDir(dir, "feb")
+    val ckpt = freshDir(dir, "feb_ckpt")
+    @volatile var latest = -1L
+    val agg = eventsStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sess = batch.sparkSession
+        val prev =
+          if (latest >= 0) sess.read.parquet(s"$outDir/v=$latest")
+          else batch.limit(0)
+        prev.join(batch, Seq("user_id"), "left_anti")
+          .unionByName(batch)
+          .write.mode("overwrite").parquet(s"$outDir/v=$id")
+        latest = id
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(latest >= 0, "foreachBatch sink: no batch was processed")
+    s.read.parquet(s"$outDir/v=$latest").orderBy(col("user_id"))
+  }
+
+  val streamForeachBatchSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------- stream-stream join
   /** Watermarked STREAM-STREAM inner join — click attribution: each view
@@ -273,6 +320,7 @@ object StreamOps {
     "stream_file_sink" -> streamFileSink,
     "stream_join" -> streamJoin,
     "stream_dedup" -> streamDedup,
+    "stream_foreach_batch" -> streamForeachBatch,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -285,6 +333,7 @@ object StreamOps {
     "stream_file_sink" -> streamFileSinkSql,
     "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_foreach_batch" -> streamForeachBatchSql,
   )
 }
 

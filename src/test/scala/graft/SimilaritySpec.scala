@@ -46,4 +46,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty, "near-dup threshold must fire on the test data")
     assert(rows.forall(_.getDouble(2) >= 0.40))
   }
+
+  test("int8 quantized top-k: high recall vs exact, cosine error bounded") {
+    val exact = Similarity.cosineTopk(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.embeddingQuantTopk(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(quant.length == 10)
+    val recall = quant.map(_._1).count(exact.contains) / 10.0
+    assert(recall >= 0.8, s"int8 quantization recall $recall vs exact top-10")
+    // 8-bit codes keep the cosine within ~1e-2 of exact for shared ids
+    for ((id, qc) <- quant if exact.contains(id))
+      assert(math.abs(qc - exact(id)) < 0.01, s"vec $id: quant $qc vs ${exact(id)}")
+  }
 }

@@ -93,4 +93,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("foreachBatch upsert merges overlapping keys across batches (latest total wins)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb_spec").toString
+    @volatile var latest = -1L
+    val input = MemoryStream[(Long, Double)]
+    val agg = input.toDF().toDF("user_id", "value")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sess = batch.sparkSession
+        val prev =
+          if (latest >= 0) sess.read.parquet(s"$outDir/v=$latest") else batch.limit(0)
+        prev.join(batch, Seq("user_id"), "left_anti")
+          .unionByName(batch)
+          .write.mode("overwrite").parquet(s"$outDir/v=$id")
+        latest = id
+      }
+      .start()
+    // batch 1: users 1, 2
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    // batch 2: user 1 again (its total must be UPDATED, not duplicated)
+    // and new user 3; user 2 untouched (must carry over from v0)
+    input.addData((1L, 4.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val table = s.read.parquet(s"$outDir/v=$latest").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(table == Map(
+      1L -> (3L, 7.0),  // cumulative across both batches, single row
+      2L -> (1L, 5.0),  // carried over untouched
+      3L -> (1L, 7.0)), s"upsert table wrong: $table")
+  }
 }
