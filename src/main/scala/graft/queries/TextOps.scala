@@ -513,6 +513,80 @@ object TextOps {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  // ------------------------------------------------ deterministic split
+  /** Reproducible train/val/test split: bucket = first md5 byte of the
+    * doc id (0..255), train < 204 (~80%), val < 230 (~10%), test rest.
+    * Hash splitting beats seeded sampling for a training pipeline —
+    * membership is a pure function of the id, so re-runs, backfills and
+    * incremental ingest land every doc in the same split with zero
+    * coordination state. One narrow pass + a 3-key aggregate. */
+  val datasetSplit: Q = (s, dir) => {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    t(s, dir, "documents")
+      .withColumn("b", h)
+      .withColumn("split",
+        when(col("b") < 204, "train").when(col("b") < 230, "val").otherwise("test"))
+      .withColumn("n_tok", size(toks))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  val datasetSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1 AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- decontamination
+  /** Benchmark decontamination: treat source 'src0' as the held-out
+    * eval set; for every other doc, the fraction of its distinct
+    * 3-shingles that appear anywhere in the eval set. A doc with
+    * overlap ≥ 0.5 is contaminated (the synthetic corpus really
+    * contains cross-source near-copies, so the gate is non-vacuous at
+    * every sf). Emits per-source accounting.
+    *
+    * Scale: the eval set is tiny relative to the corpus (benchmarks
+    * always are), so its distinct-shingle set BROADCASTS and the
+    * corpus-side check is one zero-shuffle hash probe per shingle row
+    * followed by a doc-key aggregate — the corpus never self-joins. */
+  val contaminationCheck: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sh = shingleRows(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val ev = sh.filter(col("source") === "src0").select(col("shingle")).distinct()
+    val corpus = sh.filter(col("source") =!= "src0")
+    val sizes = corpus.groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("n"))
+    val hits = corpus.join(broadcast(ev), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("frac",
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n"), 4))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("frac") >= 0.5, 1L).otherwise(0L)).as("n_contaminated"),
+        max(col("frac")).as("max_overlap"))
+      .orderBy(col("source"))
+  }
+
+  val contaminationCheckSql: String =
+    s"""WITH $shingleCte,
+       |shs AS (SELECT sh.doc_id, source, shingle FROM sh JOIN documents USING (doc_id)),
+       |ev AS (SELECT DISTINCT shingle FROM shs WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, source, shingle FROM shs WHERE source <> 'src0'),
+       |sizes AS (SELECT doc_id, source, count(*) AS n FROM corpus GROUP BY 1, 2),
+       |hits AS (SELECT c.doc_id, count(*) AS n_shared FROM corpus c JOIN ev USING (shingle) GROUP BY 1),
+       |fr AS (
+       |  SELECT sizes.source, round(coalesce(n_shared, 0) * 1.0 / n, 4) AS frac
+       |  FROM sizes LEFT JOIN hits USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  max(frac) AS max_overlap
+       |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ full pipeline
   /** End-to-end training-data pipeline in ONE dataflow: exact dedup
     * (keep-first) → quality gate (vocabulary uniqueness + min length) →
@@ -616,6 +690,8 @@ object TextOps {
     "minhash_near_dup" -> minhashNearDup,
     "cc_dedup_groups" -> ccDedupGroups,
     "simhash_buckets" -> simhashBuckets,
+    "dataset_split" -> datasetSplit,
+    "contamination_check" -> contaminationCheck,
   )
 
   val oracle: Map[String, String] = Map(
@@ -635,5 +711,7 @@ object TextOps {
     "minhash_near_dup" -> minhashNearDupSql,
     "cc_dedup_groups" -> ccDedupGroupsSql,
     "simhash_buckets" -> simhashBucketsSql,
+    "dataset_split" -> datasetSplitSql,
+    "contamination_check" -> contaminationCheckSql,
   )
 }

@@ -65,4 +65,32 @@ class TextOpsSpec extends SparkSpec {
       assert(sp.forall(_._4 <= 2000L + maxTok), s"shard $shard pack overflow")
     }
   }
+
+  test("dataset_split: disjoint, complete, roughly 80/10/10 by hash") {
+    val rows = graft.queries.TextOps.datasetSplit(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val total = rows.values.sum
+    val nDocs = graft.Tables.t(spark, sf001, "documents").count()
+    assert(total == nDocs, "every doc in exactly one split")
+    val trainFrac = rows("train").toDouble / total
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train fraction $trainFrac")
+    // determinism: the split is a pure function of doc_id — re-run equal
+    val again = graft.queries.TextOps.datasetSplit(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows)
+  }
+
+  test("contamination_check: flags the cross-source near-copies of src0") {
+    val rows = graft.queries.TextOps.contaminationCheck(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(_._1 != "src0"), "eval source excluded")
+    assert(rows.forall { case (_, n, c, f) => c <= n && f >= 0.0 && f <= 1.0 })
+    assert(rows.map(_._3).sum > 0, "synthetic corpus contains src0 near-copies")
+    // the broadcast of the eval shingle set must be in the plan (the
+    // zero-corpus-shuffle probe is the point of the operator)
+    val plan = graft.queries.TextOps.contaminationCheck(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$plan")
+  }
 }
