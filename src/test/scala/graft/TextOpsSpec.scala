@@ -32,6 +32,17 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH=$lsh exact=$exact")
   }
 
+  test("minhash verify stage is candidate-restricted (no corpus shingle self-join)") {
+    // regression lock for the round-5 plan defect: the exact-Jaccard
+    // verification must semi-join shingles to candidate endpoints before
+    // any self-join — the optimized plan keeps the LeftSemi and never
+    // aggregates an unrestricted shingle⋈shingle join
+    val plan = TextOps.minhashNearDup(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"candidate semi-join missing from the optimized plan:\n$plan")
+  }
+
   test("exact dedup accounting is idempotent: re-deduping kept docs removes nothing") {
     val docs = Tables.t(spark, sf001, "documents")
     val kept = docs.groupBy(md5(col("text")).as("h"))
