@@ -513,6 +513,64 @@ object TextOps {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  // --------------------------------------------- repetition filtering
+  /** Gopher-style repetition filters: per doc the top-term frequency
+    * ratio (max tf / n_tokens) and the duplicate-bigram fraction
+    * (1 − distinct/total bigrams); a doc is flagged when either exceeds
+    * its threshold (0.2 / 0.1 — calibrated so the synthetic corpus
+    * flags a real subset). Per-source accounting with max statistics —
+    * maxima of per-doc ROUNDED rationals, never round(avg(..)), per the
+    * float-determinism playbook. All ratios are int/int divisions, so
+    * both engines compute identical doubles. One explode + two doc-key
+    * aggregates; no joins beyond doc id. */
+  val repetitionStats: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val perDoc = base
+      .select(col("doc_id"), col("source"), size(col("t")).as("n"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("n"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"), col("n"))
+      .agg(max(col("c")).as("maxtf"))
+    val bigrams = base.select(col("doc_id"),
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))").as("bgs"))
+      .select(col("doc_id"), size(col("bgs")).as("nb"),
+        size(array_distinct(col("bgs"))).as("ndb"))
+    perDoc.join(bigrams, "doc_id")
+      .select(col("source"),
+        round(col("maxtf").cast("double") / col("n"), 4).as("ttr"),
+        round(lit(1.0) - col("ndb").cast("double") / col("nb"), 4).as("dbf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ttr") >= 0.2 || col("dbf") >= 0.1, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("ttr")).as("max_top_tf"),
+        max(col("dbf")).as("max_dup_bigram"))
+      .orderBy(col("source"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |tf AS (
+      |  SELECT doc_id, source, len(t) AS n, u.term, count(*) AS c
+      |  FROM (SELECT doc_id, source, t, unnest(t) AS term FROM base) u(doc_id, source, t, term)
+      |  GROUP BY 1, 2, 3, 4),
+      |pd AS (SELECT doc_id, source, n, max(c) AS maxtf FROM tf GROUP BY 1, 2, 3),
+      |bg AS (
+      |  SELECT doc_id, len(t) - 1 AS nb,
+      |    len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS ndb
+      |  FROM base),
+      |fr AS (
+      |  SELECT pd.source, round(maxtf::DOUBLE / n, 4) AS ttr,
+      |    round(1.0 - ndb::DOUBLE / nb, 4) AS dbf
+      |  FROM pd JOIN bg USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ttr >= 0.2 OR dbf >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  max(ttr) AS max_top_tf, max(dbf) AS max_dup_bigram
+      |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ deterministic split
   /** Reproducible train/val/test split: bucket = first md5 byte of the
     * doc id (0..255), train < 204 (~80%), val < 230 (~10%), test rest.
@@ -692,6 +750,7 @@ object TextOps {
     "simhash_buckets" -> simhashBuckets,
     "dataset_split" -> datasetSplit,
     "contamination_check" -> contaminationCheck,
+    "repetition_stats" -> repetitionStats,
   )
 
   val oracle: Map[String, String] = Map(
@@ -713,5 +772,6 @@ object TextOps {
     "simhash_buckets" -> simhashBucketsSql,
     "dataset_split" -> datasetSplitSql,
     "contamination_check" -> contaminationCheckSql,
+    "repetition_stats" -> repetitionStatsSql,
   )
 }
