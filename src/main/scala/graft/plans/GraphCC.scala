@@ -59,8 +59,10 @@ object GraphCC {
     */
   def components(pairs: DataFrame, maxRounds: Int = 60): DataFrame =
     pairs.sparkSession.conf.getOption("graft.cc.algorithm") match {
-      case Some("stars") => componentsStars(pairs, maxRounds)
-      case _             => componentsMinLabel(pairs, maxRounds)
+      case Some("stars")            => componentsStars(pairs, maxRounds)
+      case Some("minlabel") | None  => componentsMinLabel(pairs, maxRounds)
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.cc.algorithm must be 'minlabel' or 'stars', got '$other'")
     }
 
   /** Min-label propagation + pointer doubling kernel. */

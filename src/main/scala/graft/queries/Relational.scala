@@ -526,6 +526,132 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------ pivot / unpivot
+  /** Pivot: order revenue by year × order-status, statuses spread into
+    * columns. The value list is EXPLICIT (`Seq("F","O","P")`), so no
+    * driver-side distinct scan plans the pivot — at 100 TB an implicit
+    * pivot first runs a full distinct over the pivot column; the explicit
+    * form compiles straight to one partial-aggregated shuffle on the
+    * group key, identical to a plain group-by. */
+  val pivotStatusRevenue: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy(col("order_year"))
+  }
+
+  val pivotStatusRevenueSql: String =
+    """SELECT year(o_orderdate) AS order_year,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Unpivot (melt): wide per-flag aggregates back to long
+    * (flag, metric, value) rows — the Dataset.unpivot relational
+    * generator. Constant-width explode of an already-aggregated tiny
+    * frame: no shuffle beyond the group-by that built it. */
+  val unpivotMetrics: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |    round(sum(l_extendedprice), 2) AS sum_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM base
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM base
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ------------------------------------------------- distribution windows
+  /** ntile / percent_rank / cume_dist over per-customer spend,
+    * PARTITIONED by nation — the scale-right distribution-window shape
+    * (a global ntile would be a single-partition sort; per-nation keeps
+    * every partition bounded by its group). Ties broken by custkey so
+    * both engines rank identically. */
+  val windowNtile: Q = (s, dir) => {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val cust = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"), col("o_custkey").as("custkey"),
+        col("spend"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy(col("nationkey"), col("custkey"))
+  }
+
+  val windowNtileSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY 1)
+      |SELECT c_nationkey AS nationkey, o_custkey AS custkey, spend,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cdist
+      |FROM spend JOIN customer ON o_custkey = c_custkey
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+      |ORDER BY nationkey, custkey""".stripMargin
+
+  // ------------------------------------------------------ skew handling
+  /** Salted two-stage aggregation over a pathologically skewed key
+    * (events has 5 event_type values — at 100 TB each key would be one
+    * giant reducer). Stage 1 groups on (key, salt∈[0,16)) so the hot
+    * keys fan out across 16× more reducers; stage 2 merges the 5×16
+    * partials — a shuffle of 80 rows regardless of input size. This is
+    * the manual-salting twin of AQE skew-join splitting, expressed as a
+    * first-class operator; the oracle is the plain single-stage group-by
+    * (same result, different physical distribution). */
+  val saltedSkewAgg: Q = (s, dir) => {
+    t(s, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value")).as("psum"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("psum")), 4).as("sum_value"), sum(col("pn")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedSkewAggSql: String =
+    """SELECT event_type, round(sum(value), 4) AS sum_value,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ sampling
+  /** Deterministic hash sampling: keep a row iff the first hex byte of
+    * md5(key) falls under the rate threshold ('20'/'100' = 1/8). Unlike
+    * TABLESAMPLE or rand(), the sample is a pure function of the key —
+    * reproducible across engines, runs, partitionings, and retries
+    * (task re-execution can't change membership), and pushes down to the
+    * scan as an ordinary filter. The standard train/eval carve-out and
+    * down-sampling primitive for 100 TB pipelines. */
+  val hashSample: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < lit("20"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val hashSampleSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "sql_revenue_by_nation" -> sqlRevenueByNation,
@@ -550,6 +676,11 @@ object Relational {
     "session_gap" -> sessionGap,
     "grouped_quantiles" -> groupedQuantiles,
     "approx_quantiles" -> approxQuantiles,
+    "pivot_status_revenue" -> pivotStatusRevenue,
+    "unpivot_metrics" -> unpivotMetrics,
+    "window_ntile" -> windowNtile,
+    "salted_skew_agg" -> saltedSkewAgg,
+    "hash_sample" -> hashSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -573,6 +704,11 @@ object Relational {
     "sliding_window" -> slidingWindowSql,
     "session_gap" -> sessionGapSql,
     "grouped_quantiles" -> groupedQuantilesSql,
+    "pivot_status_revenue" -> pivotStatusRevenueSql,
+    "unpivot_metrics" -> unpivotMetricsSql,
+    "window_ntile" -> windowNtileSql,
+    "salted_skew_agg" -> saltedSkewAggSql,
+    "hash_sample" -> hashSampleSql,
     // approx_quantiles: sketch internals are engine-specific — rows-only
     // check by design (like approx_distinct_users); QuantilesSpec bounds
     // the error vs the exact grouped_quantiles result.

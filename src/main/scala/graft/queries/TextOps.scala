@@ -322,8 +322,11 @@ object TextOps {
     * counted by a three-way join keyed on (da, db, shingle), so the
     * corpus-wide shingle self-join never executes and a hot shingle
     * costs |candidate docs containing it| join rows, not k² over the
-    * corpus. `cand` is persisted because it seeds both the semi-join
-    * and the per-pair counts (tiny: one row per confirmed LSH collision).
+    * corpus. `cand` seeds both the semi-join and the per-pair counts
+    * (tiny: one row per confirmed LSH collision), so it is materialized
+    * once via an eager localCheckpoint — unlike persist(), checkpoint
+    * blocks are GC-reclaimed with the DataFrame, so repeated gate/spec
+    * runs don't accumulate session-lifetime cached copies.
     *
     * Hash h_i(s) = substr(md5(i || ':' || s), 1, 8) compared as hex text
     * — identical in DuckDB, so the whole pipeline is oracle-checkable. */
@@ -347,7 +350,7 @@ object TextOps {
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     // exact verify on candidates ONLY: restrict shingle rows to candidate
     // endpoints first, then count per-pair intersections via a three-way
     // join — never a corpus-wide shingle self-join
@@ -730,6 +733,70 @@ object TextOps {
        |  GROUP BY doc_id, i)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ incremental dedup
+  /** Snapshot-incremental dedup: a new crawl batch (here: doc_id ≥ 400)
+    * is deduplicated against the already-ingested corpus (doc_id < 400)
+    * by content digest — LEFT ANTI join on md5(text) — then within-batch
+    * dups collapse to the min doc_id. This is how a 100 TB corpus grows:
+    * the existing side is a narrow (digest) projection readable from a
+    * dedup index table, the anti-join shuffles on the 16-byte digest
+    * only, and the batch side is small relative to the corpus — at real
+    * scale the digest index is bucketed by digest so the anti-join is
+    * shuffle-free on the corpus side. */
+  val incrementalDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("h")).distinct()
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    batch.join(existing, Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .select(col("keep_id"), col("n_batch_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val incrementalDedupSql: String =
+    """WITH existing AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_batch_copies
+      |FROM batch WHERE h NOT IN (SELECT h FROM existing)
+      |GROUP BY h ORDER BY keep_id""".stripMargin
+
+  // --------------------------------------------- repeated n-gram spans
+  /** Substring-level duplication mining: word 5-grams that occur in ≥ 2
+    * distinct documents, with how many docs share them (the signal
+    * suffix-array substring dedup thresholds on; 5 words ≈ the scale of
+    * boilerplate headers/footers). Inverted-index shape: explode distinct
+    * 5-grams per doc (linear in corpus tokens), one group-by on the
+    * n-gram — a hot boilerplate n-gram costs one reducer row, never a
+    * pairwise join. Top spans by (n_docs, ngram) keeps output bounded. */
+  val repeatedNgramSpans: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-5), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")))
+        .as("ngram"))
+    grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(30)
+  }
+
+  val repeatedNgramSpansSql: String =
+    """WITH toks5 AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |idx5 AS (SELECT doc_id, t, unnest(range(1, len(t)-3)) AS i FROM toks5 WHERE len(t) >= 5),
+      |g AS (SELECT DISTINCT doc_id,
+      |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS ngram
+      |  FROM idx5)
+      |SELECT ngram, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM g GROUP BY ngram HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, ngram LIMIT 30""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "pipeline_training_data" -> pipelineTrainingData,
@@ -751,6 +818,8 @@ object TextOps {
     "dataset_split" -> datasetSplit,
     "contamination_check" -> contaminationCheck,
     "repetition_stats" -> repetitionStats,
+    "incremental_dedup" -> incrementalDedup,
+    "repeated_ngram_spans" -> repeatedNgramSpans,
   )
 
   val oracle: Map[String, String] = Map(
@@ -773,5 +842,7 @@ object TextOps {
     "dataset_split" -> datasetSplitSql,
     "contamination_check" -> contaminationCheckSql,
     "repetition_stats" -> repetitionStatsSql,
+    "incremental_dedup" -> incrementalDedupSql,
+    "repeated_ngram_spans" -> repeatedNgramSpansSql,
   )
 }

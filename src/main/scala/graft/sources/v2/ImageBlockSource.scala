@@ -14,6 +14,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, Greate
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.ImageSource
 import graft.tensor.Block
@@ -158,11 +159,14 @@ private[v2] class ImageBlockScan(opts: Map[String, String], lo: Int, hi: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ImageBlockReaderFactory(codec, imageId, required.fieldNames)
+    // capture the session Hadoop conf DRIVER-SIDE so executor reads see the
+    // same fs settings (s3a credentials etc.) that planInputPartitions used
+    new ImageBlockReaderFactory(codec, imageId, required.fieldNames,
+      new SerializableConfiguration(SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[v2] class ImageBlockReaderFactory(codec: String, imageId: String,
-    fields: Array[String]) extends PartitionReaderFactory {
+    fields: Array[String], conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ImageFilePartition]
     new PartitionReader[InternalRow] {
@@ -173,8 +177,8 @@ private[v2] class ImageBlockReaderFactory(codec: String, imageId: String,
         if (done) return false
         done = true
         val path = new Path(part.path)
-        // executor-local FS access: the reader runs where the task runs
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // executor-local FS access with the driver's session conf
+        val fs = path.getFileSystem(conf.value)
         val len = fs.getFileStatus(path).getLen.toInt
         val bytes = new Array[Byte](len)
         val in = fs.open(path)
