@@ -652,6 +652,175 @@ object Relational {
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------- as-of: nearest
+  /** As-of join, NEAREST direction with a ±30-minute tolerance: for each
+    * purchase event, the same-user VIEW event closest in time (before OR
+    * after), ties broken by the lower view event_id — attribution's
+    * "which impression drove this purchase". Same shape as
+    * `asofLatestOrder` (backward as-of): the equi-key (user) keeps it a
+    * hash join, the interval bound keeps per-purchase candidates finite,
+    * and packing (|Δt|, event_id) into one BIGINT lets a single min()
+    * resolve both the nearest ordering and the tiebreak — one shuffle,
+    * no window over the joined fact. At 100 TB the tolerance is what
+    * makes nearest-asof tractable: an unbounded nearest needs a global
+    * per-user sort; bounded, it's an ordinary interval join. (Packing
+    * assumes event_id < 10^9 — for wider ids use a struct min.) */
+  val asofNearestView: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val lo = col("p_ts") - expr("INTERVAL '30' MINUTE")
+    val hi = col("p_ts") + expr("INTERVAL '30' MINUTE")
+    val dS = abs(expr("unix_micros(v_ts) div 1000000") -
+      expr("unix_micros(p_ts) div 1000000"))
+    p.join(v, col("user_id") === col("v_user") && col("v_ts").between(lo, hi))
+      .groupBy(col("p_id"))
+      .agg(min(dS * lit(1000000000L) + col("v_id")).as("pack"),
+        count(lit(1)).as("n_cand"))
+      .selectExpr("p_id AS purchase_id", "pack DIV 1000000000 AS diff_s",
+        "pack % 1000000000 AS nearest_view_id", "n_cand")
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofNearestViewSql: String =
+    """WITH j AS (
+      |  SELECT p.event_id AS purchase_id,
+      |    min(abs(CAST(epoch_us(v.ts) // 1000000 AS BIGINT)
+      |          - CAST(epoch_us(p.ts) // 1000000 AS BIGINT)) * 1000000000 + v.event_id) AS pack,
+      |    count(*) AS n_cand
+      |  FROM events p JOIN events v
+      |    ON p.user_id = v.user_id
+      |    AND p.event_type = 'purchase' AND v.event_type = 'view'
+      |    AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+      |  GROUP BY p.event_id)
+      |SELECT purchase_id, pack // 1000000000 AS diff_s,
+      |  pack % 1000000000 AS nearest_view_id, n_cand
+      |FROM j ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------- correlated scalar subquery
+  /** Correlated scalar subquery through the SQL parser: per-order lineitem
+    * count via `(SELECT count(*) ... WHERE l_orderkey = o_orderkey)`.
+    * Catalyst DECORRELATES this to an aggregate + left outer join — the
+    * plan a user would hand-write — so the subquery form costs nothing
+    * extra at 100 TB (one shuffle on orderkey, null→0 handled by the
+    * rewrite). Integer counts keep the oracle exact. */
+  val scalarSubqueryItems: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderkey, n_items FROM (
+        |  SELECT o_orderkey,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        |  FROM orders o)
+        |WHERE n_items >= 6 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val scalarSubqueryItemsSql: String =
+    """SELECT o_orderkey, n_items FROM (
+      |  SELECT o_orderkey,
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      |  FROM orders o)
+      |WHERE n_items >= 6 ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ grouping sets
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * (year, status), (year), (status), (). Spark expands the sets into
+    * one Expand + single-shuffle aggregate (rows × #sets before partial
+    * agg — at 100 TB prefer few, targeted sets over CUBE's 2^n).
+    * grouping() flags disambiguate real NULLs from subtotal rows, and the
+    * ORDER BY pins NULLS FIRST explicitly because Spark and DuckDB
+    * default opposite NULL orderings. */
+  val groupingSetsRevenue: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+        |  grouping(year(o_orderdate)) AS g_yr,
+        |  grouping(o_orderstatus) AS g_status,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+        |  (year(o_orderdate)), (o_orderstatus), ())
+        |ORDER BY g_yr, g_status, yr ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin)
+      .selectExpr("yr", "status", "CAST(g_yr AS INT) AS g_yr",
+        "CAST(g_status AS INT) AS g_status", "revenue", "n_orders")
+  }
+
+  val groupingSetsRevenueSql: String =
+    """SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+      |  CAST(grouping(year(o_orderdate)) AS INT) AS g_yr,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+      |  (year(o_orderdate)), (o_orderstatus), ())
+      |ORDER BY g_yr, g_status, yr ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ mode (argmax)
+  /** Deterministic per-group mode: each user's most frequent event_type,
+    * ties broken lexicographically. Built as count-then-argmax (group-by
+    * + a window over the tiny distinct-pairs frame — ≤ #types rows per
+    * user, so the window state is bounded at any scale) instead of the
+    * built-in `mode()` aggregate, whose tie choice is engine-specific and
+    * would never hash-match across engines. */
+  val modeStats: Q = (s, dir) => {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  val modeStatsSql: String =
+    """SELECT user_id, mode_type, cnt FROM (
+      |  SELECT user_id, event_type AS mode_type, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY count(*) DESC, event_type) AS rn
+      |  FROM events GROUP BY user_id, event_type)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- bloom-pruned join
+  /** Bloom-filter semi-join pruning — the 100 TB pattern for a dim side
+    * too big to broadcast whole but whose KEY SET fits a sketch: build a
+    * Bloom filter over the filtered dim keys (here BUILDING customers),
+    * prefilter the fact scan with mightContain (drops ~the fact's
+    * non-matching rows BEFORE the join shuffle), then the exact join
+    * removes the filter's false positives — the result is exact, the
+    * bloom only prunes. This is the manual twin of Spark's runtime
+    * row-level filtering (spark.sql.optimizer.runtime.bloomFilter), made
+    * first-class so the pruning applies regardless of optimizer
+    * heuristics. The mightContain UDF runs only on the prefilter — off
+    * the post-join hot path. */
+  val bloomPruneJoin: Q = (s, dir) => {
+    val keys = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // sketch sized from an exact key count: one cheap driver-side count of
+    // the (already filtered) dim — at 100 TB this is the dim scan you pay
+    // anyway to build the filter
+    val bf = keys.stat.bloomFilter("c_custkey", math.max(keys.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    t(s, dir, "orders")
+      .filter(mightContain(col("o_custkey")))          // sketch prefilter
+      .join(keys, col("o_custkey") === col("c_custkey")) // exact, FP-free
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "sql_revenue_by_nation" -> sqlRevenueByNation,
@@ -681,6 +850,11 @@ object Relational {
     "window_ntile" -> windowNtile,
     "salted_skew_agg" -> saltedSkewAgg,
     "hash_sample" -> hashSample,
+    "asof_nearest_view" -> asofNearestView,
+    "scalar_subquery_items" -> scalarSubqueryItems,
+    "grouping_sets_revenue" -> groupingSetsRevenue,
+    "mode_stats" -> modeStats,
+    "bloom_prune_join" -> bloomPruneJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -709,6 +883,11 @@ object Relational {
     "window_ntile" -> windowNtileSql,
     "salted_skew_agg" -> saltedSkewAggSql,
     "hash_sample" -> hashSampleSql,
+    "asof_nearest_view" -> asofNearestViewSql,
+    "scalar_subquery_items" -> scalarSubqueryItemsSql,
+    "grouping_sets_revenue" -> groupingSetsRevenueSql,
+    "mode_stats" -> modeStatsSql,
+    "bloom_prune_join" -> bloomPruneJoinSql,
     // approx_quantiles: sketch internals are engine-specific — rows-only
     // check by design (like approx_distinct_users); QuantilesSpec bounds
     // the error vs the exact grouped_quantiles result.
