@@ -74,43 +74,91 @@ object Bench {
     // ~30% slower than steady state on the join-heavy queries).
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = headline.filter(qs.contains).map { name =>
-      val fn = qs(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // a crashing query must not silently bench as ~0s: record it and
-        // surface the failure in the JSON line, not just stderr
-        try fn(spark, sfDir).count() catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (1 to warmups).foreach(_ => once())
-      val t = Seq(once(), once(), once()).sorted.apply(1)
-      name -> t
-    }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
     // Scheduler-floor probe: the cheapest possible gated query shape (one
-    // cached 5-row scan → agg → exchange → final agg → count) timed with
-    // the identical warm-up/median protocol. floor_total = that latency ×
-    // |headline| — the part of `total` that is Spark job/stage dispatch,
-    // not operator work. DuckDB-in-process has no equivalent cost, so the
-    // ratio to BASELINE.md is bounded below by floor_total/0.31.
-    val floorQ = () => {
+    // cached 5-row scan → agg → exchange → final agg → count). The part of
+    // each query's latency that is Spark job/stage dispatch, not operator
+    // work — DuckDB-in-process has no equivalent cost.
+    def floorOnce(): Double = {
       val t0 = System.nanoTime()
       Tables.t(spark, sfDir, "region").groupBy("r_regionkey").count().count()
       (System.nanoTime() - t0) / 1e9
     }
-    (1 to warmups).foreach(_ => floorQ())
-    val floor = Seq(floorQ(), floorQ(), floorQ()).sorted.apply(1)
-    val floorTotal = floor * results.size
+
+    /** One full measurement pass. Floor probes are INTERLEAVED between
+      * query groups (before, every 4 queries, after) so a load spike that
+      * inflates the queries inflates the floor samples too — the round-7
+      * artifact (queries timed under contention, floor timed after it had
+      * passed) recorded a 35× phantom regression precisely because the
+      * floor ran once, at the end. */
+    def runPass(): (Seq[(String, Double)], Seq[Double]) = {
+      val floors = scala.collection.mutable.ArrayBuffer(floorOnce())
+      val res = headline.filter(qs.contains).zipWithIndex.map { case (name, i) =>
+        val fn = qs(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          // a crashing query must not silently bench as ~0s: record it and
+          // surface the failure in the JSON line, not just stderr
+          try fn(spark, sfDir).count() catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to warmups).foreach(_ => once())
+        val t = Seq(once(), once(), once()).sorted.apply(1)
+        if ((i + 1) % 4 == 0) floors += floorOnce()
+        name -> t
+      }
+      floors += floorOnce()
+      (res, floors.toSeq)
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+
+    // Contention guard: a healthy idle-machine floor at local[32] has been
+    // 0.05–0.15 s/query across rounds 2–7. If the interleaved floor median
+    // exceeds 3× the reference the pass was contended — retry (something
+    // else is hammering the box; a retry is cheaper than shipping a
+    // garbage artifact) and flag the line if it never clears.
+    val floorRef = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REF", "0.15").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    (1 to warmups).foreach(_ => floorOnce())
+    var attempt = 0
+    var best: (Seq[(String, Double)], Seq[Double]) = null
+    var bestFloor = Double.MaxValue
+    var contended = true
+    while (attempt < maxAttempts && contended) {
+      attempt += 1
+      val pass = runPass()
+      val fm = median(pass._2)
+      if (fm < bestFloor) { bestFloor = fm; best = pass }
+      contended = bestFloor > 3 * floorRef
+      if (contended)
+        System.err.println(f"[bench] attempt $attempt contended: floor median $fm%.3f s > 3×$floorRef%.2f s")
+    }
+    val (results, floorSamples) = best
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val floorMed = median(floorSamples)
+    val fs = floorSamples.sorted
+    val floorIqr = fs((fs.length * 3) / 4) - fs(fs.length / 4)
+    val floorTotal = floorMed * results.size
+    // Floor-adjusted accounting (SURVEY §6): adjusted_total = total −
+    // floor_total estimates pure operator work, the quantity comparable to
+    // DuckDB's in-process total at toy scale. Both numbers are emitted;
+    // the raw total remains the headline "value" for continuity.
+    val adjusted = math.max(0.0, total - floorTotal)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""failed":$failedJson,"floor_per_query":$floor,"floor_total":$floorTotal,"sf":"$sfDir"}""")
+      s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
+      s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
+      s""""contended":$contended,"attempts":$attempt,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
