@@ -148,16 +148,40 @@ object Relational {
 
   // ------------------------------------------------------ as-of join
   /** As-of join (Spark has no native one — composed): for each event, the
-    * most recent order at-or-before the event time for that user. The
-    * (date, key) pair is packed into one BIGINT so a single max() resolves
-    * both the as-of ordering and the tiebreak deterministically — one
-    * shuffle, no window over the joined fact. */
+    * most recent order at-or-before the event time for that user.
+    *
+    * Built as the union + running-window SORT-MERGE form: events and
+    * orders interleave into one stream keyed by user, sorted by time
+    * (orders before events at equal timestamps, so `<=` semantics hold),
+    * and `last(pack, ignoreNulls)` over a running rows-frame carries the
+    * latest order forward. The (date, key) pair is packed into one BIGINT
+    * (o_orderkey < 10^9, asserted in PropertySpec) so the running `last`
+    * resolves both the as-of ordering and the max-orderkey tiebreak.
+    *
+    * Scale: per-event state is O(1) — one carried BIGINT — regardless of
+    * how many prior orders a user has. The previous join+max form built
+    * the full (event × prior orders) candidate set before collapsing,
+    * which goes quadratic-ish on a hot user at 100 TB; this form is one
+    * shuffle on user_id plus a per-partition sort, the classic
+    * sort-merge as-of. */
   val asofLatestOrder: Q = (s, dir) => {
     val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("pack"))
     val o = t(s, dir, "orders")
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .groupBy(col("event_id"))
-      .agg(max(unix_seconds(col("o_orderdate").cast("timestamp")) * lit(1000000000L) + col("o_orderkey")).as("latest_key"))
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        (unix_seconds(col("o_orderdate").cast("timestamp")) * lit(1000000000L)
+          + col("o_orderkey")).as("pack"))
+    // pack asc NULLS LAST: at equal ts, order rows precede event rows
+    // (`<=` as-of) and the running last order is the max (date, key) pack
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("pack").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("latest_key", last(col("pack"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull && col("latest_key").isNotNull)
       .selectExpr("event_id",
         "latest_key DIV 1000000000 AS latest_od_epoch",
         "latest_key % 1000000000 AS latest_orderkey")
@@ -279,6 +303,33 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP (n_name, o_orderstatus)
+      |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ cube
+  /** CUBE twin of rollupSales — all 2^n grouping sets, so it adds the
+    * (status-only) subtotals rollup omits. Same single Expand + one
+    * shuffle plan (rows × 4 sets before partial agg; at 100 TB prefer
+    * explicit GROUPING SETS over CUBE's 2^n expansion — see
+    * groupingSetsRevenue). NULLS FIRST explicit on both engines. */
+  val cubeSales: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+  }
+
+  val cubeSalesSql: String =
+    """SELECT n_name, o_orderstatus,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (n_name, o_orderstatus)
       |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
   // ------------------------------------------------------ set ops
@@ -663,8 +714,13 @@ object Relational {
     * resolve both the nearest ordering and the tiebreak — one shuffle,
     * no window over the joined fact. At 100 TB the tolerance is what
     * makes nearest-asof tractable: an unbounded nearest needs a global
-    * per-user sort; bounded, it's an ordinary interval join. (Packing
-    * assumes event_id < 10^9 — for wider ids use a struct min.) */
+    * per-user sort; bounded, it's an ordinary interval join.
+    *
+    * 'Nearest' resolves on FULL microsecond deltas — |Δt| ≤ 30 min =
+    * 1.8e9 µs, so Δt_us·10^9 + event_id still fits a BIGINT (max
+    * 1.8e18 < 2^63; event_id < 10^9, asserted in PropertySpec) and two
+    * views tie only when genuinely equidistant to the microsecond, not
+    * merely within the same truncated second. */
   val asofNearestView: Q = (s, dir) => {
     val e = t(s, dir, "events")
     val p = e.filter(col("event_type") === "purchase")
@@ -674,13 +730,12 @@ object Relational {
         col("ts").as("v_ts"))
     val lo = col("p_ts") - expr("INTERVAL '30' MINUTE")
     val hi = col("p_ts") + expr("INTERVAL '30' MINUTE")
-    val dS = abs(expr("unix_micros(v_ts) div 1000000") -
-      expr("unix_micros(p_ts) div 1000000"))
+    val dUs = abs(expr("unix_micros(v_ts)") - expr("unix_micros(p_ts)"))
     p.join(v, col("user_id") === col("v_user") && col("v_ts").between(lo, hi))
       .groupBy(col("p_id"))
-      .agg(min(dS * lit(1000000000L) + col("v_id")).as("pack"),
+      .agg(min(dUs * lit(1000000000L) + col("v_id")).as("pack"),
         count(lit(1)).as("n_cand"))
-      .selectExpr("p_id AS purchase_id", "pack DIV 1000000000 AS diff_s",
+      .selectExpr("p_id AS purchase_id", "pack DIV 1000000000 AS diff_us",
         "pack % 1000000000 AS nearest_view_id", "n_cand")
       .orderBy(col("purchase_id"))
   }
@@ -688,15 +743,15 @@ object Relational {
   val asofNearestViewSql: String =
     """WITH j AS (
       |  SELECT p.event_id AS purchase_id,
-      |    min(abs(CAST(epoch_us(v.ts) // 1000000 AS BIGINT)
-      |          - CAST(epoch_us(p.ts) // 1000000 AS BIGINT)) * 1000000000 + v.event_id) AS pack,
+      |    min(abs(CAST(epoch_us(v.ts) AS BIGINT)
+      |          - CAST(epoch_us(p.ts) AS BIGINT)) * 1000000000 + v.event_id) AS pack,
       |    count(*) AS n_cand
       |  FROM events p JOIN events v
       |    ON p.user_id = v.user_id
       |    AND p.event_type = 'purchase' AND v.event_type = 'view'
       |    AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
       |  GROUP BY p.event_id)
-      |SELECT purchase_id, pack // 1000000000 AS diff_s,
+      |SELECT purchase_id, pack // 1000000000 AS diff_us,
       |  pack % 1000000000 AS nearest_view_id, n_cand
       |FROM j ORDER BY purchase_id""".stripMargin
 
@@ -800,15 +855,21 @@ object Relational {
     * heuristics. The mightContain UDF runs only on the prefilter — off
     * the post-join hot path. */
   val bloomPruneJoin: Q = (s, dir) => {
+    // persist the filtered dim so the sizing count and the sketch build
+    // share ONE scan; unpersist immediately after — the exact join below
+    // rescans the (filter-pushed) dim once, and nothing stays cached
+    // across repeated invocations in one session
     val keys = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    // sketch sized from an exact key count: one cheap driver-side count of
-    // the (already filtered) dim — at 100 TB this is the dim scan you pay
-    // anyway to build the filter
-    val bf = keys.stat.bloomFilter("c_custkey", math.max(keys.count(), 1L), 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      .persist()
+    val bf =
+      try keys.stat.bloomFilter("c_custkey", math.max(keys.count(), 1L), 0.01)
+      finally keys.unpersist(blocking = false)
+    // bf rides the task closure (broadcast with the stage's task binary,
+    // reclaimed with the plan) — no session-lifetime explicit broadcast
+    // to leak; at 1% fpp the sketch is ~1.2 KB per 1k keys
+    val mightContain = udf((k: Long) => bf.mightContain(k))
     t(s, dir, "orders")
       .filter(mightContain(col("o_custkey")))          // sketch prefilter
       .join(keys, col("o_custkey") === col("c_custkey")) // exact, FP-free
@@ -835,6 +896,7 @@ object Relational {
     "distinct_users" -> distinctUsers,
     "approx_distinct_users" -> approxDistinctUsers,
     "rollup_sales" -> rollupSales,
+    "cube_sales" -> cubeSales,
     "set_ops" -> setOps,
     "string_funcs" -> stringFuncs,
     "date_trunc_agg" -> dateTruncAgg,
@@ -869,6 +931,7 @@ object Relational {
     "window_running" -> windowRunningSql,
     "distinct_users" -> distinctUsersSql,
     "rollup_sales" -> rollupSalesSql,
+    "cube_sales" -> cubeSalesSql,
     "set_ops" -> setOpsSql,
     "string_funcs" -> stringFuncsSql,
     "date_trunc_agg" -> dateTruncAggSql,

@@ -90,4 +90,19 @@ class PropertySpec extends SparkSpec {
         s"B_$n negative weight at $u")
     }
   }
+
+  test("BIGINT packing bounds: event_id and o_orderkey stay below 10^9") {
+    // asofLatestOrder / asofNearestView pack (delta, id) into one BIGINT
+    // with a 10^9 modulus — a testdata-generator change that widens the
+    // ids would silently corrupt the unpacked id, so pin the assumption
+    import org.apache.spark.sql.functions.{col, max}
+    for (dir <- Seq(sf0001, sf001)) {
+      val maxEvent = Tables.t(spark, dir, "events")
+        .agg(max(col("event_id").cast("long"))).collect().head.getLong(0)
+      val maxOrder = Tables.t(spark, dir, "orders")
+        .agg(max(col("o_orderkey").cast("long"))).collect().head.getLong(0)
+      assert(maxEvent < 1000000000L, s"event_id $maxEvent >= 10^9 in $dir")
+      assert(maxOrder < 1000000000L, s"o_orderkey $maxOrder >= 10^9 in $dir")
+    }
+  }
 }
