@@ -278,11 +278,92 @@ object TextOps {
        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ exact jaccard
-  /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.8) via an
-    * inverted-index self-join on shingle — the exact-verification path.
-    * At 100 TB the candidate generation moves to `minhash_near_dup`;
-    * this operator is then only run on the candidate pairs. */
+  /** Exact-Jaccard verification restricted to a candidate pair set:
+    * shingle rows are semi-joined down to candidate endpoints, then
+    * per-pair intersections are counted by a three-way join keyed on
+    * (da, db, shingle) — the corpus-wide shingle self-join never
+    * executes, and a hot shingle costs |candidate docs containing it|
+    * join rows, not df² over the corpus. Shared by `minhash_near_dup`
+    * (probabilistic candidates) and `ngram_jaccard_pairs` (lossless
+    * prefix-filter candidates). */
+  private def verifyJaccardPairs(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id")))
+      .distinct()
+    val shCand = shingleRows(docs).join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shCand.as("a"), col("da") === col("a.doc_id"))
+      .join(shCand.as("b"),
+        col("db") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.8) via PREFIX
+    * FILTERING (Chaudhuri/Ganti/Kaushik SSJoin 2006; Bayardo et al.
+    * AllPairs 2007) — exact AND scale-correct, no corpus-wide shingle
+    * self-join:
+    *
+    *  1. rank each doc's shingles in a global canonical order — document
+    *     frequency ascending, shingle ascending (rarest first);
+    *  2. keep only each doc's PREFIX, the first n − ⌈0.8·n⌉ + 1 = ⌊0.2n⌋+1
+    *     shingles. Lemma: two sets with Jaccard ≥ t MUST share a prefix
+    *     element under any common total order (their intersection is
+    *     ≥ max(⌈t·na⌉, ⌈t·nb⌉), which exceeds what the suffixes can
+    *     carry), so candidate generation is LOSSLESS — unlike LSH there
+    *     are no false negatives, and the simple all-pairs oracle stays
+    *     the spec;
+    *  3. self-join only the prefixes (≈20% of shingle rows; rarest-first
+    *     ordering keeps hot shingles out of prefixes, so inverted-index
+    *     buckets stay small at 100 TB);
+    *  4. exact-verify candidates through the shared candidate-restricted
+    *     three-way join.
+    *
+    * The unfiltered all-pairs twin lives in [[ngramJaccardPairsAllPairs]]
+    * (spec-only equivalence check at test scale). */
   val ngramJaccardPairs: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // cand is tiny (one row per prefix collision) and seeds both sides of
+    // the verify — materialize once, eagerly (checkpoint blocks are GC-
+    // reclaimed with the DataFrame, unlike persist)
+    val cand = prefixJaccardCandidates(docs).localCheckpoint(true)
+    verifyJaccardPairs(docs, cand)
+  }
+
+  /** Lossless prefix-filter candidate pairs (da, db) — factored out
+    * un-checkpointed so TextOpsSpec can assert the plan shape. */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    // p = n − ⌈0.8n⌉ + 1, in exact integer arithmetic: ⌈0.8n⌉ = (4n+4) div 5
+    // (integer `div`, not `/` — Spark's `/` on integers yields DOUBLE and
+    // 0.8·n in binary floating point rounds the ceiling wrong, e.g. n=5)
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** The naive all-pairs inverted-index join — test-scale verification
+    * twin of [[ngramJaccardPairs]] (TextOpsSpec asserts set equality);
+    * never registered as a gated key. */
+  private[graft] val ngramJaccardPairsAllPairs: Q = (s, dir) => {
     val sh = shingleRows(t(s, dir, "documents"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -351,27 +432,8 @@ object TextOps {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
       .localCheckpoint(true)
-    // exact verify on candidates ONLY: restrict shingle rows to candidate
-    // endpoints first, then count per-pair intersections via a three-way
-    // join — never a corpus-wide shingle self-join
-    val candDocs = cand.select(col("da").as("doc_id"))
-      .union(cand.select(col("db").as("doc_id")))
-      .distinct()
-    val shCand = shingleRows(docs).join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shCand.as("a"), col("da") === col("a.doc_id"))
-      .join(shCand.as("b"),
-        col("db") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(broadcast(sizes).as("sa"), col("da") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("da"), col("db"))
+    // exact verify on candidates ONLY (shared candidate-restricted path)
+    verifyJaccardPairs(docs, cand)
   }
 
   val minhashNearDupSql: String =

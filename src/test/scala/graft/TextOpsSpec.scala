@@ -25,11 +25,51 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the same >=0.8-jaccard pairs as the exact join (sf0.001)") {
-    val exact = TextOps.ngramJaccardPairs(spark, sf0001).collect()
+    val exact = TextOps.ngramJaccardPairsAllPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = TextOps.minhashNearDup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"LSH=$lsh exact=$exact")
+  }
+
+  test("prefix-filtered jaccard join equals the naive all-pairs join") {
+    // prefix filtering is LOSSLESS (SSJoin/AllPairs lemma) — full result
+    // equality, jaccard values included, at both test scales
+    for (dir <- Seq(sf0001, sf001)) {
+      val naive = TextOps.ngramJaccardPairsAllPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = TextOps.ngramJaccardPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf == naive, s"$dir: prefix=$pf naive=$naive")
+    }
+  }
+
+  test("ngram_jaccard_pairs never self-joins the full shingle set") {
+    // the candidate join must read window-ranked PREFIX subsets (plan
+    // shows the row_number window + rank filter feeding the join) and the
+    // verify stage must stay candidate-restricted (LeftSemi). Candidate
+    // generation is inspected un-checkpointed (the registered key
+    // materializes it eagerly, which would hide the subplan).
+    val candPlan = TextOps.prefixJaccardCandidates(
+        Tables.t(spark, sf0001, "documents"))
+      .queryExecution.optimizedPlan.toString
+    assert(candPlan.contains("row_number"), s"prefix window missing:\n$candPlan")
+    val plan = TextOps.ngramJaccardPairs(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"candidate semi-join missing:\n$plan")
+    // quantitative: prefixes prune the join input to ⌊0.2n⌋+1 per doc
+    val perDoc = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("shingle"))
+      .groupBy("doc_id").count()
+    val agg = perDoc
+      .selectExpr("sum(count) AS total",
+        "sum(count - (count * 4 + 4) div 5 + 1) AS prefix")
+      .collect().head
+    assert(agg.getLong(1) < 0.35 * agg.getLong(0),
+      s"prefix rows ${agg.getLong(1)} not < 35% of ${agg.getLong(0)} shingle rows")
   }
 
   test("minhash verify stage is candidate-restricted (no corpus shingle self-join)") {
