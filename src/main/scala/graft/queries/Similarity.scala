@@ -57,21 +57,81 @@ object Similarity {
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------ pairwise near-dup
-  /** Embedding near-duplicate pairs: cosine >= 0.40 over all pairs within
-    * the same label (label acts as the blocking key — the same plan shape
-    * as LSH-bucketed near-dup at scale; cross-label pairs of near-dups
-    * would be caught by a multi-probe variant).
+  /** Embedding near-duplicate pairs: cosine >= 0.40 within the same label.
     *
-    * The threshold is calibrated to the synthetic embeddings: within-label
-    * cosine tops out at ~0.47 (sf0.01) / ~0.51 (sf0.1), so 0.40 yields a
-    * small non-empty result at BOTH scales (5 pairs at sf0.01, 86 at
-    * sf0.1) — the oracle proves the pair arithmetic, not just emptiness. */
+    * Candidate generation is sign-LSH BANDED, never all-pairs: each vector
+    * gets 64 deterministic hyperplane sign bits, grouped as 32 bands ×
+    * 2 bits; two vectors are candidates iff they share (label, band,
+    * 2-bit value) for some band. Exact cosine (codegen'd native
+    * expression) runs ONLY on candidates.
+    *
+    * Plane weights use the fract-sin hash w = fract(sin(n)·43758.5453)·2−1
+    * (n = plane·64 + dim), NOT the annHyperplaneTopk sin(n) family:
+    * consecutive-integer sine planes are pairwise correlated
+    * (Σ_d sin(a+d)sin(b+d) ≈ 32·cos(a−b)), which collapsed the effective
+    * band count and measurably missed threshold pairs; the fract hash
+    * decorrelates them (measured bit-agreement matches the 1 − θ/π
+    * theory).
+    *
+    * Recall: a pair at the 0.40 threshold agrees per bit w.p.
+    * 1 − acos(0.40)/π ≈ 0.631, so it is missed by all 32 bands w.p.
+    * (1 − 0.631²)^32 ≈ 9e-8 — SimilaritySpec locks full pair-set equality
+    * with the all-pairs twin at both test scales, and the unchanged
+    * all-pairs oracle gates the key. At 100 TB the banded join keys
+    * (label, band, bucket) shard a hot label into 128 buckets instead of
+    * one O(block²) join group, and the shuffle carries 32 narrow
+    * (id, key) rows per vector, not the vectors themselves — vectors are
+    * fetched by id only for the verified-candidate cosines. (This
+    * synthetic corpus has weak within-label clustering, so the prune
+    * ratio here is modest; on real near-dup-heavy corpora — the use case
+    * — near-identical vectors collide in almost every band while
+    * unrelated ones split.) */
   val embeddingNearDup: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
-    // the O(pairs) cosine runs through the codegen'd native expression
-    // (same double-precision arithmetic as the HOF pipeline — cosine_topk
-    // proves the hash equivalence) over the raw float arrays: half the
-    // join bytes and no per-pair intermediate arrays
+    val cand = embeddingLshCandidates(t(s, dir, "embeddings"))
+      .localCheckpoint(true) // tiny; eager so both verify joins reuse it
+    val ve = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    cand
+      .join(ve.as("ea"), col("va") === col("ea.vec_id"))
+      .join(ve.as("eb"), col("vb") === col("eb.vec_id"))
+      .select(col("va"), col("vb"),
+        round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4).as("cos"))
+      .filter(col("cos") >= 0.40)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** Sign-LSH banded candidate pairs (va, vb) — factored out
+    * un-checkpointed so SimilaritySpec can assert the plan shape. */
+  private[graft] def embeddingLshCandidates(emb: DataFrame): DataFrame = {
+    // fract-sin hash → uniform [−1, 1) plane weights, decorrelated per
+    // (plane, dim); see the embeddingNearDup docstring for why plain
+    // sin(n) planes are unusable here
+    val sigExpr = expr(
+      """aggregate(sequence(0, 63), 0L, (acc, p) -> acc +
+        |  CASE WHEN aggregate(zip_with(embedding,
+        |                               transform(sequence(0, 63), d ->
+        |                                 (sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453
+        |                                  - floor(sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453)) * 2D - 1D),
+        |                               (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      0D, (a, x) -> a + x) > 0D
+        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
+    val banded = emb
+      .select(col("vec_id"), col("label"), sigExpr.as("sig"))
+      .select(col("vec_id"), col("label"), explode(expr(
+        "transform(sequence(0, 31), b -> b * 4 + (shiftright(sig, CAST(b * 2 AS INT)) & 3))"))
+        .as("bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+  }
+
+  /** Within-label all-pairs cosine — test-scale verification twin of
+    * [[embeddingNearDup]] (SimilaritySpec asserts pair-set equality);
+    * never registered as a gated key. */
+  private[graft] val embeddingNearDupAllPairs: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -47,6 +47,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.40))
   }
 
+  test("LSH-banded near-dup equals the all-pairs twin at both test scales") {
+    // 32 bands × 2 sign bits: a threshold pair (cos 0.40, bit-agreement
+    // p ≈ 0.631) survives with prob 1 − (1−p²)^32 ≈ 1 − 9e-8 — full
+    // result equality expected, cosines included
+    for (dir <- Seq(sf0001, sf001)) {
+      val naive = Similarity.embeddingNearDupAllPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Similarity.embeddingNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == naive, s"$dir: lsh=$lsh naive=$naive")
+    }
+  }
+
+  test("embedding_near_dup candidates come from banded buckets, not label all-pairs") {
+    val plan = Similarity.embeddingLshCandidates(
+        Tables.t(spark, sf0001, "embeddings"))
+      .queryExecution.optimizedPlan.toString
+    // the candidate join must key on the exploded (label, bucket) pair —
+    // Generate (explode) feeding a join keyed on bucket
+    assert(plan.contains("Generate"), s"band explode missing:\n$plan")
+    assert(plan.toLowerCase.contains("bucket"), s"bucket join key missing:\n$plan")
+  }
+
   test("int8 quantized top-k: high recall vs exact, cosine error bounded") {
     val exact = Similarity.cosineTopk(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
