@@ -94,6 +94,61 @@ object TensorQueries {
        |JOIN grid n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
        |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
 
+  // ------------------------------------------------- typed uint8 payloads
+  /** 3×3 min+max filters on a NATIVE uint8 image (SURVEY §1.1/§1.2 typed
+    * payloads): the events raster is quantized with the imread fixture
+    * formula (round(100·v) mod 256), encoded to 1-byte/pixel [[TBlock]]s,
+    * then halo-exchanged AND filtered entirely in the byte domain
+    * (TFilters unsigned-compare running extrema — order statistics are
+    * dtype-preserving, so float64 never appears); only the final pixel
+    * frame widens to BIGINT for the oracle. The halo shuffle payload is
+    * BINARY at 1 byte/element — 8× less traffic than the float64 Block
+    * path on the same image; TensorSpec pins the byte widths. */
+  val tensorUint8Minmax: Q = (s, dir) => {
+    val u8 = u8Raster(s, dir)
+    val mn = u8Pixels(TFilters.extremumFilterU8(u8, Seq(3, 3), isMin = true), "vmin")
+    val mx = u8Pixels(TFilters.extremumFilterU8(u8, Seq(3, 3), isMin = false), "vmax")
+      .withColumnRenamed("i", "i2").withColumnRenamed("j", "j2")
+    mn.join(mx, col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("vmin"), col("vmax"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The events raster quantized to a native uint8 TBlock image. */
+  private[graft] def u8Raster(s: SparkSession, dir: String) = {
+    import s.implicits._
+    TBlock.fromBlocks(
+      Images.eventsRaster(s, dir).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 100) % 256) + 256) % 256).toDouble))
+      }, DType.U8)
+  }
+
+  /** (i, j, value) pixel frame of a 2-d uint8 TBlock image, value widened
+    * to BIGINT only here, at the relational edge. */
+  private def u8Pixels(ds: org.apache.spark.sql.Dataset[TBlock],
+      name: String): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { b =>
+      val h = b.shape(0); val w = b.shape(1)
+      for (i <- 0 until h; j <- 0 until w)
+        yield (b.origin(0) + i, b.origin(1) + j, (b.data(i * w + j) & 0xff).toLong)
+    }.toDF("i", "j", name)
+  }
+
+  val tensorUint8MinmaxSql: String =
+    s"""WITH $gridCte,
+       |q AS (SELECT i, j,
+       |        (CAST(round(v * 100) AS BIGINT) % 256 + 256) % 256 AS u
+       |      FROM grid),
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, min(n.u) AS vmin, max(n.u) AS vmax
+       |FROM q g CROSS JOIN offs o
+       |JOIN q n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
   // ------------------------------------------------------ median
   val tensorMedian3: Q = (s, dir) =>
     pixelsOut(Filters.medianFilter(Images.eventsRaster(s, dir), Seq(3, 3)))
@@ -827,6 +882,7 @@ object TensorQueries {
     "tensor_uniform3" -> tensorUniform3,
     "tensor_gaussian" -> tensorGaussian,
     "tensor_minmax3" -> tensorMinmax3,
+    "tensor_uint8_minmax" -> tensorUint8Minmax,
     "tensor_median3" -> tensorMedian3,
     "tensor_laplace" -> tensorLaplace,
     "tensor_sobel" -> tensorSobel,
@@ -866,6 +922,7 @@ object TensorQueries {
     "tensor_uniform3" -> tensorUniform3Sql,
     "tensor_gaussian" -> tensorGaussianSql,
     "tensor_minmax3" -> tensorMinmax3Sql,
+    "tensor_uint8_minmax" -> tensorUint8MinmaxSql,
     "tensor_median3" -> tensorMedian3Sql,
     "tensor_laplace" -> tensorLaplaceSql,
     "tensor_sobel" -> tensorSobelSql,

@@ -130,6 +130,59 @@ class TensorSpec extends SparkSpec {
     }
   }
 
+  test("typed uint8 blocks: dtype codecs round-trip; u8 minmax matches float64 path") {
+    // codec round-trip for every dtype on representative values
+    val vals = Array(0.0, 1.0, 255.0, -7.0, 1234.0, -32768.0, 3.25, -0.5)
+    for (dt <- DType.all) {
+      val in = dt match {
+        case DType.U8 => vals.map(v => ((math.round(v) % 256 + 256) % 256).toDouble)
+        case DType.I16 => vals.map(v => math.round(v).toShort.toDouble)
+        case DType.I32 => vals.map(v => math.round(v).toDouble)
+        case DType.F32 => vals.map(_.toFloat.toDouble)
+        case DType.F64 => vals
+      }
+      val rt = dt.decode(dt.encode(in))
+      assert(rt.sameElements(in), s"${dt.name} round-trip: ${rt.toSeq} vs ${in.toSeq}")
+      assert(dt.encode(in).length == in.length * dt.bytes)
+    }
+    // byte-domain u8 min/max == float64 kernels on the same quantized image
+    val q = Nd.zeros(Array(20, 27))
+    for (i <- q.data.indices) q.data(i) = ((i * 7919 + 13) % 256).toDouble
+    for (chunks <- Seq(Seq(20, 27), Seq(7, 9)); isMin <- Seq(true, false)) {
+      val blocks = Grid.blockify(spark, "u8", q, chunks)
+      val typed = TFilters.extremumFilterU8(
+        TBlock.fromBlocks(blocks, DType.U8), Seq(3, 3), isMin = isMin)
+      val viaBytes = Grid.unblockify(TBlock.toBlocks(typed))
+      val viaF64 = Grid.unblockify(
+        if (isMin) Filters.minimumFilter(blocks, Seq(3, 3))
+        else Filters.maximumFilter(blocks, Seq(3, 3)))
+      assert(maxAbsDiff(viaBytes, viaF64) == 0.0,
+        s"u8 path diverges (chunks=$chunks isMin=$isMin)")
+    }
+  }
+
+  test("typed blocks shuffle native bytes — no float64 inflation anywhere") {
+    val q = Nd.zeros(Array(20, 27))
+    for (i <- q.data.indices) q.data(i) = (i % 256).toDouble
+    val typed = TBlock.fromBlocks(Grid.blockify(spark, "u8", q, Seq(7, 9)), DType.U8)
+    // payload column is BINARY at 1 byte/element
+    assert(typed.schema("data").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    for (b <- typed.collect())
+      assert(b.data.length == b.shape.product * DType.U8.bytes,
+        s"block ${b.idx}: ${b.data.length} bytes for ${b.shape.product} u8 elems")
+    // the halo-exchange shuffle rows (pieces) and the assembled padded
+    // payloads are also 1 byte/element
+    val exchanged = THalo.exchange(typed, Seq(1, 1), Boundary.Reflect)
+    assert(exchanged.schema("padded").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    for (p <- exchanged.collect()) {
+      assert(p.padded.length == p.paddedShape.product * DType.U8.bytes,
+        s"padded ${p.block.idx}: ${p.padded.length} bytes for ${p.paddedShape.product} elems")
+      assert(p.block.data.length == p.block.shape.product)
+    }
+  }
+
   test("binary morphology: chunk-invariant; erosion shrinks, dilation grows") {
     val bin = Nd.zeros(Array(20, 27))
     for (i <- 0 until 20; j <- 0 until 27)
