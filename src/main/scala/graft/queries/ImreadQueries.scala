@@ -112,6 +112,72 @@ object ImreadQueries {
     framesToDf(graft.sources.v2.ImageBlockSource.blocks(df)).orderBy("f", "i", "j")
   }
 
+  // ------------------------------------------------------ RGB / JPEG
+  /** (f, i, j, c, p) rows from 4-d channel-last uint8 TBlock frames. */
+  private def rgbToDf(ds: org.apache.spark.sql.Dataset[graft.tensor.TBlock]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { b =>
+      val h = b.shape(1); val w = b.shape(2); val nc = b.shape(3)
+      val f = b.origin.head
+      for (i <- 0 until h; j <- 0 until w; c <- 0 until nc)
+        yield (f, i, j, c, (b.data((i * w + j) * nc + c) & 0xff).toLong)
+    }.toDF("f", "i", "j", "c", "p")
+  }
+
+  /** Write a 3-frame RGB fixture: channel c of frame f =
+    * (base + frameStep·f + 85·c) mod 256 — every (f, c) plane is a
+    * distinct shift of the shared events-derived base, so a swapped
+    * channel order or frame index breaks the hash. */
+  private def writeRgbFixture(s: SparkSession, dir: String, codec: String,
+      frameStep: Int): String = {
+    val base = fixtureBase(s, dir)
+    val out = fixtureDir(dir, codec)
+    for (f <- 0 until FRAMES) {
+      val rgb = new Array[Byte](H * W * 3)
+      for (p <- 0 until H * W; c <- 0 until 3)
+        rgb(p * 3 + c) = ((base(p).toInt + frameStep * f + 85 * c) % 256).toByte
+      java.nio.file.Files.write(out.resolve(f"frame_$f%03d.$codec"),
+        ImageSource.encodeRgb(H, W, rgb, codec))
+    }
+    s"$out/*.$codec"
+  }
+
+  /** RGB PNG imread through javax.imageio: color decode, channel-last
+    * axis, native uint8 payload end to end (SURVEY §2A.1 — the
+    * reference's pims surface is color-first; PNG is lossless so the
+    * oracle recomputes every channel byte). */
+  val imreadRgb: Q = (s, dir) => {
+    val glob = writeRgbFixture(s, dir, "png", frameStep = 17)
+    rgbToDf(ImageSource.readRgb(s, glob)).orderBy("f", "i", "j", "c")
+  }
+
+  /** JPEG imread: same decode path, LOSSY codec — no byte-exact oracle
+    * can exist (like the approx_* sketch keys, rows-only by design). The
+    * smooth-gradient fixture keeps DCT error small; ImageSourceSpec
+    * bounds the per-pixel residual and checks exact geometry. */
+  val imreadJpeg: Q = (s, dir) => {
+    val out = fixtureDir(dir, "jpg")
+    for (f <- 0 until FRAMES) {
+      val rgb = new Array[Byte](H * W * 3)
+      for (i <- 0 until H; j <- 0 until W; c <- 0 until 3)
+        rgb((i * W + j) * 3 + c) = (i + j + 40 * c + 5 * f).toByte
+      java.nio.file.Files.write(out.resolve(f"frame_$f%03d.jpg"),
+        ImageSource.encodeRgb(H, W, rgb, "jpg"))
+    }
+    rgbToDf(ImageSource.readRgb(s, s"$out/*.jpg")).orderBy("f", "i", "j", "c")
+  }
+
+  private def rgbRoundtripSql(frameStep: Int): String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f),
+       |chans AS (SELECT unnest([0, 1, 2]) AS c)
+       |SELECT f.f AS f, g.i, g.j, c.c AS c,
+       |  CAST(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |        + $frameStep * f.f + 85 * c.c) % 256 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
+       |ORDER BY f, g.i, g.j, c""".stripMargin
+
   private def roundtripSql(frameStep: Int, minF: Int = 0): String =
     s"""WITH ${TensorQueries.gridCte},
        |frames AS (SELECT unnest([0, 1, 2]) AS f)
@@ -127,6 +193,8 @@ object ImreadQueries {
     "imread_png" -> imreadPng,
     "imread_tiff" -> imreadTiff,
     "imread_v2_pushdown" -> imreadV2Pushdown,
+    "imread_rgb" -> imreadRgb,
+    "imread_jpeg" -> imreadJpeg,
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +202,7 @@ object ImreadQueries {
     "imread_png" -> roundtripSql(13),
     "imread_tiff" -> roundtripSql(11),
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
+    "imread_rgb" -> rgbRoundtripSql(17),
+    // imread_jpeg: lossy DCT codec — rows-only by design (spec-bounded)
   )
 }

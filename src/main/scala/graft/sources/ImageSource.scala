@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import javax.imageio.ImageIO
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.tensor.Block
+import graft.tensor.{Block, DType, TBlock}
 
 /** Image file source — the reference's `imread` analog
   * (dask_image/imread/__init__.py::imread ≈ L15–95: lazily expose a
@@ -598,6 +598,91 @@ object ImageSource {
     val header = s"P5\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
     val body = px.map(v => math.max(0, math.min(255, math.round(v))).toByte)
     header ++ body
+  }
+
+  // ------------------------------------------------------ RGB / JPEG
+  /** Read a glob of COLOR images (RGB PNG/BMP/JPEG — anything the JDK's
+    * javax.imageio decodes) as one stacked 4-d TYPED image: block idx =
+    * (frame, 0, 0, 0), shape (1, h, w, 3) with a trailing CHANNEL axis
+    * (the reference's pims-backed imread yields (frame, y, x, channel)
+    * for color input). Payload is NATIVE uint8 — 3 bytes/pixel
+    * interleaved, never widened to float64 — so a 100 TB image lake
+    * shuffles exactly its decoded size. Frame indexing reuses the
+    * distributed sort + zipWithIndex scheme of [[readFrames]]. */
+  def readRgb(spark: SparkSession, glob: String,
+      imageId: String = "imread_rgb"): Dataset[TBlock] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val indexed = files.select(col("path")).as[String].rdd
+      .sortBy(identity).zipWithIndex()
+      .map { case (p, i) => (p, i.toInt) }
+      .toDF("path", "frame")
+      .localCheckpoint(true)
+    val nFrames = indexed.count().toInt
+    files.join(indexed, "path")
+      .select(col("frame"), col("content"))
+      .as[(Int, Array[Byte])]
+      .map { case (frame, bytes) =>
+        val (h, w, px) = decodeRgb(bytes)
+        TBlock(imageId, Seq(frame, 0, 0, 0), Seq(frame, 0, 0, 0),
+          Seq(1, h, w, 3), Seq(1, h, w, 3), Seq(nFrames, h, w, 3),
+          DType.U8.name, px)
+      }
+  }
+
+  /** Decode any ImageIO-supported color image to (h, w, interleaved RGB
+    * bytes, channel-last C order). */
+  private[graft] def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "imageio: unsupported or corrupt image")
+    val h = img.getHeight; val w = img.getWidth
+    val out = new Array[Byte](h * w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB regardless of the stored layout
+        val o = (y * w + x) * 3
+        out(o) = ((rgb >> 16) & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (h, w, out)
+  }
+
+  /** Encode interleaved RGB bytes as PNG (lossless) or JPEG (`quality`
+    * applies to JPEG only) — fixture/round-trip support. */
+  private[graft] def encodeRgb(h: Int, w: Int, rgb: Array[Byte],
+      format: String, quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8)
+          | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (format == "jpg") {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+    } else ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
   /** Encode a 2-d array as 8-bit grayscale PNG (test/round-trip support). */

@@ -213,6 +213,44 @@ class ImageSourceSpec extends SparkSpec {
     dir.getPath + "/*.pgm"
   }
 
+  test("imread RGB: PNG color decode is byte-exact, channel-last, native uint8") {
+    val dir = Files.createTempDirectory("graft_rgb").toFile
+    dir.deleteOnExit()
+    val h = 9; val w = 11
+    val mk = (f: Int) => Array.tabulate(h * w * 3) { k =>
+      ((k * 31 + f * 97) % 256).toByte
+    }
+    for (f <- 0 until 2)
+      Files.write(Paths.get(dir.toString, s"f_$f.png"),
+        ImageSource.encodeRgb(h, w, mk(f), "png"))
+    val blocks = ImageSource.readRgb(spark, s"$dir/*.png").collect().sortBy(_.origin.head)
+    assert(blocks.length == 2)
+    for ((b, f) <- blocks.zipWithIndex) {
+      assert(b.dtype == DType.U8.name)
+      assert(b.shape == Seq(1, h, w, 3) && b.arrayShape == Seq(2, h, w, 3))
+      assert(b.data.sameElements(mk(f)), s"frame $f bytes differ")
+    }
+  }
+
+  test("imread JPEG: lossy decode has exact geometry and bounded residual") {
+    val dir = Files.createTempDirectory("graft_jpg").toFile
+    dir.deleteOnExit()
+    val h = 48; val w = 64
+    // smooth gradient — DCT-friendly, so high-quality JPEG stays close
+    val src = Array.tabulate(h * w * 3) { k =>
+      val p = k / 3; val c = k % 3
+      (p / w + p % w + 40 * c).toByte
+    }
+    Files.write(Paths.get(dir.toString, "f.jpg"),
+      ImageSource.encodeRgb(h, w, src, "jpg"))
+    val b = ImageSource.readRgb(spark, s"$dir/*.jpg").collect().head
+    assert(b.shape == Seq(1, h, w, 3) && b.dtype == DType.U8.name)
+    val errs = b.data.zip(src).map { case (a, e) => math.abs((a & 0xff) - (e & 0xff)) }
+    val mean = errs.map(_.toDouble).sum / errs.length
+    assert(mean < 2.0, s"JPEG mean residual $mean too large")
+    assert(errs.max <= 16, s"JPEG max residual ${errs.max} too large")
+  }
+
   test("V2 scan equals the binaryFile imread path") {
     import graft.sources.v2.ImageBlockSource
     val glob = v2Fixture(3)
