@@ -131,4 +131,39 @@ class StreamingSpec extends SparkSpec {
       2L -> (1L, 5.0),  // carried over untouched
       3L -> (1L, 7.0)), s"upsert table wrong: $table")
   }
+
+  test("unbounded rate source: windowed agg is trigger/processing-time independent") {
+    // the always-on source shape (rate ~ a kafka topic that never ends):
+    // event time is derived DETERMINISTICALLY from `value`, so however
+    // the scheduler slices micro-batches — 25 ms vs 250 ms triggers, fast
+    // or contended machine — the same windowed aggregate must come out.
+    def run(name: String, trigger: Trigger): Map[Long, (Long, Long)] = {
+      val agg = spark.readStream.format("rate")
+        .option("rowsPerSecond", "5000").load()
+        .filter(col("value") < 3000)
+        .withColumn("ts", expr("timestamp_seconds(1700000000 + value)"))
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(trigger).start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        def total(): Long =
+          spark.table(name).agg(coalesce(sum(col("n")), lit(0L)))
+            .collect().head.getLong(0)
+        while (total() < 3000 && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(50)
+        }
+        assert(total() == 3000, s"$name: saw ${total()} of 3000 rows in 60 s")
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime,
+          (r.getLong(1), r.getLong(2)))).toMap
+    }
+    val fast = run("rate_fast", Trigger.ProcessingTime("25 milliseconds"))
+    val slow = run("rate_slow", Trigger.ProcessingTime("250 milliseconds"))
+    assert(fast == slow, s"trigger cadence changed the result:\n$fast\nvs\n$slow")
+    assert(fast.values.map(_._1).sum == 3000)
+  }
 }
