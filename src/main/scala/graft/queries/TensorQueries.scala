@@ -864,8 +864,34 @@ object TensorQueries {
        |SELECT i, j, round(v, 4) + 0.0 AS v FROM grid
        |WHERE i >= 16 ORDER BY i, j""".stripMargin
 
+  /** Typed-store twin: the uint8-quantized raster goes through the store
+    * in its NATIVE dtype (1 byte/pixel on disk, `dtype:"uint8"` in the
+    * manifest — asserted in TensorStoreSpec) and comes back byte-exact
+    * with the same frame-range partition pruning. */
+  val tensorStoreUint8Roundtrip: Q = (s, dir) => {
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_u8_${math.abs(dir.hashCode)}").toString
+    graft.sources.TensorStore.writeTyped(u8Raster(s, dir), store)
+    val spark = s
+    import spark.implicits._
+    graft.sources.TensorStore.readTyped(s, store, frameRange = Some((1, 2)))
+      .flatMap { b =>
+        val h = b.shape(0); val w = b.shape(1)
+        for (i <- 0 until h; j <- 0 until w)
+          yield (b.origin(0) + i, b.origin(1) + j, (b.data(i * w + j) & 0xff).toLong)
+      }.toDF("i", "j", "u")
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorStoreUint8RoundtripSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j,
+       |  (CAST(round(v * 100) AS BIGINT) % 256 + 256) % 256 AS u
+       |FROM grid WHERE i >= 16 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtrip,
+    "tensor_store_uint8_roundtrip" -> tensorStoreUint8Roundtrip,
     "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_conv_corr" -> tensorConvCorr,
@@ -899,6 +925,7 @@ object TensorQueries {
 
   val oracle: Map[String, String] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtripSql,
+    "tensor_store_uint8_roundtrip" -> tensorStoreUint8RoundtripSql,
     "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_conv_corr" -> tensorConvCorrSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.TensorStore
-import graft.tensor.Images
+import graft.tensor.{DType, Images, TBlock}
 
 /** Block-tensor store: round-trip fidelity, manifest, and source-level
   * chunk pruning (the frame-range filter must reach the parquet scan as
@@ -37,6 +37,33 @@ class TensorStoreSpec extends SparkSpec {
     // pruned slice carries exactly rows 16..31
     val rows = Images.toPixels(sliced).select(min(col("i")), max(col("i"))).head()
     assert(rows.getInt(0) == 16 && rows.getInt(1) == 31)
+  }
+
+  test("typed store: uint8 round-trips byte-exact, manifest dtype real, no widening") {
+    val s = spark
+    import s.implicits._
+    val dir8 = java.nio.file.Files.createTempDirectory("graft_store_u8").toString
+    val u8 = TBlock.fromBlocks(
+      Images.eventsRaster(spark, sf0001).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 100) % 256) + 256) % 256).toDouble))
+      }, DType.U8)
+    val before = u8.collect().map(b => b.idx -> b.data.toSeq).toMap
+    TensorStore.writeTyped(u8, dir8)
+    val back = TensorStore.readTyped(spark, dir8).collect()
+    assert(back.map(b => b.idx -> b.data.toSeq).toMap == before,
+      "u8 payload changed across the store round-trip")
+    assert(back.forall(b => b.dtype == "uint8" &&
+      b.data.length == b.shape.product), "payload widened beyond 1 byte/elem")
+    val Seq((_, shape, chunks, _, n, dtype)) = TensorStore.attrs(spark, dir8)
+    assert(shape == Seq(48, 64) && chunks == Seq(16, 16) && n == 12L)
+    assert(dtype == "uint8", s"manifest dtype $dtype")
+    // mixed dtypes under one imageId must fail loudly
+    val mixed = u8.map(b => if (b.idx.head == 0) b.copy(dtype = "int16") else b)
+    val err = intercept[IllegalArgumentException] {
+      TensorStore.writeTyped(mixed, dir8 + "_mixed")
+    }
+    assert(err.getMessage.contains("share one dtype"))
   }
 
   test("mixed geometry under one imageId fails the write loudly") {
