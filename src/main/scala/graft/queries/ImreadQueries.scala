@@ -168,6 +168,29 @@ object ImreadQueries {
     rgbToDf(ImageSource.readRgb(s, s"$out/*.jpg")).orderBy("f", "i", "j", "c")
   }
 
+  /** Color image → relational reduction: per-(frame, channel) pixel sum
+    * and count over the decoded RGB planes — the image-QC shape (channel
+    * balance / dead-plane checks) a vision-data pipeline runs right
+    * after decode. Exact integer outputs, so the oracle is hash-exact. */
+  val imreadRgbChannelStats: Q = (s, dir) => {
+    val glob = writeRgbFixture(s, dir, "png", frameStep = 17)
+    rgbToDf(ImageSource.readRgb(s, glob))
+      .groupBy(col("f"), col("c"))
+      .agg(sum(col("p")).as("sum_p"), count(lit(1)).as("n_px"))
+      .orderBy(col("f"), col("c"))
+  }
+
+  private val rgbChannelStatsSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f),
+       |chans AS (SELECT unnest([0, 1, 2]) AS c)
+       |SELECT f.f AS f, c.c AS c,
+       |  sum(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |       + 17 * f.f + 85 * c.c) % 256) AS sum_p,
+       |  count(*) AS n_px
+       |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
+       |GROUP BY f.f, c.c ORDER BY f, c""".stripMargin
+
   private def rgbRoundtripSql(frameStep: Int): String =
     s"""WITH ${TensorQueries.gridCte},
        |frames AS (SELECT unnest([0, 1, 2]) AS f),
@@ -195,6 +218,7 @@ object ImreadQueries {
     "imread_v2_pushdown" -> imreadV2Pushdown,
     "imread_rgb" -> imreadRgb,
     "imread_jpeg" -> imreadJpeg,
+    "imread_rgb_channel_stats" -> imreadRgbChannelStats,
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +227,7 @@ object ImreadQueries {
     "imread_tiff" -> roundtripSql(11),
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
     "imread_rgb" -> rgbRoundtripSql(17),
+    "imread_rgb_channel_stats" -> rgbChannelStatsSql,
     // imread_jpeg: lossy DCT codec — rows-only by design (spec-bounded)
   )
 }
