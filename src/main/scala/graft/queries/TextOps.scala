@@ -665,6 +665,59 @@ object TextOps {
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- stratified sampling
+  /** Domain-rebalancing sampler: each SOURCE samples at its own
+    * deterministic hash rate (even-numbered sources keep ~50%, odd ~25%
+    * — in a real pipeline the per-domain rate vector comes from the
+    * corpus-mix spec). Membership is a pure function of doc_id, so the
+    * sample is stable across re-runs/backfills and pushes down to the
+    * scan as an ordinary filter — no per-stratum shuffling or state. */
+  val stratifiedSample: Q = (s, dir) => {
+    val thr = when(expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
+      lit("80")).otherwise(lit("40"))
+    t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80' ELSE '40' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- relative quality gate
+  /** Per-stratum relative quality gate: keep each source's TOP HALF by
+    * length (percent_rank ≥ 0.5 over (source, n_chars, doc_id)) — the
+    * "best-k% of every domain" filter quality pipelines apply so weak
+    * domains aren't wiped out by a global threshold. percent_rank is an
+    * exact rational of integer ranks, so the oracle hash-matches; the
+    * per-source window state is one sort of that source's rows (bounded
+    * per stratum; at 100 TB source is the partition key it would
+    * already be bucketed by). */
+  val qualityGateStratified: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_kept_chars"),
+        sum(col("n_chars")).as("sum_kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val qualityGateStratifiedSql: String =
+    """WITH pr AS (
+      |  SELECT source, doc_id, n_chars,
+      |    percent_rank() OVER (PARTITION BY source
+      |                         ORDER BY n_chars, doc_id) AS pr
+      |  FROM documents)
+      |SELECT source, count(*) AS n_kept, min(n_chars) AS min_kept_chars,
+      |  sum(n_chars) AS sum_kept_chars
+      |FROM pr WHERE pr >= 0.5 GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- decontamination
   /** Benchmark decontamination: treat source 'src0' as the held-out
     * eval set; for every other doc, the fraction of its distinct
@@ -878,6 +931,8 @@ object TextOps {
     "cc_dedup_groups" -> ccDedupGroups,
     "simhash_buckets" -> simhashBuckets,
     "dataset_split" -> datasetSplit,
+    "stratified_sample" -> stratifiedSample,
+    "quality_gate_stratified" -> qualityGateStratified,
     "contamination_check" -> contaminationCheck,
     "repetition_stats" -> repetitionStats,
     "incremental_dedup" -> incrementalDedup,
@@ -902,6 +957,8 @@ object TextOps {
     "cc_dedup_groups" -> ccDedupGroupsSql,
     "simhash_buckets" -> simhashBucketsSql,
     "dataset_split" -> datasetSplitSql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "quality_gate_stratified" -> qualityGateStratifiedSql,
     "contamination_check" -> contaminationCheckSql,
     "repetition_stats" -> repetitionStatsSql,
     "incremental_dedup" -> incrementalDedupSql,
