@@ -393,6 +393,22 @@ object TFilters {
     }
   }
 
+  /** Run ANY float64 kernel over typed payloads — the NumPy-style
+    * promote-on-compute path: the halo exchange shuffles native bytes,
+    * the padded payload decodes to double AT THE KERNEL EDGE (inside the
+    * task, never on the wire), and the kernel's output encodes to
+    * `outDtype` (e.g. gaussian on a uint8 image → float32 result: 1 byte
+    * shuffled per input pixel, 4 stored per output pixel, 8 never). */
+  def mapOverlapDecode(ds: Dataset[TBlock], depth: Seq[Int], mode: Boundary,
+      outDtype: DType)(kernel: Halo.Padded => Array[Double]): Dataset[TBlock] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    THalo.exchange(ds, depth, mode).map { p =>
+      val asF64 = Halo.Padded(p.block.toBlock, p.depth, p.block.dt.decode(p.padded))
+      p.block.copy(dtype = outDtype.name, data = outDtype.encode(kernel(asF64)))
+    }
+  }
+
   /** One 1-d extremum pass along `axis`, shrinking that axis by
     * 2·(size/2); unsigned byte compares, no decode. */
   private def pass1dU8(in: BNd, axis: Int, size: Int, isMin: Boolean): BNd = {

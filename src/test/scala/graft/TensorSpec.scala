@@ -161,6 +161,32 @@ class TensorSpec extends SparkSpec {
     }
   }
 
+  test("mapOverlapDecode: float kernels over typed storage, promoted output dtype") {
+    val q = Nd.zeros(Array(20, 27))
+    for (i <- q.data.indices) q.data(i) = ((i * 31 + 5) % 256).toDouble
+    val blocks = Grid.blockify(spark, "u8", q, Seq(7, 9))
+    // a plain 3×3 box-mean float kernel, shared verbatim by both paths
+    def boxMean(p: Halo.Padded): Array[Double] = {
+      val h = p.block.shape(0); val w = p.block.shape(1); val pw = w + 2
+      Array.tabulate(h * w) { k =>
+        val i = k / w + 1; val j = k % w + 1
+        var s = 0.0
+        for (di <- -1 to 1; dj <- -1 to 1) s += p.padded((i + di) * pw + (j + dj))
+        s / 9
+      }
+    }
+    val f64 = Grid.unblockify(
+      Halo.mapOverlap(blocks, Seq(1, 1), Boundary.Reflect)(boxMean))
+    val typed = TFilters.mapOverlapDecode(TBlock.fromBlocks(blocks, DType.U8),
+      Seq(1, 1), Boundary.Reflect, DType.F32)(boxMean)
+    for (b <- typed.collect())
+      assert(b.dtype == "float32" && b.data.length == b.shape.product * 4,
+        s"block ${b.idx}: dtype ${b.dtype}, ${b.data.length} bytes")
+    val f32 = Grid.unblockify(TBlock.toBlocks(typed))
+    assert(maxAbsDiff(f32, f64) < 1e-4,
+      s"promoted f32 result diverges by ${maxAbsDiff(f32, f64)}")
+  }
+
   test("typed blocks shuffle native bytes — no float64 inflation anywhere") {
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = (i % 256).toDouble
