@@ -256,6 +256,33 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------ window: lead/lag
+  /** Offset window functions: each event's previous/next same-user event
+    * time and the inter-event gap — the sessionization building block.
+    * Epoch-µs BIGINTs end to end (no timestamp precision drift), unique
+    * (ts, event_id) ordering, one shuffle on user_id. */
+  val windowLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        lag(col("ts_us"), 1).over(w).as("prev_us"),
+        lead(col("ts_us"), 1).over(w).as("next_us"))
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowLeadLagSql: String =
+    """SELECT user_id, event_id, ts_us,
+      |  lag(ts_us, 1) OVER w AS prev_us,
+      |  lead(ts_us, 1) OVER w AS next_us,
+      |  ts_us - lag(ts_us, 1) OVER w AS gap_us
+      |FROM (SELECT user_id, event_id,
+      |        CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------ distinct agg
   /** Exact distinct count per group (Catalyst expands to a two-phase
     * aggregate). The HLL variant for 100 TB is `approxDistinctUsers`
@@ -893,6 +920,7 @@ object Relational {
     "window_rank" -> windowRank,
     "window_rank_topk" -> windowRankTopk,
     "window_running" -> windowRunning,
+    "window_lead_lag" -> windowLeadLag,
     "distinct_users" -> distinctUsers,
     "approx_distinct_users" -> approxDistinctUsers,
     "rollup_sales" -> rollupSales,
@@ -929,6 +957,7 @@ object Relational {
     "window_rank" -> windowRankSql,
     "window_rank_topk" -> windowRankSql,
     "window_running" -> windowRunningSql,
+    "window_lead_lag" -> windowLeadLagSql,
     "distinct_users" -> distinctUsersSql,
     "rollup_sales" -> rollupSalesSql,
     "cube_sales" -> cubeSalesSql,
