@@ -710,6 +710,39 @@ object Relational {
       |  count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- salted skew join
+  /** Skew-safe equi-join via SALT REPLICATION — the manual twin of AQE's
+    * skew-join split, kept first-class so the plan shape is explicit:
+    * the (possibly skewed) FACT side gets a deterministic salt in
+    * [0, R); the build side is replicated R× with every salt value; the
+    * join keys on (key, salt), so a hot orderkey's rows spread over R
+    * reducers instead of one straggler. Exactness: each fact row matches
+    * its build row exactly once (at the fact row's own salt), so results
+    * equal the unsalted join — which is what the oracle runs. R trades
+    * build-side duplication for reducer balance; at 100 TB pick R from
+    * the observed key histogram (or let AQE do this when its stats
+    * see the skew). */
+  val skewJoinSalted: Q = (s, dir) => {
+    val R = 4
+    val li = t(s, dir, "lineitem")
+      .withColumn("salt_f", pmod(hash(col("l_orderkey")), lit(R)))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt_d", explode(array((0 until R).map(lit(_)): _*)))
+    li.join(o, col("l_orderkey") === col("o_orderkey")
+        && col("salt_f") === col("salt_d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val skewJoinSaltedSql: String =
+    """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ sampling
   /** Deterministic hash sampling: keep a row iff the first hex byte of
     * md5(key) falls under the rate threshold ('20'/'100' = 1/8). Unlike
@@ -939,6 +972,7 @@ object Relational {
     "unpivot_metrics" -> unpivotMetrics,
     "window_ntile" -> windowNtile,
     "salted_skew_agg" -> saltedSkewAgg,
+    "skew_join_salted" -> skewJoinSalted,
     "hash_sample" -> hashSample,
     "asof_nearest_view" -> asofNearestView,
     "scalar_subquery_items" -> scalarSubqueryItems,
@@ -974,6 +1008,7 @@ object Relational {
     "unpivot_metrics" -> unpivotMetricsSql,
     "window_ntile" -> windowNtileSql,
     "salted_skew_agg" -> saltedSkewAggSql,
+    "skew_join_salted" -> skewJoinSaltedSql,
     "hash_sample" -> hashSampleSql,
     "asof_nearest_view" -> asofNearestViewSql,
     "scalar_subquery_items" -> scalarSubqueryItemsSql,
