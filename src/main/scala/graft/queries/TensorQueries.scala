@@ -137,6 +137,27 @@ object TensorQueries {
     }.toDF("i", "j", name)
   }
 
+  /** A FLOAT kernel over the typed uint8 image: 3×3 box mean through
+    * `Filters.uniformFilterTyped` — native bytes on the halo wire,
+    * double math at the kernel edge, float64 output so the oracle stays
+    * exact (the f32-output promotion variant is spec-only: its last-ulp
+    * error vs double could flip 4-dp rounding at hash time). */
+  val tensorUint8Uniform3: Q = (s, dir) =>
+    pixelsOut(TBlock.toBlocks(
+      Filters.uniformFilterTyped(u8Raster(s, dir), Seq(3, 3))))
+
+  val tensorUint8Uniform3Sql: String =
+    s"""WITH $gridCte,
+       |q AS (SELECT i, j,
+       |        (CAST(round(v * 100) AS BIGINT) % 256 + 256) % 256 AS u
+       |      FROM grid),
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, round(sum(n.u) / 9, 4) AS v
+       |FROM q g CROSS JOIN offs o
+       |JOIN q n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
   val tensorUint8MinmaxSql: String =
     s"""WITH $gridCte,
        |q AS (SELECT i, j,
@@ -909,6 +930,7 @@ object TensorQueries {
     "tensor_gaussian" -> tensorGaussian,
     "tensor_minmax3" -> tensorMinmax3,
     "tensor_uint8_minmax" -> tensorUint8Minmax,
+    "tensor_uint8_uniform3" -> tensorUint8Uniform3,
     "tensor_median3" -> tensorMedian3,
     "tensor_laplace" -> tensorLaplace,
     "tensor_sobel" -> tensorSobel,
@@ -950,6 +972,7 @@ object TensorQueries {
     "tensor_gaussian" -> tensorGaussianSql,
     "tensor_minmax3" -> tensorMinmax3Sql,
     "tensor_uint8_minmax" -> tensorUint8MinmaxSql,
+    "tensor_uint8_uniform3" -> tensorUint8Uniform3Sql,
     "tensor_median3" -> tensorMedian3Sql,
     "tensor_laplace" -> tensorLaplaceSql,
     "tensor_sobel" -> tensorSobelSql,
