@@ -185,8 +185,8 @@ object ImreadQueries {
        |frames AS (SELECT unnest([0, 1, 2]) AS f),
        |chans AS (SELECT unnest([0, 1, 2]) AS c)
        |SELECT f.f AS f, c.c AS c,
-       |  sum(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
-       |       + 17 * f.f + 85 * c.c) % 256) AS sum_p,
+       |  CAST(sum(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |       + 17 * f.f + 85 * c.c) % 256) AS BIGINT) AS sum_p,
        |  count(*) AS n_px
        |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
        |GROUP BY f.f, c.c ORDER BY f, c""".stripMargin

@@ -715,7 +715,7 @@ object TextOps {
       |                         ORDER BY n_chars, doc_id) AS pr
       |  FROM documents)
       |SELECT source, count(*) AS n_kept, min(n_chars) AS min_kept_chars,
-      |  sum(n_chars) AS sum_kept_chars
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
       |FROM pr WHERE pr >= 0.5 GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------- decontamination
