@@ -721,11 +721,17 @@ object Relational {
     * equal the unsalted join — which is what the oracle runs. R trades
     * build-side duplication for reducer balance; at 100 TB pick R from
     * the observed key histogram (or let AQE do this when its stats
-    * see the skew). */
+    * see the skew).
+    *
+    * The fact-side salt MUST vary WITHIN a join key — hashing the join
+    * key alone is a pure function of it, so every row of a hot key
+    * would land on the same (key, salt) reducer and the replication
+    * buys nothing. Here the salt mixes in l_linenumber (any per-row
+    * attribute works; rand() would too but breaks retry determinism). */
   val skewJoinSalted: Q = (s, dir) => {
     val R = 4
     val li = t(s, dir, "lineitem")
-      .withColumn("salt_f", pmod(hash(col("l_orderkey")), lit(R)))
+      .withColumn("salt_f", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(R)))
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt_d", explode(array((0 until R).map(lit(_)): _*)))

@@ -18,6 +18,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("skew_join_salted: fact salt varies WITHIN a join key and result is exact") {
+    // The whole point of salting is that one hot orderkey's rows spread
+    // over R reducers — a salt that is a pure function of the join key
+    // puts them all back in one group. Assert some multi-line order sees
+    // more than one salt value.
+    val R = 4
+    val li = Tables.t(spark, sf001, "lineitem")
+      .withColumn("salt_f", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(R)))
+    val spread = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("salt_f")).as("nsalt"), count(lit(1)).as("n"))
+      .filter(col("n") >= lit(4))
+    assert(spread.filter(col("nsalt") > 1).count() > 0,
+      "multi-line orders must spread across salts")
+    val salted = Relational.skewJoinSalted(spark, sf001).collect()
+    val plain = Tables.t(spark, sf001, "lineitem")
+      .join(Tables.t(spark, sf001, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("hash_sample is deterministic under repartitioning and ~1/8 rate") {
     val a = Relational.hashSample(spark, sf001).collect().toSeq
     val b = Relational.hashSample(spark, sf001).repartition(13).orderBy(col("o_orderkey"))
