@@ -910,9 +910,44 @@ object TensorQueries {
        |  (CAST(round(v * 100) AS BIGINT) % 256 + 256) % 256 AS u
        |FROM grid WHERE i >= 16 ORDER BY i, j""".stripMargin
 
+  /** uint16 twin — the microscopy dtype (SURVEY §1.1: 16-bit TIFF is the
+    * dominant scientific-imaging format). Quantizes at ×1000 mod 65536 so
+    * values actually exercise the high byte, stores at 2 bytes/pixel
+    * (`dtype:"uint16"` in the manifest — asserted in TensorStoreSpec),
+    * and reads back byte-exact under the same frame-range pruning. */
+  val tensorStoreUint16Roundtrip: Q = (s, dir) => {
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_u16_${math.abs(dir.hashCode)}").toString
+    val spark = s
+    import spark.implicits._
+    val u16 = TBlock.fromBlocks(
+      Images.eventsRaster(s, dir).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 1000) % 65536) + 65536) % 65536).toDouble))
+      }, DType.U16)
+    graft.sources.TensorStore.writeTyped(u16, store)
+    graft.sources.TensorStore.readTyped(s, store, frameRange = Some((1, 2)))
+      .flatMap { b =>
+        val h = b.shape(0); val w = b.shape(1)
+        for (i <- 0 until h; j <- 0 until w) yield {
+          val lo = b.data(2 * (i * w + j)) & 0xff
+          val hi = b.data(2 * (i * w + j) + 1) & 0xff
+          (b.origin(0) + i, b.origin(1) + j, (lo | (hi << 8)).toLong)
+        }
+      }.toDF("i", "j", "u")
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorStoreUint16RoundtripSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j,
+       |  (CAST(round(v * 1000) AS BIGINT) % 65536 + 65536) % 65536 AS u
+       |FROM grid WHERE i >= 16 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtrip,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8Roundtrip,
+    "tensor_store_uint16_roundtrip" -> tensorStoreUint16Roundtrip,
     "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_conv_corr" -> tensorConvCorr,
@@ -948,6 +983,7 @@ object TensorQueries {
   val oracle: Map[String, String] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtripSql,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8RoundtripSql,
+    "tensor_store_uint16_roundtrip" -> tensorStoreUint16RoundtripSql,
     "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_conv_corr" -> tensorConvCorrSql,

@@ -39,6 +39,19 @@ object DType {
     def write(d: Array[Byte], i: Int, v: Double): Unit =
       d(i) = (math.round(v) & 0xffL).toByte
   }
+  case object BOOL extends DType("bool", 1) {
+    def read(d: Array[Byte], i: Int): Double = if (d(i) != 0) 1.0 else 0.0
+    def write(d: Array[Byte], i: Int, v: Double): Unit =
+      d(i) = if (v != 0.0) 1 else 0
+  }
+  case object U16 extends DType("uint16", 2) {
+    def read(d: Array[Byte], i: Int): Double =
+      ((d(2 * i) & 0xff) | ((d(2 * i + 1) & 0xff) << 8)).toDouble
+    def write(d: Array[Byte], i: Int, v: Double): Unit = {
+      val s = (math.round(v) & 0xffffL).toInt
+      d(2 * i) = (s & 0xff).toByte; d(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+  }
   case object I16 extends DType("int16", 2) {
     def read(d: Array[Byte], i: Int): Double =
       ((d(2 * i) & 0xff) | (d(2 * i + 1) << 8)).toShort.toDouble
@@ -57,6 +70,23 @@ object DType {
       java.lang.Float.intBitsToFloat(readI32(d, i)).toDouble
     def write(d: Array[Byte], i: Int, v: Double): Unit =
       writeI32(d, i, java.lang.Float.floatToIntBits(v.toFloat))
+  }
+  case object I64 extends DType("int64", 8) {
+    // Decode through Double (the engine's working scalar): exact up to
+    // 2^53 — label images and counters, the real i64 tensor uses, live
+    // far below that; values beyond 2^53 round like NumPy's
+    // astype(float64).
+    def read(d: Array[Byte], i: Int): Double = {
+      var bits = 0L
+      var k = 7
+      while (k >= 0) { bits = (bits << 8) | (d(8 * i + k) & 0xffL); k -= 1 }
+      bits.toDouble
+    }
+    def write(d: Array[Byte], i: Int, v: Double): Unit = {
+      var bits = math.round(v)
+      var k = 0
+      while (k < 8) { d(8 * i + k) = (bits & 0xff).toByte; bits >>>= 8; k += 1 }
+    }
   }
   case object F64 extends DType("float64", 8) {
     def read(d: Array[Byte], i: Int): Double = {
@@ -80,7 +110,7 @@ object DType {
     d(4 * i + 2) = ((v >> 16) & 0xff).toByte; d(4 * i + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  val all: Seq[DType] = Seq(U8, I16, I32, F32, F64)
+  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, I64, F32, F64)
   def of(name: String): DType = all.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(s"unknown dtype: $name"))
 }

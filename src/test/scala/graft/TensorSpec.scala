@@ -132,12 +132,16 @@ class TensorSpec extends SparkSpec {
 
   test("typed uint8 blocks: dtype codecs round-trip; u8 minmax matches float64 path") {
     // codec round-trip for every dtype on representative values
-    val vals = Array(0.0, 1.0, 255.0, -7.0, 1234.0, -32768.0, 3.25, -0.5)
+    val vals = Array(0.0, 1.0, 255.0, -7.0, 1234.0, -32768.0, 3.25, -0.5,
+      65535.0, 1099511627776.0) // 2^16-1 hits U16's high byte; 2^40 needs I64
     for (dt <- DType.all) {
       val in = dt match {
+        case DType.BOOL => vals.map(v => if (v != 0.0) 1.0 else 0.0)
         case DType.U8 => vals.map(v => ((math.round(v) % 256 + 256) % 256).toDouble)
+        case DType.U16 => vals.map(v => ((math.round(v) % 65536 + 65536) % 65536).toDouble)
         case DType.I16 => vals.map(v => math.round(v).toShort.toDouble)
-        case DType.I32 => vals.map(v => math.round(v).toDouble)
+        case DType.I32 => vals.map(v => math.round(v).toInt.toDouble)
+        case DType.I64 => vals.map(v => math.round(v).toDouble)
         case DType.F32 => vals.map(_.toFloat.toDouble)
         case DType.F64 => vals
       }

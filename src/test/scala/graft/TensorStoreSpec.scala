@@ -66,6 +66,30 @@ class TensorStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("share one dtype"))
   }
 
+  test("typed store: uint16 round-trips with 2 bytes/elem and high-byte values intact") {
+    val s = spark
+    import s.implicits._
+    val dir16 = java.nio.file.Files.createTempDirectory("graft_store_u16").toString
+    val u16 = TBlock.fromBlocks(
+      Images.eventsRaster(spark, sf0001).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 1000) % 65536) + 65536) % 65536).toDouble))
+      }, DType.U16)
+    val before = u16.collect().map(b => b.idx -> b.data.toSeq).toMap
+    // quantizing at x1000 must actually produce >255 values, else the
+    // high byte is untested
+    assert(u16.collect().exists(_.toBlock.data.exists(_ > 255.0)),
+      "fixture never exercises the high byte")
+    TensorStore.writeTyped(u16, dir16)
+    val back = TensorStore.readTyped(spark, dir16).collect()
+    assert(back.map(b => b.idx -> b.data.toSeq).toMap == before,
+      "u16 payload changed across the store round-trip")
+    assert(back.forall(b => b.dtype == "uint16" &&
+      b.data.length == b.shape.product * 2), "payload not 2 bytes/elem")
+    val Seq((_, _, _, _, _, dtype)) = TensorStore.attrs(spark, dir16)
+    assert(dtype == "uint16", s"manifest dtype $dtype")
+  }
+
   test("mixed geometry under one imageId fails the write loudly") {
     val s = spark
     import s.implicits._
