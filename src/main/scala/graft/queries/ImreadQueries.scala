@@ -78,6 +78,57 @@ object ImreadQueries {
     framesToDf(ImageSource.readPgm(s, glob)).orderBy("f", "i", "j")
   }
 
+  /** (f, i, j, p) rows straight from TYPED grayscale frames — the dtype
+    * codec widens each sample to BIGINT only here, at the relational
+    * edge; upstream of this the payload is native bytes end to end. */
+  private def typedFramesToDf(ds: Dataset[graft.tensor.TBlock]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { b =>
+      val nf = b.shape(0); val h = b.shape(1); val w = b.shape(2)
+      val dt = b.dt
+      for (f <- 0 until nf; i <- 0 until h; j <- 0 until w)
+        yield (b.origin.head + f, i, j, dt.read(b.data, (f.toLong * h + i).toInt * w + j).toLong)
+    }.toDF("f", "i", "j", "p")
+  }
+
+  /** Typed grayscale imread gate: the SAME pgm fixture as `imread_pgm`,
+    * read through the native-uint8 path with nframes=3 — so the
+    * frame-stacking SHUFFLE carries 1-byte/pixel payloads (byte width
+    * pinned in ImageSourceSpec) and the oracle must still be hash-exact
+    * against the float-path SQL. */
+  val imreadPgmTyped: Q = (s, dir) => {
+    val glob = writeFixture(s, dir, "pgm", frameStep = 7)
+    typedFramesToDf(ImageSource.readPgmTyped(s, glob, nframes = 3))
+      .orderBy("f", "i", "j")
+  }
+
+  /** uint16 grayscale imread gate — the microscopy ingest shape: a
+    * 16-bit PGM fixture quantized at ×1000 mod 65536 (provably exercises
+    * the high byte) comes back as native uint16 blocks, 2 bytes/pixel on
+    * the wire. */
+  val imreadPgm16Typed: Q = (s, dir) => {
+    val base = fixtureBase16(s, dir)
+    val out = fixtureDir(dir, "pgm16")
+    for (f <- 0 until FRAMES) {
+      val frame = base.map(p => (p + 300 * f) % 65536)
+      java.nio.file.Files.write(out.resolve(f"frame_$f%03d.pgm16"),
+        ImageSource.encodePgm16(H, W, frame))
+    }
+    typedFramesToDf(ImageSource.readPgmTyped(s, s"$out/*.pgm16"))
+      .orderBy("f", "i", "j")
+  }
+
+  /** Frame-0 pixels at 16-bit depth: round(1000·v) mod 65536. */
+  private def fixtureBase16(s: SparkSession, dir: String): Array[Double] = {
+    val px = Images.toPixels(Images.eventsRaster(s, dir))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val base = new Array[Double](H * W)
+    for ((i, j, v) <- px)
+      base(i * W + j) = (((math.round(v * 1000) % 65536) + 65536) % 65536).toDouble
+    base
+  }
+
   val imreadPng: Q = (s, dir) => {
     val glob = writeFixture(s, dir, "png", frameStep = 13)
     framesToDf(ImageSource.readPng(s, glob)).orderBy("f", "i", "j")
@@ -211,8 +262,19 @@ object ImreadQueries {
        |WHERE f.f >= $minF
        |ORDER BY f, g.i, g.j""".stripMargin
 
+  private val pgm16Sql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(((CAST(round(g.v * 1000) AS BIGINT) % 65536 + 65536) % 65536
+       |        + 300 * f.f) % 65536 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "imread_pgm" -> imreadPgm,
+    "imread_pgm_typed" -> imreadPgmTyped,
+    "imread_pgm16_typed" -> imreadPgm16Typed,
     "imread_png" -> imreadPng,
     "imread_tiff" -> imreadTiff,
     "imread_v2_pushdown" -> imreadV2Pushdown,
@@ -223,6 +285,8 @@ object ImreadQueries {
 
   val oracle: Map[String, String] = Map(
     "imread_pgm" -> roundtripSql(7),
+    "imread_pgm_typed" -> roundtripSql(7),
+    "imread_pgm16_typed" -> pgm16Sql,
     "imread_png" -> roundtripSql(13),
     "imread_tiff" -> roundtripSql(11),
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),

@@ -36,7 +36,17 @@ object ImageSource {
     * when the file list is small — AQE picks).
     */
   def readFrames(spark: SparkSession, glob: String, codec: String,
-      imageId: String = "imread", nframes: Int = 1): Dataset[Block] = {
+      imageId: String = "imread", nframes: Int = 1): Dataset[Block] =
+    TBlock.toBlocks(readFramesTyped(spark, glob, codec, imageId, nframes))
+
+  /** NATIVE-dtype imread — the primary grayscale ingest path. Every
+    * decoder emits packed uint8/uint16 payloads (the file's own sample
+    * width), frames stack in the byte domain, and the `nframes` grouping
+    * shuffle moves 1–2 bytes/pixel — never the 8-byte float64 the old
+    * path paid (SURVEY §1.1; byte widths pinned in ImageSourceSpec). The
+    * float64 [[readFrames]] is a decode-at-the-edge view of this. */
+  def readFramesTyped(spark: SparkSession, glob: String, codec: String,
+      imageId: String = "imread", nframes: Int = 1): Dataset[TBlock] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
@@ -52,44 +62,46 @@ object ImageSource {
       .select(col("frame"), col("content"))
       .as[(Int, Array[Byte])]
     val frames = withFrames.map { case (frame, bytes) =>
-      val (h, w, px) = codec match {
-        case "pgm" => decodePgm(bytes)
-        case "png" => decodePng(bytes)
+      val (h, w, dt, px) = codec match {
+        case "pgm" => decodePgmTyped(bytes)
+        case "png" => decodePngTyped(bytes)
         case other => throw new IllegalArgumentException(s"imread codec: $other")
       }
-      (frame, h, w, px)
+      (frame, h, w, dt, px)
     }
-    stackFrames(frames, imageId, nFrames.toInt, nframes)
+    stackFramesTyped(frames, imageId, nFrames.toInt, nframes)
   }
 
-  /** Assemble decoded frames into Blocks with `nframes` frames per chunk
-    * along the leading axis — the reference imread's `nframes` parameter
-    * (chunking knob for tiny-frame stacks). nframes=1 is a narrow map;
-    * larger values shuffle each group of frames to one assembling task. */
-  private def stackFrames(frames: Dataset[(Int, Int, Int, Array[Double])],
-      imageId: String, total: Int, nframes: Int): Dataset[Block] = {
+  /** Assemble decoded frames into typed blocks with `nframes` frames per
+    * chunk along the leading axis — the reference imread's `nframes`
+    * parameter (chunking knob for tiny-frame stacks). nframes=1 is a
+    * narrow map; larger values shuffle each group of frames (as native
+    * bytes) to one assembling task. */
+  private def stackFramesTyped(frames: Dataset[(Int, Int, Int, String, Array[Byte])],
+      imageId: String, total: Int, nframes: Int): Dataset[TBlock] = {
     val spark = frames.sparkSession
     import spark.implicits._
     require(nframes >= 1, "imread: nframes must be >= 1")
     if (nframes == 1)
-      frames.map { case (f, h, w, px) =>
-        Block(imageId, Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
-          Seq(total, h, w), px)
+      frames.map { case (f, h, w, dt, px) =>
+        TBlock(imageId, Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
+          Seq(total, h, w), dt, px)
       }
     else
       frames.groupByKey(_._1 / nframes).mapGroups { (ci, it) =>
         val fs = it.toArray.sortBy(_._1)
-        val h = fs.head._2; val w = fs.head._3
-        require(fs.forall(f => f._2 == h && f._3 == w),
-          "imread: frames in one chunk must share dimensions")
-        val data = new Array[Double](fs.length * h * w)
+        val h = fs.head._2; val w = fs.head._3; val dt = fs.head._4
+        require(fs.forall(f => f._2 == h && f._3 == w && f._4 == dt),
+          "imread: frames in one chunk must share dimensions and dtype")
+        val elemBytes = DType.of(dt).bytes
+        val data = new Array[Byte](fs.length * h * w * elemBytes)
         var i = 0
         while (i < fs.length) {
-          System.arraycopy(fs(i)._4, 0, data, i * h * w, h * w)
+          System.arraycopy(fs(i)._5, 0, data, i * h * w * elemBytes, h * w * elemBytes)
           i += 1
         }
-        Block(imageId, Seq(ci, 0, 0), Seq(ci * nframes, 0, 0), Seq(fs.length, h, w),
-          Seq(nframes, h, w), Seq(total, h, w), data)
+        TBlock(imageId, Seq(ci, 0, 0), Seq(ci * nframes, 0, 0), Seq(fs.length, h, w),
+          Seq(nframes, h, w), Seq(total, h, w), dt, data)
       }
   }
 
@@ -101,6 +113,14 @@ object ImageSource {
       nframes: Int = 1): Dataset[Block] =
     readFrames(spark, glob, "png", imageId, nframes)
 
+  def readPgmTyped(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[TBlock] =
+    readFramesTyped(spark, glob, "pgm", imageId, nframes)
+
+  def readPngTyped(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[TBlock] =
+    readFramesTyped(spark, glob, "png", imageId, nframes)
+
   /** TIFF imread — the reference's primary format. Unlike PGM/PNG, one
     * TIFF file can hold many frames (multi-IFD), so frame indexing runs in
     * two passes: a metadata-only pass counts pages per file (only
@@ -109,7 +129,15 @@ object ImageSource {
     * Baseline codec:
     * uncompressed grayscale, 8/16-bit, both byte orders, strip layout. */
   def readTiff(spark: SparkSession, glob: String, imageId: String = "imread",
-      nframes: Int = 1): Dataset[Block] = {
+      nframes: Int = 1): Dataset[Block] =
+    TBlock.toBlocks(readTiffTyped(spark, glob, imageId, nframes))
+
+  /** NATIVE-dtype TIFF imread: u8 files yield uint8 blocks, 16-bit files
+    * yield uint16 — the microscopy path stops paying the 8× float64 tax
+    * at the source. Same two-pass distributed frame numbering as the
+    * float64 view. */
+  def readTiffTyped(spark: SparkSession, glob: String, imageId: String = "imread",
+      nframes: Int = 1): Dataset[TBlock] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
@@ -138,11 +166,11 @@ object ImageSource {
     val frames = files.join(based, "path").select(col("base"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (base, bytes) =>
-        decodeTiff(bytes).zipWithIndex.map { case ((h, w, px), pg) =>
-          ((base + pg).toInt, h, w, px)
+        decodeTiffTyped(bytes).zipWithIndex.map { case ((h, w, dt, px), pg) =>
+          ((base + pg).toInt, h, w, dt, px)
         }
       }
-    stackFrames(frames, imageId, total, nframes)
+    stackFramesTyped(frames, imageId, total, nframes)
   }
 
   /** Header-only PGM probe: (h, w) without touching pixel bytes — lets a
@@ -166,9 +194,11 @@ object ImageSource {
     (h, w)
   }
 
-  /** Binary PGM (P5) decoder: header "P5 <w> <h> <maxval>" then raw
-    * bytes. Returns (h, w, doubles). */
-  private[graft] def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+  /** Binary PGM (P5) decoder, typed: header "P5 <w> <h> <maxval>" then
+    * raw samples. maxval < 256 → the pixel run IS the uint8 payload
+    * (zero-copy slice); otherwise the file's big-endian 16-bit samples
+    * repack to the engine's little-endian uint16. */
+  private[graft] def decodePgmTyped(bytes: Array[Byte]): (Int, Int, String, Array[Byte]) = {
     // parse ASCII header tokens, skipping comment lines
     var pos = 0
     def token(): String = {
@@ -188,36 +218,63 @@ object ImageSource {
     val w = token().toInt; val h = token().toInt; val maxval = token().toInt
     require(maxval > 0 && maxval < 65536, "PGM maxval out of range")
     pos += 1 // single whitespace after maxval
-    val bytesPerPx = if (maxval < 256) 1 else 2
-    val out = new Array[Double](h * w)
-    var i = 0
-    while (i < h * w) {
-      out(i) =
-        if (bytesPerPx == 1) (bytes(pos + i) & 0xff).toDouble
-        else (((bytes(pos + 2 * i) & 0xff) << 8) | (bytes(pos + 2 * i + 1) & 0xff)).toDouble
-      i += 1
+    if (maxval < 256)
+      (h, w, DType.U8.name, java.util.Arrays.copyOfRange(bytes, pos, pos + h * w))
+    else {
+      val out = new Array[Byte](h * w * 2)
+      var i = 0
+      while (i < h * w) {
+        out(2 * i) = bytes(pos + 2 * i + 1) // PGM samples are big-endian
+        out(2 * i + 1) = bytes(pos + 2 * i)
+        i += 1
+      }
+      (h, w, DType.U16.name, out)
     }
-    (h, w, out)
   }
 
-  /** PNG decoder via the JDK's ImageIO — first band (grayscale sample)
-    * per pixel. */
-  private[graft] def decodePng(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+  private[graft] def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val (h, w, dt, px) = decodePgmTyped(bytes)
+    (h, w, DType.of(dt).decode(px))
+  }
+
+  /** PNG decoder via the JDK's ImageIO, typed — first band (grayscale
+    * sample) per pixel, at the file's own sample width (8-bit → uint8,
+    * 16-bit → uint16 LE). */
+  private[graft] def decodePngTyped(bytes: Array[Byte]): (Int, Int, String, Array[Byte]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
     val h = img.getHeight; val w = img.getWidth
     val raster = img.getRaster
-    val out = new Array[Double](h * w)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        out(y * w + x) = raster.getSample(x, y, 0).toDouble
-        x += 1
+    val depth = raster.getSampleModel.getSampleSize(0)
+    if (depth <= 8) {
+      val out = new Array[Byte](h * w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
       }
-      y += 1
+      (h, w, DType.U8.name, out)
+    } else {
+      val out = new Array[Byte](h * w * 2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          out(2 * (y * w + x)) = (v & 0xff).toByte
+          out(2 * (y * w + x) + 1) = ((v >> 8) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (h, w, DType.U16.name, out)
     }
-    (h, w, out)
+  }
+
+  private[graft] def decodePng(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val (h, w, dt, px) = decodePngTyped(bytes)
+    (h, w, DType.of(dt).decode(px))
   }
 
   // ------------------------------------------------------------------ TIFF
@@ -253,15 +310,17 @@ object ImageSource {
     n
   }
 
-  /** Baseline TIFF decoder: uncompressed (Compression=1) or LZW
+  /** Baseline TIFF decoder, typed: uncompressed (Compression=1) or LZW
     * (Compression=5, incl. horizontal-differencing Predictor=2) grayscale
     * (SamplesPerPixel=1), 8- or 16-bit unsigned, strip-organized, II or MM
-    * byte order, one (h, w, pixels) per IFD page. */
-  private[graft] def decodeTiff(bytes: Array[Byte]): Seq[(Int, Int, Array[Double])] = {
+    * byte order, one (h, w, dtype, LE-packed payload) per IFD page —
+    * 8-bit pages stay uint8 (decompressed strips ARE the payload),
+    * 16-bit pages normalize the file byte order to uint16 LE. */
+  private[graft] def decodeTiffTyped(bytes: Array[Byte]): Seq[(Int, Int, String, Array[Byte])] = {
     val le = tiffOrder(bytes)
     require(tU16(bytes, 2, le) == 42, "not a TIFF: bad magic")
     var ifd = tU32(bytes, 4, le).toInt
-    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Array[Byte])]
     while (ifd != 0) {
       val n = tU16(bytes, ifd, le)
       var width = -1L; var height = -1L; var bps = 1L; var comp = 1L
@@ -315,12 +374,12 @@ object ImageSource {
         s"TIFF: predictor $pred at $bps bps unsupported")
       val h = height.toInt; val w = width.toInt
       val rowsPerStrip = math.min(rps, height).toInt
-      val out = new Array[Double](h * w)
+      val bytesPerPx = if (bps == 8L) 1 else 2
+      val out = new Array[Byte](h * w * bytesPerPx)
       var strip = 0
       var row = 0
       while (row < h) {
         val rows = math.min(rowsPerStrip, h - row)
-        val bytesPerPx = if (bps == 8L) 1 else 2
         val expectedLen = rows * w * bytesPerPx
         val off = stripOffs(strip).toInt
         val sb: Array[Byte] = comp match {
@@ -348,24 +407,31 @@ object ImageSource {
             r += 1
           }
         }
-        var i = row * w
-        var p = 0
-        val end = (row + rows) * w
-        while (i < end) {
-          out(i) =
-            if (bps == 8L) (sb(p) & 0xff).toDouble
-            else tU16(sb, p, le).toDouble
-          p += bytesPerPx
-          i += 1
+        if (bps == 8L)
+          System.arraycopy(sb, 0, out, row * w, rows * w)
+        else {
+          var i = row * w
+          var p = 0
+          val end = (row + rows) * w
+          while (i < end) {
+            val v = tU16(sb, p, le)
+            out(2 * i) = (v & 0xff).toByte
+            out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            p += 2
+            i += 1
+          }
         }
         row += rows
         strip += 1
       }
-      frames += ((h, w, out))
+      frames += ((h, w, if (bps == 8L) DType.U8.name else DType.U16.name, out))
       ifd = tU32(bytes, ifd + 2 + 12 * n, le).toInt
     }
     frames.toSeq
   }
+
+  private[graft] def decodeTiff(bytes: Array[Byte]): Seq[(Int, Int, Array[Double])] =
+    decodeTiffTyped(bytes).map { case (h, w, dt, px) => (h, w, DType.of(dt).decode(px)) }
 
   /** Deflate (zlib) strip — TIFF Compression 8 (and legacy 32946). */
   private[graft] def inflate(in: Array[Byte], expected: Int): Array[Byte] = {
@@ -597,6 +663,21 @@ object ImageSource {
   private[graft] def encodePgm(h: Int, w: Int, px: Array[Double]): Array[Byte] = {
     val header = s"P5\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
     val body = px.map(v => math.max(0, math.min(255, math.round(v))).toByte)
+    header ++ body
+  }
+
+  /** Encode a 2-d array as 16-bit binary PGM (big-endian samples, per the
+    * netpbm spec) — fixture support for the uint16 ingest path. */
+  private[graft] def encodePgm16(h: Int, w: Int, px: Array[Double]): Array[Byte] = {
+    val header = s"P5\n$w $h\n65535\n".getBytes(StandardCharsets.US_ASCII)
+    val body = new Array[Byte](h * w * 2)
+    var i = 0
+    while (i < h * w) {
+      val v = math.max(0L, math.min(65535L, math.round(px(i)))).toInt
+      body(2 * i) = ((v >> 8) & 0xff).toByte
+      body(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
     header ++ body
   }
 

@@ -192,6 +192,46 @@ class ImageSourceSpec extends SparkSpec {
     val (h, w, data) = pages.head
     assert(h == 2 && w == 3)
     assert(data.toSeq == px.map(_.toDouble))
+    // typed decode: 16-bit MM page lands as uint16 (2 bytes/px, LE-packed)
+    val Seq((th, tw, dt, payload)) = ImageSource.decodeTiffTyped(bos.toByteArray)
+    assert(th == 2 && tw == 3 && dt == "uint16")
+    assert(payload.length == 2 * 3 * 2, "uint16 page must pack 2 bytes/px")
+    assert(graft.tensor.DType.U16.decode(payload).toSeq == px.map(_.toDouble))
+  }
+
+  test("typed grayscale imread: native byte payloads through the stacking shuffle") {
+    val dir = Files.createTempDirectory("graft_typed_gray").toFile
+    dir.deleteOnExit()
+    val h = 6; val w = 9
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(h * w)(i => ((i * 11 + f * 29) % 256).toDouble)
+    }
+    for (f <- frames.indices)
+      Files.write(Paths.get(dir.getPath, f"g_$f%03d.pgm"),
+        ImageSource.encodePgm(h, w, frames(f)))
+    // nframes=2 exercises the byte-domain frame-stacking shuffle: each
+    // chunk is ONE block of 2·h·w uint8 bytes — the 1-byte/pixel pin
+    val typed = ImageSource.readPgmTyped(spark, dir.getPath + "/*.pgm", nframes = 2)
+      .collect().sortBy(_.idx.head)
+    assert(typed.length == 2)
+    for (b <- typed) {
+      assert(b.dtype == "uint8", s"grayscale PGM must ingest as uint8, got ${b.dtype}")
+      assert(b.data.length == 2 * h * w, "payload must stay 1 byte/pixel")
+    }
+    // float view decodes to the same pixels
+    val viaFloat = ImageSource.readPgm(spark, dir.getPath + "/*.pgm", nframes = 2)
+      .collect().sortBy(_.idx.head)
+    for ((tb, fb) <- typed.zip(viaFloat))
+      assert(tb.toBlock.data.sameElements(fb.data), "typed/float paths diverge")
+
+    // 16-bit PGM → native uint16, values above the low byte intact
+    val big = Array.tabulate(h * w)(i => ((i * 523 + 300) % 65536).toDouble)
+    Files.write(Paths.get(dir.getPath, "big.pgm16"),
+      ImageSource.encodePgm16(h, w, big))
+    val Array(b16) = ImageSource.readPgmTyped(spark, dir.getPath + "/*.pgm16").collect()
+    assert(b16.dtype == "uint16" && b16.data.length == 2 * h * w)
+    assert(b16.toBlock.data.sameElements(big), "uint16 PGM round-trip mismatch")
+    assert(big.exists(_ > 255.0), "fixture must exercise the high byte")
   }
 
   test("PGM decoder: comments and 16-bit maxval") {
