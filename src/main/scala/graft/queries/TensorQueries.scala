@@ -403,6 +403,24 @@ object TensorQueries {
       .crossJoin(cnt(Morph.binaryClosing(bin, 2), "n_closed"))
   }
 
+  /** Byte-domain twin of [[tensorMorphCounts]]: the thresholded mask is
+    * encoded as a native uint8 TBlock image and every morphology pass —
+    * halo exchange included — stays 1 byte/pixel (TMorph); only the final
+    * count widens. Same oracle as the float path: the two
+    * implementations must agree bit-for-bit. */
+  val tensorUint8Morph: Q = (s, dir) => {
+    val bin = TBlock.fromBlocks(Filters.mapBlocks(Images.eventsRaster(s, dir)) { b =>
+      b.data.map(v => if (v > 150.0) 1.0 else 0.0)
+    }, DType.U8)
+    def cnt(ds: org.apache.spark.sql.Dataset[TBlock], name: String): DataFrame =
+      Images.toPixels(TBlock.toBlocks(ds)).agg(sum(col("v")).cast("long").as(name))
+    cnt(bin, "n_fg")
+      .crossJoin(cnt(TMorph.binaryErosion(bin, 2), "n_eroded"))
+      .crossJoin(cnt(TMorph.binaryDilation(bin, 2), "n_dilated"))
+      .crossJoin(cnt(TMorph.binaryOpening(bin, 2), "n_opened"))
+      .crossJoin(cnt(TMorph.binaryClosing(bin, 2), "n_closed"))
+  }
+
   val tensorMorphCountsSql: String =
     s"""WITH $gridCte,
        |bin AS (SELECT i, j, CASE WHEN v > 150 THEN 1 ELSE 0 END AS b FROM grid),
@@ -970,6 +988,7 @@ object TensorQueries {
     "tensor_laplace" -> tensorLaplace,
     "tensor_sobel" -> tensorSobel,
     "tensor_morph_counts" -> tensorMorphCounts,
+    "tensor_uint8_morph" -> tensorUint8Morph,
     "tensor_label_stats" -> tensorLabelStats,
     "tensor_fourier_gaussian" -> tensorFourierGaussian,
     "tensor_fourier_shift" -> tensorFourierShift,
@@ -1013,6 +1032,7 @@ object TensorQueries {
     "tensor_laplace" -> tensorLaplaceSql,
     "tensor_sobel" -> tensorSobelSql,
     "tensor_morph_counts" -> tensorMorphCountsSql,
+    "tensor_uint8_morph" -> tensorMorphCountsSql,
     "tensor_label_stats" -> tensorLabelStatsSql,
   )
 }

@@ -86,3 +86,80 @@ object Morph {
       iterations: Int = 1): Dataset[Block] =
     binaryErosion(binaryDilation(ds, rank, structure, iterations), rank, structure, iterations)
 }
+
+/** Byte-domain binary morphology: the same scipy semantics over 1-byte
+  * (bool/uint8) typed payloads. Morphology is a boolean-domain family —
+  * the float64 path pays 8 bytes/pixel of halo shuffle for 1 bit of
+  * information; here the mask halo-exchanges, erodes, and dilates
+  * entirely in the byte domain (TensorSpec pins the widths and the
+  * float-path equivalence). Iterations still run inside ONE padded
+  * kernel, so an N-iteration op costs a single halo shuffle. */
+object TMorph {
+
+  private def run(ds: Dataset[TBlock], structure: Option[Nd], iterations: Int,
+      borderValue: Double, rank: Int, erode: Boolean): Dataset[TBlock] = {
+    val st = structure.getOrElse(Morph.binaryStructure(rank, 1))
+    val center = st.shape.map(_ / 2)
+    val radius = st.shape.indices.map(k => math.max(center(k), st.shape(k) - 1 - center(k))).max
+    val depth = radius * iterations
+    val offs = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      st.foreachCoord(c => if (st(c) != 0.0) buf += c.indices.map(k => c(k) - center(k)).toArray)
+      buf.toArray
+    }
+    THalo.mapOverlap(ds, Seq.fill(rank)(depth), Boundary.Constant(borderValue)) { p =>
+      require(p.block.dt.bytes == 1,
+        s"TMorph: 1-byte (bool/uint8) payloads only, got ${p.block.dtype}")
+      val d = p.block.ndim
+      var cur = p.bnd
+      var it = 0
+      while (it < iterations) {
+        // valid output region shrinks by `radius` per iteration
+        val outShape = cur.shape.indices.map(k => cur.shape(k) - 2 * radius).toArray
+        val out = BNd.zeros(outShape, 1)
+        val oc = new Array[Int](d)
+        var done = outShape.exists(_ == 0)
+        while (!done) {
+          var ok = erode // erode: assume all-1 until a 0; dilate: assume no-1
+          var t = 0
+          while (t < offs.length && (ok == erode)) {
+            var off = 0
+            var k = 0
+            while (k < d) { off += (oc(k) + radius + offs(t)(k)) * cur.strides(k); k += 1 }
+            val v = cur.data(off) != 0
+            if (erode) { if (!v) ok = false } else { if (v) ok = true }
+            t += 1
+          }
+          out.data(out.offset(oc)) = if (ok) 1 else 0
+          var j = d - 1
+          var carry = true
+          while (carry && j >= 0) {
+            oc(j) += 1
+            if (oc(j) < outShape(j)) carry = false else { oc(j) = 0; j -= 1 }
+          }
+          done = carry
+        }
+        cur = out
+        it += 1
+      }
+      require(cur.shape.toSeq == p.block.shape)
+      cur.data
+    }
+  }
+
+  def binaryErosion(ds: Dataset[TBlock], rank: Int, structure: Option[Nd] = None,
+      iterations: Int = 1, borderValue: Double = 0.0): Dataset[TBlock] =
+    run(ds, structure, iterations, borderValue, rank, erode = true)
+
+  def binaryDilation(ds: Dataset[TBlock], rank: Int, structure: Option[Nd] = None,
+      iterations: Int = 1, borderValue: Double = 0.0): Dataset[TBlock] =
+    run(ds, structure, iterations, borderValue, rank, erode = false)
+
+  def binaryOpening(ds: Dataset[TBlock], rank: Int, structure: Option[Nd] = None,
+      iterations: Int = 1): Dataset[TBlock] =
+    binaryDilation(binaryErosion(ds, rank, structure, iterations), rank, structure, iterations)
+
+  def binaryClosing(ds: Dataset[TBlock], rank: Int, structure: Option[Nd] = None,
+      iterations: Int = 1): Dataset[TBlock] =
+    binaryErosion(binaryDilation(ds, rank, structure, iterations), rank, structure, iterations)
+}
