@@ -100,6 +100,21 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** The 64×64 fract-sin plane matrix, MATERIALIZED ONCE driver-side —
+    * w(p, d) = fract(sin(p·64+d)·43758.5453)·2−1, the same double-op
+    * sequence the SQL form computed (java.lang.Math.sin both ways, so
+    * sign bits are bit-identical; SimilaritySpec pins the signatures).
+    * Hoisting matters at scale: the inline HOF re-derived the constant
+    * matrix per ROW — ~4096 transcendental calls per vector — where a
+    * literal column costs one plan constant and per-row array reads. */
+  private[graft] val lshPlanes: Seq[Seq[Double]] =
+    (0 until 64).map { p =>
+      (0 until 64).map { d =>
+        val s = math.sin((p * 64 + d).toDouble) * 43758.5453
+        (s - math.floor(s)) * 2 - 1
+      }
+    }
+
   /** Sign-LSH banded candidate pairs (va, vb) — factored out
     * un-checkpointed so SimilaritySpec can assert the plan shape. */
   private[graft] def embeddingLshCandidates(emb: DataFrame): DataFrame = {
@@ -108,14 +123,12 @@ object Similarity {
     // sin(n) planes are unusable here
     val sigExpr = expr(
       """aggregate(sequence(0, 63), 0L, (acc, p) -> acc +
-        |  CASE WHEN aggregate(zip_with(embedding,
-        |                               transform(sequence(0, 63), d ->
-        |                                 (sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453
-        |                                  - floor(sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453)) * 2D - 1D),
+        |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
         |                               (x, y) -> CAST(x AS DOUBLE) * y),
         |                      0D, (a, x) -> a + x) > 0D
         |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
     val banded = emb
+      .withColumn("planes", typedLit(lshPlanes))
       .select(col("vec_id"), col("label"), sigExpr.as("sig"))
       .select(col("vec_id"), col("label"), explode(expr(
         "transform(sequence(0, 31), b -> b * 4 + (shiftright(sig, CAST(b * 2 AS INT)) & 3))"))
@@ -344,14 +357,19 @@ object Similarity {
     * partition key and each probe is a pruned partition scan. */
   val annHyperplaneTopk: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
+    // 6×64 sin(p·64+d) plane matrix hoisted to a plan constant (same
+    // java.lang.Math.sin values the inline SQL form produced; the DuckDB
+    // oracle still derives them from sin() directly)
+    val annPlanes: Seq[Seq[Double]] =
+      (0 until 6).map(p => (0 until 64).map(d => math.sin((p * 64 + d).toDouble)))
     val bucketExpr = expr(
       """aggregate(sequence(0, 5), 0L, (acc, p) -> acc +
-        |  CASE WHEN aggregate(zip_with(embedding,
-        |                               transform(sequence(0, 63), d -> sin(CAST(p * 64 + d AS DOUBLE))),
+        |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
         |                               (x, y) -> CAST(x AS DOUBLE) * y),
         |                      0D, (a, x) -> a + x) > 0D
         |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
-    val e = t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val e = t(s, dir, "embeddings").withColumn("planes", typedLit(annPlanes))
+      .withColumn("bucket", bucketExpr).drop("planes")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qb"))
     val probes = spark_masks(s)

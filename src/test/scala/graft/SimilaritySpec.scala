@@ -60,6 +60,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hoisted plane matrix yields bit-identical signatures to the inline-sin form") {
+    // the literal 64x64 plane column replaced per-row sin() recomputation;
+    // both derive from java.lang.Math.sin with the same op order, so every
+    // sign bit — hence every candidate pair — must match exactly
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    import org.apache.spark.sql.functions.{col, expr}
+    val inlineSig = emb.select(col("vec_id"), expr(
+      """aggregate(sequence(0, 63), 0L, (acc, p) -> acc +
+        |  CASE WHEN aggregate(zip_with(embedding,
+        |                               transform(sequence(0, 63), d ->
+        |                                 (sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453
+        |                                  - floor(sin(CAST(p * 64 + d AS DOUBLE)) * 43758.5453)) * 2D - 1D),
+        |                               (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      0D, (a, x) -> a + x) > 0D
+        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hoisted = Similarity.lshPlanes
+    for (p <- 0 until 64; d <- 0 until 64) {
+      val s = math.sin((p * 64 + d).toDouble) * 43758.5453
+      assert(hoisted(p)(d) == (s - math.floor(s)) * 2 - 1)
+    }
+    val viaPlanes = emb
+      .withColumn("planes", org.apache.spark.sql.functions.typedLit(hoisted))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, p) -> acc +
+          |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
+          |                               (x, y) -> CAST(x AS DOUBLE) * y),
+          |                      0D, (a, x) -> a + x) > 0D
+          |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPlanes == inlineSig, "hoisted signatures diverge from inline sin()")
+  }
+
   test("embedding_near_dup candidates come from banded buckets, not label all-pairs") {
     val plan = Similarity.embeddingLshCandidates(
         Tables.t(spark, sf0001, "embeddings"))
