@@ -203,10 +203,15 @@ object ImreadQueries {
     rgbToDf(ImageSource.readRgb(s, glob)).orderBy("f", "i", "j", "c")
   }
 
-  /** JPEG imread: same decode path, LOSSY codec — no byte-exact oracle
-    * can exist (like the approx_* sketch keys, rows-only by design). The
-    * smooth-gradient fixture keeps DCT error small; ImageSourceSpec
-    * bounds the per-pixel residual and checks exact geometry. */
+  /** JPEG imread, DETERMINISM-not-bytes oracle: the codec is lossy, so
+    * no pixel-exact oracle can exist — but geometry, channel count, and
+    * decode REPRODUCIBILITY are exact properties. The gate decodes the
+    * fixture glob through two independent reads and emits one row per
+    * frame: (f, h, w, nc, stable) where `stable` is md5-payload equality
+    * across the two decodes. The DuckDB oracle states the expected
+    * constants (48×64×3, stable) — any geometry drift, channel swap,
+    * frame mis-index, or nondeterministic decode breaks the hash. The
+    * pixel-level DCT residual stays bounded in ImageSourceSpec. */
   val imreadJpeg: Q = (s, dir) => {
     val out = fixtureDir(dir, "jpg")
     for (f <- 0 until FRAMES) {
@@ -216,7 +221,19 @@ object ImreadQueries {
       java.nio.file.Files.write(out.resolve(f"frame_$f%03d.jpg"),
         ImageSource.encodeRgb(H, W, rgb, "jpg"))
     }
-    rgbToDf(ImageSource.readRgb(s, s"$out/*.jpg")).orderBy("f", "i", "j", "c")
+    def sig(alias: String): DataFrame =
+      ImageSource.readRgb(s, s"$out/*.jpg").toDF()
+        .select(element_at(col("origin"), 1).as(s"f_$alias"),
+          element_at(col("shape"), 2).as(s"h_$alias"),
+          element_at(col("shape"), 3).as(s"w_$alias"),
+          element_at(col("shape"), 4).as(s"nc_$alias"),
+          md5(col("data")).as(s"md5_$alias"))
+    sig("a").join(sig("b"), col("f_a") === col("f_b"))
+      .select(col("f_a").as("f"), col("h_a").as("h"), col("w_a").as("w"),
+        col("nc_a").as("nc"),
+        (col("md5_a") === col("md5_b") && col("h_a") === col("h_b")
+          && col("w_a") === col("w_b") && col("nc_a") === col("nc_b")).as("stable"))
+      .orderBy(col("f"))
   }
 
   /** Color image → relational reduction: per-(frame, channel) pixel sum
@@ -292,6 +309,10 @@ object ImreadQueries {
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
     "imread_rgb" -> rgbRoundtripSql(17),
     "imread_rgb_channel_stats" -> rgbChannelStatsSql,
-    // imread_jpeg: lossy DCT codec — rows-only by design (spec-bounded)
+    // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
+    // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
+    "imread_jpeg" ->
+      """SELECT f, 48 AS h, 64 AS w, 3 AS nc, true AS stable
+        |FROM (SELECT unnest([0, 1, 2]) AS f) ORDER BY f""".stripMargin,
   )
 }
