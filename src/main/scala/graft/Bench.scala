@@ -21,12 +21,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Scale-aware shuffle width: target ~32 MiB of input per shuffle
-    // partition, clamped to [1, cpus]. At sf0.1 (17 MiB total) that is 1 —
+    // Scale-aware shuffle width: target ~10 MiB of input per shuffle
+    // partition, clamped to [1, cpus]. At sf0.1 (17 MiB total) that is 2 —
     // a 32-wide shuffle of kilobyte partitions is pure task-dispatch
-    // latency; at 100 TB the same rule yields millions of bytes per
-    // partition and the cap is the cluster's cores (then AQE coalescing
-    // takes over on a real deployment).
+    // latency; at sf1 (173 MiB) it is ~18, which measured fastest (16-way
+    // beat both 6-way and 32-way: under 6 the big joins starve, past ~16
+    // dispatch overtakes the extra parallelism); at 100 TB the same rule
+    // caps at the cluster's cores and AQE coalescing takes over.
     val inputBytes = {
       val d = new java.io.File(sfDir)
       if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -34,7 +35,7 @@ object Bench {
       else 0L
     }
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.max(1L, math.min(cpus.toLong, inputBytes / (32L << 20) + 1)).toString)
+      math.max(1L, math.min(cpus.toLong, inputBytes / (10L << 20))).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.locality.wait", "0")
@@ -61,8 +62,12 @@ object Bench {
     val cacheList = sys.env.getOrElse("SPARK_GRAFT_CACHE",
       "region,nation,customer,supplier,part,orders,lineitem,events,documents,embeddings")
       .split(",").filter(_.nonEmpty).toSeq
-    Tables.benchParts =
-      sys.env.getOrElse("SPARK_GRAFT_TABLE_PARTS", math.min(cpus.toInt, 8).toString).toInt
+    // Cached-table scan width: floor of min(cpus, 8) (the sf0.1-tuned
+    // value), growing with the same ~10 MiB/partition rule once the data
+    // is big enough to feed more scan tasks.
+    Tables.benchParts = sys.env.getOrElse("SPARK_GRAFT_TABLE_PARTS",
+      math.max(math.min(cpus.toInt, 8),
+        math.min(cpus.toLong, inputBytes / (10L << 20)).toInt).toString).toInt
     for (name <- cacheList) {
       val df = Tables.t(spark, sfDir, name)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

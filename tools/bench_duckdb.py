@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""DuckDB baseline runner — the BASELINE.md protocol at an arbitrary scale
+factor: per headline query, one untimed warm-up then the median of 3 timed
+runs (fetchall included), SET threads as configured. Prints one JSON line
+shaped like graft.Bench's output so the two are directly comparable.
+
+The query texts are the engine's own oracle SQL (oracle_sql.json, written
+by `runMain graft.Verify <sf> <out> '^$'` — the no-match filter dumps the
+JSON without running queries).
+
+An events.parquet whose ts column is BIGINT (the sf1 generator persists
+epoch nanoseconds — see gen_sf1.py) gets a timestamp view derived exactly
+like the Spark loader: make_timestamp(ts // 1000).
+
+Usage: python tools/bench_duckdb.py <sf_dir> <oracle_sql.json> [threads]
+"""
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_top_orders", "semi_anti_join", "window_rank",
+    "window_running", "distinct_users", "rollup_sales", "set_ops",
+    "string_funcs", "date_trunc_agg", "json_extract", "tumbling_window",
+    "session_gap", "exact_dedup_docs", "doc_token_stats", "cosine_topk",
+]
+
+sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+threads = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+oracle = json.load(open(oracle_path))
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+con.execute(f"SET threads TO {threads}")
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    cols = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')").fetchall()
+    types = {c[0]: c[1] for c in cols}
+    if t == "events" and types.get("ts") == "BIGINT":
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT event_id, "
+            f"make_timestamp(ts // 1000) AS ts, user_id, event_type, value, "
+            f"props FROM read_parquet('{sf_dir}/{t}.parquet')")
+    else:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+results = {}
+for name in HEADLINE:
+    sql = oracle[name]
+    con.execute(sql).fetchall()  # warm-up (OS cache + plan)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        times.append(time.perf_counter() - t0)
+    results[name] = statistics.median(times)
+
+total = sum(results.values())
+qjson = ",".join(f'"{k}":{v}' for k, v in results.items())
+print(f'{{"metric":"duckdb_total","value":{total},"unit":"sec",'
+      f'"queries":{{{qjson}}},"threads":{threads},"sf":"{sf_dir}"}}')
