@@ -119,6 +119,62 @@ object ImreadQueries {
       .orderBy("f", "i", "j")
   }
 
+  /** End-to-end BYTE-DOMAIN imaging pipeline: PGM files on disk → typed
+    * uint8 decode → threshold (pointU8, no decode) → binary OPENING
+    * (TMorph, 1-byte halo) → per-frame foreground counts. Exercises the
+    * full typed chain a 100 TB imaging lake runs — at no point between
+    * file bytes and the final count does a float64 pixel exist. The
+    * structure is the 2-d cross embedded in the 3-d frame stack (zero
+    * frame extent, so frames stay independent); the oracle replays
+    * threshold + erosion + dilation per frame in SQL. */
+  val imreadTypedPipeline: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val glob = writeFixture(s, dir, "pgm", frameStep = 7)
+    val typed = ImageSource.readPgmTyped(s, glob)
+    val bin = graft.tensor.TFilters.pointU8(typed)(v => if (v > 150) 1 else 0)
+    val st = graft.tensor.Nd.zeros(Array(1, 3, 3))
+    for ((i, j) <- Seq((1, 1), (0, 1), (2, 1), (1, 0), (1, 2)))
+      st(Array(0, i, j)) = 1.0
+    val opened = graft.tensor.TMorph.binaryOpening(bin, rank = 3, structure = Some(st))
+    def counts(ds: Dataset[graft.tensor.TBlock], name: String): DataFrame =
+      ds.map { b =>
+        var n = 0L
+        var i = 0
+        while (i < b.data.length) { if (b.data(i) != 0) n += 1; i += 1 }
+        (b.origin.head, n)
+      }.toDF("f", name)
+    counts(bin, "n_fg")
+      .join(counts(opened, "n_opened").withColumnRenamed("f", "f2"),
+        col("f") === col("f2"))
+      .select(col("f"), col("n_fg"), col("n_opened"))
+      .orderBy(col("f"))
+  }
+
+  private val typedPipelineSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |fr AS (SELECT unnest([0, 1, 2]) AS f),
+       |bin AS (
+       |  SELECT fr.f, g.i, g.j,
+       |    CASE WHEN ((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |               + 7 * fr.f) % 256 > 150 THEN 1 ELSE 0 END AS b
+       |  FROM grid g CROSS JOIN fr),
+       |offs AS (SELECT unnest([0, -1, 1, 0, 0]) AS di, unnest([0, 0, 0, -1, 1]) AS dj),
+       |ero AS (
+       |  SELECT c.f, c.i, c.j, min(coalesce(n.b, 0)) AS b
+       |  FROM bin c CROSS JOIN offs o
+       |  LEFT JOIN bin n ON n.f = c.f AND n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.f, c.i, c.j),
+       |opn AS (
+       |  SELECT c.f, c.i, c.j, max(coalesce(n.b, 0)) AS b
+       |  FROM ero c CROSS JOIN offs o
+       |  LEFT JOIN ero n ON n.f = c.f AND n.i = c.i + o.di AND n.j = c.j + o.dj
+       |  GROUP BY c.f, c.i, c.j),
+       |fg AS (SELECT f, CAST(sum(b) AS BIGINT) AS n_fg FROM bin GROUP BY f),
+       |op AS (SELECT f, CAST(sum(b) AS BIGINT) AS n_opened FROM opn GROUP BY f)
+       |SELECT fg.f AS f, fg.n_fg, op.n_opened
+       |FROM fg JOIN op USING (f) ORDER BY f""".stripMargin
+
   /** Frame-0 pixels at 16-bit depth: round(1000·v) mod 65536. */
   private def fixtureBase16(s: SparkSession, dir: String): Array[Double] = {
     val px = Images.toPixels(Images.eventsRaster(s, dir))
@@ -292,6 +348,7 @@ object ImreadQueries {
     "imread_pgm" -> imreadPgm,
     "imread_pgm_typed" -> imreadPgmTyped,
     "imread_pgm16_typed" -> imreadPgm16Typed,
+    "imread_typed_pipeline" -> imreadTypedPipeline,
     "imread_png" -> imreadPng,
     "imread_tiff" -> imreadTiff,
     "imread_v2_pushdown" -> imreadV2Pushdown,
@@ -304,6 +361,7 @@ object ImreadQueries {
     "imread_pgm" -> roundtripSql(7),
     "imread_pgm_typed" -> roundtripSql(7),
     "imread_pgm16_typed" -> pgm16Sql,
+    "imread_typed_pipeline" -> typedPipelineSql,
     "imread_png" -> roundtripSql(13),
     "imread_tiff" -> roundtripSql(11),
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),

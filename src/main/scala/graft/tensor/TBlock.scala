@@ -65,6 +65,55 @@ object DType {
     def write(d: Array[Byte], i: Int, v: Double): Unit =
       writeI32(d, i, math.round(v).toInt)
   }
+  case object U32 extends DType("uint32", 4) {
+    def read(d: Array[Byte], i: Int): Double =
+      (readI32(d, i).toLong & 0xffffffffL).toDouble
+    def write(d: Array[Byte], i: Int, v: Double): Unit =
+      writeI32(d, i, (math.round(v) & 0xffffffffL).toInt)
+  }
+  case object F16 extends DType("float16", 2) {
+    def read(d: Array[Byte], i: Int): Double =
+      halfToDouble((d(2 * i) & 0xff) | ((d(2 * i + 1) & 0xff) << 8))
+    def write(d: Array[Byte], i: Int, v: Double): Unit = {
+      val h = doubleToHalf(v)
+      d(2 * i) = (h & 0xff).toByte; d(2 * i + 1) = ((h >> 8) & 0xff).toByte
+    }
+  }
+
+  /** IEEE 754 binary16 → double (Java 17 has no Float.float16ToFloat). */
+  private[tensor] def halfToDouble(h: Int): Double = {
+    val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
+    val e = (h >> 10) & 0x1f
+    val m = h & 0x3ff
+    if (e == 0) sign * m * 5.960464477539063e-8 // 2^-24 subnormal step
+    else if (e == 31) {
+      if (m == 0) sign * Double.PositiveInfinity else Double.NaN
+    } else sign * (1.0 + m / 1024.0) * math.pow(2.0, e - 15)
+  }
+
+  /** double → IEEE 754 binary16, round-to-nearest-even (through float —
+    * double-rounding is harmless here because float keeps 24 bits and
+    * half 11, so the float step never lands exactly on a half tie it
+    * wasn't already on). */
+  private[tensor] def doubleToHalf(v: Double): Int = {
+    val bits = java.lang.Float.floatToIntBits(v.toFloat)
+    val sign = (bits >>> 16) & 0x8000
+    val fExp = (bits >>> 23) & 0xff
+    val m = bits & 0x7fffff
+    if (fExp == 0xff) sign | 0x7c00 | (if (m != 0) 0x200 else 0) // Inf/NaN
+    else {
+      val e = fExp - 127 + 15
+      if (e >= 0x1f) sign | 0x7c00 // overflow → Inf
+      else if (e <= 0) {
+        if (e < -10) sign // underflow → signed zero
+        else {
+          // subnormal: implicit leading 1, shift into the 10-bit field
+          val mm = (m | 0x800000) >>> (1 - e)
+          sign | ((mm + 0xfff + ((mm >>> 13) & 1)) >>> 13)
+        }
+      } else sign | ((e << 10) + ((m + 0xfff + ((m >>> 13) & 1)) >>> 13))
+    }
+  }
   case object F32 extends DType("float32", 4) {
     def read(d: Array[Byte], i: Int): Double =
       java.lang.Float.intBitsToFloat(readI32(d, i)).toDouble
@@ -110,7 +159,7 @@ object DType {
     d(4 * i + 2) = ((v >> 16) & 0xff).toByte; d(4 * i + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, I64, F32, F64)
+  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, U32, I64, F16, F32, F64)
   def of(name: String): DType = all.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(s"unknown dtype: $name"))
 }
@@ -420,6 +469,21 @@ object TFilters {
       require(cur.shape.toSeq == p.block.shape,
         s"u8 extremum output shape ${cur.shape.toSeq} != ${p.block.shape}")
       cur.data
+    }
+  }
+
+  /** Per-element unsigned-byte map — point ops (threshold, LUT, invert)
+    * in the byte domain: no halo, no decode, a narrow map over 1-byte
+    * payloads. `f` sees and returns unsigned values in [0, 255]. */
+  def pointU8(ds: Dataset[TBlock])(f: Int => Int): Dataset[TBlock] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { b =>
+      require(b.dt.bytes == 1, s"pointU8 on dtype ${b.dtype}")
+      val out = new Array[Byte](b.data.length)
+      var i = 0
+      while (i < out.length) { out(i) = (f(b.data(i) & 0xff) & 0xff).toByte; i += 1 }
+      b.copy(data = out)
     }
   }
 

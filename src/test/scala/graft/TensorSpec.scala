@@ -141,7 +141,10 @@ class TensorSpec extends SparkSpec {
         case DType.U16 => vals.map(v => ((math.round(v) % 65536 + 65536) % 65536).toDouble)
         case DType.I16 => vals.map(v => math.round(v).toShort.toDouble)
         case DType.I32 => vals.map(v => math.round(v).toInt.toDouble)
+        case DType.U32 => vals.map(v => (math.round(v) & 0xffffffffL).toDouble)
         case DType.I64 => vals.map(v => math.round(v).toDouble)
+        case DType.F16 => vals.map(v => // half is a PROJECTION: settle once
+          DType.F16.decode(DType.F16.encode(Array(v)))(0))
         case DType.F32 => vals.map(_.toFloat.toDouble)
         case DType.F64 => vals
       }
@@ -149,6 +152,14 @@ class TensorSpec extends SparkSpec {
       assert(rt.sameElements(in), s"${dt.name} round-trip: ${rt.toSeq} vs ${in.toSeq}")
       assert(dt.encode(in).length == in.length * dt.bytes)
     }
+    // float16 known values: exactly-representable halves are identity,
+    // the max finite half survives, overflow saturates to Inf, RNE rounds
+    def h1(v: Double): Double = DType.F16.decode(DType.F16.encode(Array(v)))(0)
+    for (v <- Seq(0.0, 1.0, -1.5, 0.5, 2.25, 65504.0, -65504.0,
+        5.960464477539063e-8, 0.0009765625))
+      assert(h1(v) == v, s"f16 must represent $v exactly, got ${h1(v)}")
+    assert(h1(65520.0).isInfinite, "f16 overflow must saturate to Inf")
+    assert(h1(0.1) == 0.0999755859375, s"f16 RNE of 0.1: ${h1(0.1)}")
     // byte-domain u8 min/max == float64 kernels on the same quantized image
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = ((i * 7919 + 13) % 256).toDouble
