@@ -478,6 +478,35 @@ object TensorQueries {
       .orderBy(col("label"))
   }
 
+  /** Typed-label twin of [[tensorLabelStats]]: the CC label image — an
+    * INTEGER image by nature — is packed to native int32 TBlocks (4
+    * bytes/px, not 8), persisted through the typed tensor store, read
+    * back, and measured. Same oracle as the float path: storage dtype
+    * must be measurement-invisible. At 100 TB the label raster is often
+    * larger than the source image set; halving it is the difference
+    * between a label store that fits its tier and one that doesn't. */
+  val tensorLabelI32Store: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_lab_${math.abs(dir.hashCode)}").toString
+    graft.sources.TensorStore.writeTyped(TBlock.fromBlocks(labels, DType.I32), store)
+    val back = graft.sources.TensorStore.read(s, store)
+    Measure.labeledPixels(raster, back, 2)
+      .filter(col("label") =!= 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("area"),
+        round(sum(col("value")), 2).as("sv"),
+        round(sum(col("c0") * col("value")), 2).as("s0"),
+        round(sum(col("c1") * col("value")), 2).as("s1"))
+      .select(col("label"), col("area"),
+        round(col("s0") / col("sv"), 4).as("com_i"),
+        round(col("s1") / col("sv"), 4).as("com_j"),
+        round(col("sv") / col("area"), 4).as("mean_v"))
+      .orderBy(col("label"))
+  }
+
   val tensorLabelStatsSql: String =
     s"""WITH RECURSIVE $gridCte,
        |bin AS (SELECT i, j FROM grid WHERE v > 150),
@@ -990,6 +1019,7 @@ object TensorQueries {
     "tensor_morph_counts" -> tensorMorphCounts,
     "tensor_uint8_morph" -> tensorUint8Morph,
     "tensor_label_stats" -> tensorLabelStats,
+    "tensor_label_i32_store" -> tensorLabelI32Store,
     "tensor_fourier_gaussian" -> tensorFourierGaussian,
     "tensor_fourier_shift" -> tensorFourierShift,
     "tensor_affine_shift" -> tensorAffineShift,
@@ -1034,5 +1064,6 @@ object TensorQueries {
     "tensor_morph_counts" -> tensorMorphCountsSql,
     "tensor_uint8_morph" -> tensorMorphCountsSql,
     "tensor_label_stats" -> tensorLabelStatsSql,
+    "tensor_label_i32_store" -> tensorLabelStatsSql,
   )
 }

@@ -90,6 +90,23 @@ class TensorStoreSpec extends SparkSpec {
     assert(dtype == "uint16", s"manifest dtype $dtype")
   }
 
+  test("typed store: int32 label image stores at 4 bytes/elem, decodes exactly") {
+    val s = spark
+    import s.implicits._
+    val dir32 = java.nio.file.Files.createTempDirectory("graft_store_i32").toString
+    val labels = TBlock.fromBlocks(
+      Images.eventsRaster(spark, sf0001).map { b =>
+        b.copy(data = b.data.map(v => math.floor(v * 7 % 1000)))
+      }, DType.I32)
+    val before = labels.collect().map(b => b.idx -> b.toBlock.data.toSeq).toMap
+    TensorStore.writeTyped(labels, dir32)
+    val back = TensorStore.readTyped(spark, dir32).collect()
+    assert(back.forall(b => b.dtype == "int32" &&
+      b.data.length == b.shape.product * 4), "label payload not 4 bytes/elem")
+    assert(back.map(b => b.idx -> b.toBlock.data.toSeq).toMap == before,
+      "i32 label image changed across the store round-trip")
+  }
+
   test("mixed geometry under one imageId fails the write loudly") {
     val s = spark
     import s.implicits._
