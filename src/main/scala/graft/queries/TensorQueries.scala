@@ -158,6 +158,38 @@ object TensorQueries {
        |JOIN q n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
        |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
 
+  /** The same float kernel over the 16-BIT (microscopy-depth) image:
+    * halo wire carries 2 bytes/px native uint16 (vs 8 for float64), the
+    * kernel decodes at the edge — proves the promote-on-compute path is
+    * dtype-generic, not a uint8 special case. */
+  val tensorUint16Uniform3: Q = (s, dir) =>
+    pixelsOut(TBlock.toBlocks(
+      Filters.uniformFilterTyped(u16Raster(s, dir), Seq(3, 3))))
+
+  /** The events raster quantized to a native uint16 TBlock image
+    * (×1000 mod 65536 — provably exercises the high byte, same formula
+    * as the uint16 store fixture). */
+  private[graft] def u16Raster(s: SparkSession, dir: String) = {
+    import s.implicits._
+    TBlock.fromBlocks(
+      Images.eventsRaster(s, dir).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 1000) % 65536) + 65536) % 65536).toDouble))
+      }, DType.U16)
+  }
+
+  val tensorUint16Uniform3Sql: String =
+    s"""WITH $gridCte,
+       |q AS (SELECT i, j,
+       |        (CAST(round(v * 1000) AS BIGINT) % 65536 + 65536) % 65536 AS u
+       |      FROM grid),
+       |offs AS (SELECT a.di, b.dj FROM (SELECT unnest([-1,0,1]) AS di) a
+       |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dj) b)
+       |SELECT g.i, g.j, round(sum(n.u) / 9, 4) AS v
+       |FROM q g CROSS JOIN offs o
+       |JOIN q n ON n.i = ${refl("g.i + o.di", 48)} AND n.j = ${refl("g.j + o.dj", 64)}
+       |GROUP BY g.i, g.j ORDER BY g.i, g.j""".stripMargin
+
   val tensorUint8MinmaxSql: String =
     s"""WITH $gridCte,
        |q AS (SELECT i, j,
@@ -1013,6 +1045,7 @@ object TensorQueries {
     "tensor_minmax3" -> tensorMinmax3,
     "tensor_uint8_minmax" -> tensorUint8Minmax,
     "tensor_uint8_uniform3" -> tensorUint8Uniform3,
+    "tensor_uint16_uniform3" -> tensorUint16Uniform3,
     "tensor_median3" -> tensorMedian3,
     "tensor_laplace" -> tensorLaplace,
     "tensor_sobel" -> tensorSobel,
@@ -1058,6 +1091,7 @@ object TensorQueries {
     "tensor_minmax3" -> tensorMinmax3Sql,
     "tensor_uint8_minmax" -> tensorUint8MinmaxSql,
     "tensor_uint8_uniform3" -> tensorUint8Uniform3Sql,
+    "tensor_uint16_uniform3" -> tensorUint16Uniform3Sql,
     "tensor_median3" -> tensorMedian3Sql,
     "tensor_laplace" -> tensorLaplaceSql,
     "tensor_sobel" -> tensorSobelSql,
