@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.TensorQueries.queries ++
       graft.queries.ImreadQueries.queries ++
       graft.queries.Multimodal.queries ++
+      graft.queries.SourceQueries.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TensorQueries.oracle ++
       graft.queries.ImreadQueries.oracle ++
       graft.queries.Multimodal.oracle ++
+      graft.queries.SourceQueries.oracle ++
       graft.streaming.StreamOps.oracle
 }

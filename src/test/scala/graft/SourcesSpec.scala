@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SourceQueries
+
+/** Source/sink format gates: JSONL + ORC round-trip fidelity and
+  * hive-layout partition pruning (the filter must reach the directory
+  * listing, not just the row scan). */
+class SourcesSpec extends SparkSpec {
+
+  test("partitioned lake write prunes at the directory level") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    Tables.t(spark, sf0001, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    val scan = SourceQueries.prunedScan(spark, out)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"status filter did not land as a partition filter:\n$plan")
+    // inputFiles lists the RELATION's files pre-filter; the pruned set
+    // lives on the executed scan node
+    val files = scan.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("o_orderstatus=F")),
+      s"scan touched foreign partitions: ${files.filterNot(_.contains("o_orderstatus=F")).toSeq}")
+    val expected = Tables.t(spark, sf0001, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(scan.count() == expected)
+  }
+
+  test("jsonl and orc round-trips agree with the parquet originals") {
+    val viaJson = SourceQueries.jsonlRoundtrip(spark, sf0001).collect().toSeq
+    val direct = Tables.t(spark, sf0001, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("lang")).collect().toSeq
+    assert(viaJson == direct, "jsonl round-trip diverges from parquet")
+
+    val viaOrc = SourceQueries.orcRoundtrip(spark, sf0001).collect().toSeq
+    val directL = Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(viaOrc == directL, "orc round-trip diverges from parquet")
+  }
+}
