@@ -91,27 +91,44 @@ object DType {
     } else sign * (1.0 + m / 1024.0) * math.pow(2.0, e - 15)
   }
 
-  /** double → IEEE 754 binary16, round-to-nearest-even (through float —
-    * double-rounding is harmless here because float keeps 24 bits and
-    * half 11, so the float step never lands exactly on a half tie it
-    * wasn't already on). */
+  /** double → IEEE 754 binary16, round-to-nearest-even DIRECTLY from the
+    * double bits. Converting through float double-rounds: a double just
+    * above a half tie can collapse onto the tie as a float (float ulp ≫
+    * the gap) and then break even the wrong way — NumPy's astype
+    * converts from the double, so this codec must too (tie cases pinned
+    * in TensorSpec). */
   private[tensor] def doubleToHalf(v: Double): Int = {
-    val bits = java.lang.Float.floatToIntBits(v.toFloat)
-    val sign = (bits >>> 16) & 0x8000
-    val fExp = (bits >>> 23) & 0xff
-    val m = bits & 0x7fffff
-    if (fExp == 0xff) sign | 0x7c00 | (if (m != 0) 0x200 else 0) // Inf/NaN
+    val bits = java.lang.Double.doubleToLongBits(v)
+    val sign = ((bits >>> 48) & 0x8000L).toInt
+    val dExp = ((bits >>> 52) & 0x7ff).toInt
+    val m = bits & 0xfffffffffffffL // 52-bit mantissa
+    if (dExp == 0x7ff) sign | 0x7c00 | (if (m != 0L) 0x200 else 0) // Inf/NaN
     else {
-      val e = fExp - 127 + 15
+      val e = dExp - 1023 + 15
       if (e >= 0x1f) sign | 0x7c00 // overflow → Inf
       else if (e <= 0) {
-        if (e < -10) sign // underflow → signed zero
+        if (e < -10) sign // below half the smallest subnormal → signed 0
         else {
-          // subnormal: implicit leading 1, shift into the 10-bit field
-          val mm = (m | 0x800000) >>> (1 - e)
-          sign | ((mm + 0xfff + ((mm >>> 13) & 1)) >>> 13)
+          // subnormal target: value = M·2^(e-67); the half payload counts
+          // 2^-24 steps, so shift M right by 43-e with RNE + sticky
+          val big = m | (1L << 52)
+          val shift = 43 - e // in [43, 53]
+          val s = big >>> shift
+          val roundBit = (big >>> (shift - 1)) & 1L
+          val sticky = (big & ((1L << (shift - 1)) - 1)) != 0L
+          val r = s + (if (roundBit == 1L && (sticky || (s & 1L) == 1L)) 1L else 0L)
+          sign | r.toInt
         }
-      } else sign | ((e << 10) + ((m + 0xfff + ((m >>> 13) & 1)) >>> 13))
+      } else {
+        // normal: round the 52-bit mantissa to 10 bits (RNE + sticky);
+        // a carry out of the mantissa bumps the exponent via `+`, and at
+        // e=30 that lands exactly on 0x7c00 = Inf, as IEEE requires
+        val s = (m >>> 42).toInt
+        val roundBit = (m >>> 41) & 1L
+        val sticky = (m & ((1L << 41) - 1)) != 0L
+        val r = s + (if (roundBit == 1L && (sticky || (s & 1) == 1)) 1 else 0)
+        sign | ((e << 10) + r)
+      }
     }
   }
   case object F32 extends DType("float32", 4) {

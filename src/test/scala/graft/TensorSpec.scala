@@ -160,6 +160,15 @@ class TensorSpec extends SparkSpec {
       assert(h1(v) == v, s"f16 must represent $v exactly, got ${h1(v)}")
     assert(h1(65520.0).isInfinite, "f16 overflow must saturate to Inf")
     assert(h1(0.1) == 0.0999755859375, s"f16 RNE of 0.1: ${h1(0.1)}")
+    // double-rounding traps: 1.00048828125 is the exact tie between the
+    // halves 1.0 and 1.0009765625. A hair above the tie must round UP —
+    // a via-float conversion collapses it onto the tie first and then
+    // breaks even DOWN to 1.0. Exactly at the tie, even wins (1.0).
+    val tie = 1.00048828125
+    assert(h1(tie) == 1.0, s"f16 exact tie must break to even: ${h1(tie)}")
+    assert(h1(tie + math.pow(2, -30)) == 1.0009765625,
+      s"f16 above-tie must round up: ${h1(tie + math.pow(2, -30))}")
+    assert(h1(-(tie + math.pow(2, -30))) == -1.0009765625, "f16 sign symmetry")
     // byte-domain u8 min/max == float64 kernels on the same quantized image
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = ((i * 7919 + 13) % 256).toDouble
