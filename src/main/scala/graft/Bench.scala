@@ -90,6 +90,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def queryOnce(name: String): Double = {
+      val fn = qs(name)
+      val t0 = System.nanoTime()
+      // a crashing query must not silently bench as ~0s: record it and
+      // surface the failure in the JSON line, not just stderr
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def queryMedian3(name: String): Double =
+      Seq(queryOnce(name), queryOnce(name), queryOnce(name)).sorted.apply(1)
+
     /** One full measurement pass. Floor probes are INTERLEAVED between
       * query groups (before, every 4 queries, after) so a load spike that
       * inflates the queries inflates the floor samples too — the round-7
@@ -99,25 +114,32 @@ object Bench {
     def runPass(): (Seq[(String, Double)], Seq[Double]) = {
       val floors = scala.collection.mutable.ArrayBuffer(floorOnce())
       val res = headline.filter(qs.contains).zipWithIndex.map { case (name, i) =>
-        val fn = qs(name)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          // a crashing query must not silently bench as ~0s: record it and
-          // surface the failure in the JSON line, not just stderr
-          try fn(spark, sfDir).count() catch {
-            case e: Throwable =>
-              failed += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        (1 to warmups).foreach(_ => once())
-        val t = Seq(once(), once(), once()).sorted.apply(1)
+        (1 to warmups).foreach(_ => queryOnce(name))
+        val t = queryMedian3(name)
         if ((i + 1) % 4 == 0) floors += floorOnce()
         name -> t
       }
       floors += floorOnce()
       (res, floors.toSeq)
+    }
+
+    /** Per-query spike guard: the floor guard catches SUSTAINED
+      * contention, not a transient spike that poisons one query's three
+      * timed runs while the interleaved floor stays clean (observed: one
+      * 4.7 s q3 median against its 0.5–0.9 s band). A query whose median
+      * exceeds 5× the pass's own per-query median gets ONE fresh
+      * median-of-3; keep the smaller — both are honest medians, and a
+      * genuine regression reproduces in the re-run. */
+    def reprobeSpikes(results: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val passMed = median(results.map(_._2))
+      results.map { case (name, t) =>
+        if (t > 5 * math.max(passMed, 0.05)) {
+          val again = queryMedian3(name)
+          if (again < t)
+            System.err.println(f"[bench] $name spike $t%.3f s -> re-measured $again%.3f s")
+          name -> math.min(t, again)
+        } else name -> t
+      }
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -146,7 +168,8 @@ object Bench {
       if (contended)
         System.err.println(f"[bench] attempt $attempt contended: floor median $fm%.3f s > 3×$floorRef%.2f s")
     }
-    val (results, floorSamples) = best
+    val (rawResults, floorSamples) = best
+    val results = reprobeSpikes(rawResults)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
