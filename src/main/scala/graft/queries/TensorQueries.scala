@@ -539,6 +539,34 @@ object TensorQueries {
       .orderBy(col("label"))
   }
 
+  /** find_objects gate: per-label bounding boxes over the standard CC
+    * pipeline (threshold → label → bbox group-by). The oracle reuses the
+    * recursive-CTE CC and takes min/max of each coordinate per label. */
+  val tensorFindObjects: Q = (s, dir) => {
+    val raster = Images.eventsRaster(s, dir)
+    val bin = Filters.mapBlocks(raster)(b => b.data.map(v => if (v > 150.0) 1.0 else 0.0))
+    val (labels, _) = Measure.label(bin, 2, connectivity = 1)
+    Measure.findObjects(labels, 2)
+  }
+
+  val tensorFindObjectsSql: String =
+    s"""WITH RECURSIVE $gridCte,
+       |bin AS (SELECT i, j FROM grid WHERE v > 150),
+       |reach(i, j, ri, rj) AS (
+       |  SELECT i, j, i, j FROM bin
+       |  UNION
+       |  SELECT r.i, r.j, n.i, n.j
+       |  FROM reach r JOIN bin n
+       |    ON abs(n.i - r.ri) + abs(n.j - r.rj) = 1),
+       |comp AS (
+       |  SELECT i, j, min(ri * 64 + rj) AS root FROM reach GROUP BY i, j),
+       |lab AS (
+       |  SELECT i, j, dense_rank() OVER (ORDER BY root) AS label FROM comp)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(min(i) AS BIGINT) AS min_0, CAST(max(i) AS BIGINT) AS max_0,
+       |  CAST(min(j) AS BIGINT) AS min_1, CAST(max(j) AS BIGINT) AS max_1
+       |FROM lab GROUP BY label ORDER BY label""".stripMargin
+
   val tensorLabelStatsSql: String =
     s"""WITH RECURSIVE $gridCte,
        |bin AS (SELECT i, j FROM grid WHERE v > 150),
@@ -1053,6 +1081,7 @@ object TensorQueries {
     "tensor_uint8_morph" -> tensorUint8Morph,
     "tensor_label_stats" -> tensorLabelStats,
     "tensor_label_i32_store" -> tensorLabelI32Store,
+    "tensor_find_objects" -> tensorFindObjects,
     "tensor_fourier_gaussian" -> tensorFourierGaussian,
     "tensor_fourier_shift" -> tensorFourierShift,
     "tensor_affine_shift" -> tensorAffineShift,
@@ -1099,5 +1128,6 @@ object TensorQueries {
     "tensor_uint8_morph" -> tensorMorphCountsSql,
     "tensor_label_stats" -> tensorLabelStatsSql,
     "tensor_label_i32_store" -> tensorLabelStatsSql,
+    "tensor_find_objects" -> tensorFindObjectsSql,
   )
 }

@@ -75,6 +75,19 @@ object Measure {
   def area(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
     lp(image, labels, ndim).groupBy("label").agg(count(lit(1)).as("area")).orderBy("label")
 
+  /** find_objects: the tight per-label bounding box — (min_k, max_k) per
+    * axis for every non-background label, the upstream
+    * ndmeasure.find_objects surface (slice tuples there, explicit bound
+    * columns here — the relational shape composes with joins/filters).
+    * One partial-aggregating group-by on the label key; pixel payloads
+    * never shuffle, only (label, coords) rows. */
+  def findObjects(labels: Dataset[Block], ndim: Int): DataFrame = {
+    val px = labeledPixels(labels, labels, ndim).filter(col("label") =!= 0)
+    val aggs = (0 until ndim).flatMap(k =>
+      Seq(min(col(s"c$k")).as(s"min_$k"), max(col(s"c$k")).as(s"max_$k")))
+    px.groupBy("label").agg(aggs.head, aggs.tail: _*).orderBy("label")
+  }
+
   /** sum_labels. */
   def sumLabels(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
     lp(image, labels, ndim).groupBy("label").agg(sum("value").as("sum")).orderBy("label")

@@ -134,6 +134,23 @@ class MeasureSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
   }
 
+  test("find_objects: boxes are tight against the naive labeling, chunk-invariant") {
+    val (naive, n) = naiveLabel(img, 1)
+    val Array(h, w) = img.shape
+    val expected = (1 to n).map { l =>
+      val cells = for (i <- 0 until h; j <- 0 until w if naive(i * w + j) == l) yield (i, j)
+      l.toLong -> (cells.map(_._1).min.toLong, cells.map(_._1).max.toLong,
+        cells.map(_._2).min.toLong, cells.map(_._2).max.toLong)
+    }.toMap
+    for (chunks <- Seq(Seq(24, 30), Seq(7, 9))) {
+      val (labDs, _) = Measure.label(Grid.blockify(spark, "t", img, chunks), 2, 1)
+      val got = Measure.findObjects(labDs, 2).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expected, s"find_objects diverges at chunks=$chunks")
+    }
+  }
+
   test("histogram: bins partition the per-label pixel counts") {
     val (labDs, _) = Measure.label(Grid.blockify(spark, "t", img, Seq(7, 9)), 2, 1)
     val valDs = Grid.blockify(spark, "t", img, Seq(7, 9))
