@@ -42,6 +42,22 @@ object SourceQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** documents → quoted CSV → schema-pinned read-back → the same
+    * reduction as the JSONL gate. CSV is where interchange breaks in
+    * practice — free text full of commas and quotes must survive the
+    * quote/escape cycle byte-for-byte or sum(length(text)) moves. */
+  val csvRoundtrip: Q = (s, dir) => {
+    val out = tmp(dir, "csv")
+    val docs = t(s, dir, "documents")
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(docs.schema).option("header", "true").csv(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("lang"))
+  }
+
   /** lineitem → ORC → read-back → q1-shaped reduction. ORC is Spark's
     * other first-class columnar format (Hive lakes); the gate proves the
     * type mapping (DOUBLE/STRING/TIMESTAMP) survives the round-trip. */
@@ -85,12 +101,14 @@ object SourceQueries {
 
   val queries: Map[String, Q] = Map(
     "jsonl_source_roundtrip" -> jsonlRoundtrip,
+    "csv_source_roundtrip" -> csvRoundtrip,
     "orc_source_roundtrip" -> orcRoundtrip,
     "partitioned_lake_prune" -> partitionedPrune,
   )
 
   val oracle: Map[String, String] = Map(
     "jsonl_source_roundtrip" -> jsonlRoundtripSql,
+    "csv_source_roundtrip" -> jsonlRoundtripSql, // same reduction, same truth
     "orc_source_roundtrip" -> orcRoundtripSql,
     "partitioned_lake_prune" -> partitionedPruneSql,
   )

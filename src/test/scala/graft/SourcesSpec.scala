@@ -38,6 +38,8 @@ class SourcesSpec extends SparkSpec {
         sum(length(col("text"))).as("sum_text_len"))
       .orderBy(col("lang")).collect().toSeq
     assert(viaJson == direct, "jsonl round-trip diverges from parquet")
+    val viaCsv = SourceQueries.csvRoundtrip(spark, sf0001).collect().toSeq
+    assert(viaCsv == direct, "csv round-trip diverges from parquet")
 
     val viaOrc = SourceQueries.orcRoundtrip(spark, sf0001).collect().toSeq
     val directL = Tables.t(spark, sf0001, "lineitem")
