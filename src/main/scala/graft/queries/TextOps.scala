@@ -665,6 +665,40 @@ object TextOps {
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- shard shuffle/write
+  /** Deterministic global shuffle into training shards — the final step
+    * of every dataset build: shard = md5-derived hash of doc_id mod 8,
+    * within-shard order = the md5 string itself (a reproducible
+    * permutation uncorrelated with doc order — "shuffled" in the
+    * training sense without rand()'s retry nondeterminism). The gate
+    * reduces each shard to (count, byte budget, and the FIRST doc in
+    * shard order) so a shard-assignment or ordering defect breaks the
+    * hash. At 100 TB this is `repartition(shard)` + per-partition sort →
+    * one write pass; shard membership being a pure function of the key
+    * makes re-runs and backfills land docs in the same shard. */
+  val shuffleShards: Q = (s, dir) => {
+    val md5s = md5(col("doc_id").cast("string"))
+    t(s, dir, "documents")
+      .withColumn("h", md5s)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 8).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min_by(col("doc_id"), col("h")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val shuffleShardsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h,
+      |    (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 8 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  arg_min(doc_id, h) AS first_doc
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   // ------------------------------------------------- stratified sampling
   /** Domain-rebalancing sampler: each SOURCE samples at its own
     * deterministic hash rate (even-numbered sources keep ~50%, odd ~25%
@@ -931,6 +965,7 @@ object TextOps {
     "cc_dedup_groups" -> ccDedupGroups,
     "simhash_buckets" -> simhashBuckets,
     "dataset_split" -> datasetSplit,
+    "shuffle_shards" -> shuffleShards,
     "stratified_sample" -> stratifiedSample,
     "quality_gate_stratified" -> qualityGateStratified,
     "contamination_check" -> contaminationCheck,
@@ -957,6 +992,7 @@ object TextOps {
     "cc_dedup_groups" -> ccDedupGroupsSql,
     "simhash_buckets" -> simhashBucketsSql,
     "dataset_split" -> datasetSplitSql,
+    "shuffle_shards" -> shuffleShardsSql,
     "stratified_sample" -> stratifiedSampleSql,
     "quality_gate_stratified" -> qualityGateStratifiedSql,
     "contamination_check" -> contaminationCheckSql,
