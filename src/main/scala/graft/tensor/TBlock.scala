@@ -220,6 +220,17 @@ object TBlock {
     import spark.implicits._
     ds.map(_.toBlock)
   }
+
+  /** Re-encode every block's payload to `dtype` (NumPy astype wrap
+    * semantics via the codecs) — the promotion path for mixed-depth
+    * ingests (e.g. a glob with 8- and 16-bit files) before stenciling;
+    * THalo refuses mixed dtypes under one imageId. */
+  def cast(ds: Dataset[TBlock], dtype: DType): Dataset[TBlock] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(b => if (b.dtype == dtype.name) b
+      else b.copy(dtype = dtype.name, data = dtype.encode(b.dt.decode(b.data))))
+  }
 }
 
 /** Strided element-index view over a packed byte payload (the byte-domain
@@ -379,6 +390,11 @@ object THalo {
       mode: Boundary): TPadded = {
     val center = pieces.find(_.side.forall(_ == 0))
       .getOrElse(throw new IllegalStateException("halo group without center piece"))
+    // a mixed-depth glob (8-bit and 16-bit files under one imageId) would
+    // otherwise splice slabs of different element widths into one payload
+    require(pieces.forall(_.dtype == center.dtype),
+      s"halo: mixed dtypes under one imageId " +
+        s"(${pieces.map(_.dtype).distinct.mkString(", ")}) — promote before stenciling")
     val d = center.shape.length
     val dt = DType.of(center.dtype)
     val w = dt.bytes

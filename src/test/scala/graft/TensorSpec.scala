@@ -185,6 +185,30 @@ class TensorSpec extends SparkSpec {
     }
   }
 
+  test("halo refuses mixed dtypes under one imageId; TBlock.cast promotes") {
+    val s = spark
+    import s.implicits._
+    val q = Nd.zeros(Array(8, 9))
+    for (i <- q.data.indices) q.data(i) = ((i * 13 + 5) % 200).toDouble
+    val mixed = TBlock.fromBlocks(Grid.blockify(spark, "mx", q, Seq(4, 9)), DType.U8)
+      .map(b => if (b.idx.head == 0) b
+        else TBlock.fromBlock(b.toBlock, DType.U16))
+    val e = intercept[Exception] {
+      THalo.exchange(mixed, Seq(1, 0), Boundary.Reflect).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("mixed dtypes"), s"wrong failure: ${messages(e)}")
+    // cast unifies the dtypes (values < 256, so u16->u8 is exact here)
+    // and the byte-domain kernel then matches the float path
+    val promoted = TBlock.cast(mixed, DType.U8)
+    val viaBytes = Grid.unblockify(TBlock.toBlocks(
+      TFilters.extremumFilterU8(promoted, Seq(3, 3), isMin = true)))
+    val viaF64 = Grid.unblockify(
+      Filters.minimumFilter(Grid.blockify(spark, "mx", q, Seq(4, 9)), Seq(3, 3)))
+    assert(maxAbsDiff(viaBytes, viaF64) == 0.0)
+  }
+
   test("byte-domain morphology equals the float64 path, 1 byte/pixel throughout") {
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = if ((i * 7919 + 13) % 256 > 150) 1.0 else 0.0
