@@ -24,25 +24,32 @@ object Morph {
     s
   }
 
+  /** Per-axis structure radii: an axis the structure does not span gets
+    * radius 0 — so a 2-d cross embedded in a 3-d frame stack ships NO
+    * frame-axis halo at all (the scalar-max form copied whole neighbor
+    * frames for nothing). */
+  private[tensor] def radii(st: Nd, center: Seq[Int]): Seq[Int] =
+    st.shape.indices.map(k => math.max(center(k), st.shape(k) - 1 - center(k)))
+
   private def run(ds: Dataset[Block], structure: Option[Nd], iterations: Int,
       borderValue: Double, rank: Int, erode: Boolean): Dataset[Block] = {
     val st = structure.getOrElse(binaryStructure(rank, 1))
     val center = st.shape.map(_ / 2)
-    val radius = st.shape.indices.map(k => math.max(center(k), st.shape(k) - 1 - center(k))).max
-    val depth = radius * iterations
+    val r = radii(st, center)
+    val depth = r.map(_ * iterations)
     val offs = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       st.foreachCoord(c => if (st(c) != 0.0) buf += c.indices.map(k => c(k) - center(k)).toArray)
       buf.toArray
     }
     // scipy: erosion's border_value defaults treat outside as `borderValue`
-    Halo.mapOverlapU(ds, depth, Boundary.Constant(borderValue)) { p =>
+    Halo.mapOverlap(ds, depth, Boundary.Constant(borderValue)) { p =>
       val d = p.block.ndim
       var cur = p.nd
       var it = 0
       while (it < iterations) {
-        // valid output region shrinks by `radius` per iteration
-        val outShape = cur.shape.indices.map(k => cur.shape(k) - 2 * radius).toArray
+        // valid output region shrinks by the per-axis radius per iteration
+        val outShape = cur.shape.indices.map(k => cur.shape(k) - 2 * r(k)).toArray
         val out = Nd.zeros(outShape)
         out.foreachCoord { oc =>
           var ok = erode // erode: assume all-1 until a 0; dilate: assume no-1
@@ -50,7 +57,7 @@ object Morph {
           while (t < offs.length && (ok == erode)) {
             var off = 0
             var k = 0
-            while (k < d) { off += (oc(k) + radius + offs(t)(k)) * cur.strides(k); k += 1 }
+            while (k < d) { off += (oc(k) + r(k) + offs(t)(k)) * cur.strides(k); k += 1 }
             val v = cur.data(off) != 0.0
             if (erode) { if (!v) ok = false } else { if (v) ok = true }
             t += 1
@@ -100,22 +107,22 @@ object TMorph {
       borderValue: Double, rank: Int, erode: Boolean): Dataset[TBlock] = {
     val st = structure.getOrElse(Morph.binaryStructure(rank, 1))
     val center = st.shape.map(_ / 2)
-    val radius = st.shape.indices.map(k => math.max(center(k), st.shape(k) - 1 - center(k))).max
-    val depth = radius * iterations
+    val r = Morph.radii(st, center)
+    val depth = r.map(_ * iterations)
     val offs = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       st.foreachCoord(c => if (st(c) != 0.0) buf += c.indices.map(k => c(k) - center(k)).toArray)
       buf.toArray
     }
-    THalo.mapOverlap(ds, Seq.fill(rank)(depth), Boundary.Constant(borderValue)) { p =>
+    THalo.mapOverlap(ds, depth, Boundary.Constant(borderValue)) { p =>
       require(p.block.dt.bytes == 1,
         s"TMorph: 1-byte (bool/uint8) payloads only, got ${p.block.dtype}")
       val d = p.block.ndim
       var cur = p.bnd
       var it = 0
       while (it < iterations) {
-        // valid output region shrinks by `radius` per iteration
-        val outShape = cur.shape.indices.map(k => cur.shape(k) - 2 * radius).toArray
+        // valid output region shrinks by the per-axis radius per iteration
+        val outShape = cur.shape.indices.map(k => cur.shape(k) - 2 * r(k)).toArray
         val out = BNd.zeros(outShape, 1)
         val oc = new Array[Int](d)
         var done = outShape.exists(_ == 0)
@@ -125,7 +132,7 @@ object TMorph {
           while (t < offs.length && (ok == erode)) {
             var off = 0
             var k = 0
-            while (k < d) { off += (oc(k) + radius + offs(t)(k)) * cur.strides(k); k += 1 }
+            while (k < d) { off += (oc(k) + r(k) + offs(t)(k)) * cur.strides(k); k += 1 }
             val v = cur.data(off) != 0
             if (erode) { if (!v) ok = false } else { if (v) ok = true }
             t += 1
