@@ -36,6 +36,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("typed halo exchange equals the float64 exchange, random geometry/depth/boundary") {
+    // The byte-domain THalo re-implements slab emission + assembly on
+    // packed payloads; this pins it cell-for-cell against the float64
+    // Halo over random shapes, chunkings, per-axis depths, and all five
+    // boundary modes — the failure modes (stride slips, side-sign flips,
+    // boundary resolve off-by-ones) are exactly the ones tiny fixed
+    // fixtures miss.
+    val rnd = new scala.util.Random(7)
+    val modes = Seq(Boundary.Reflect, Boundary.Nearest, Boundary.Mirror,
+      Boundary.Wrap, Boundary.Constant(3.0))
+    for (trial <- 0 until 8) {
+      val shape = Array(4 + rnd.nextInt(14), 4 + rnd.nextInt(17))
+      val img = Nd.zeros(shape)
+      for (i <- img.data.indices) img.data(i) = ((i * 31 + trial * 97) % 256).toDouble
+      val chunks = Seq(2 + rnd.nextInt(shape(0) - 1), 2 + rnd.nextInt(shape(1) - 1))
+      val depth = Seq(rnd.nextInt(math.min(3, chunks(0)) + 1),
+        rnd.nextInt(math.min(3, chunks(1)) + 1))
+      val mode = modes(trial % modes.length)
+      val blocks = Grid.blockify(spark, s"ph$trial", img, chunks)
+      val f64 = Halo.exchange(blocks, depth, mode).collect()
+        .map(p => p.block.idx -> p.padded.toSeq).toMap
+      val u8 = THalo.exchange(TBlock.fromBlocks(blocks, DType.U8), depth, mode)
+        .collect()
+        .map(p => p.block.idx -> DType.U8.decode(p.padded).toSeq).toMap
+      assert(u8.keySet == f64.keySet, s"trial $trial: block sets differ")
+      for ((idx, pad) <- f64)
+        assert(u8(idx) == pad,
+          s"trial $trial (chunks=$chunks depth=$depth mode=$mode) idx=$idx diverges")
+    }
+  }
+
   test("3-d label: component count independent of chunking") {
     val img = image3d(10, 12, 8)
     val bin = Nd.of(img.shape, img.data.map(v => if (v > 1.2) 1.0 else 0.0))
