@@ -238,4 +238,39 @@ class InterpFourierSpec extends SparkSpec {
       assert(maxAbsDiff(single, multi) < 1e-12, "3-d fourier op not chunk-invariant")
     }
   }
+
+  test("affine needs table: distributed build equals the driver-side twin") {
+    // rotation+scale+shift over a non-square geometry with outputShape
+    // differing from inShape, both margin regimes (order<2 and order>=2)
+    val cases = Seq(
+      // (ndim, matrix, offset, chunk, inShape, outShape, margin)
+      (2, Array(Array(0.7, 0.7), Array(-0.7, 0.7)), Array(3.2, -1.5),
+        Seq(7, 9), Seq(20, 24), Seq(31, 17), 1),
+      (2, Array(Array(0.5, 0.0), Array(0.0, 2.0)), Array(-40.0, 10.0),
+        Seq(8, 8), Seq(20, 24), Seq(20, 24), 3),
+      (3, Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.7, 0.7), Array(0.0, -0.7, 0.7)),
+        Array(0.5, 1.0, -2.0), Seq(4, 5, 6), Seq(9, 11, 13), Seq(9, 11, 13), 1))
+    for ((nd, m, off, chunk, inS, outS, margin) <- cases) {
+      val dist = Interp.needsDataset(spark, nd, m, off, chunk, inS, outS, margin)
+        .collect().toSet
+      val drv = Interp.needsDriverSide(nd, m, off, chunk, inS, outS, margin).toSet
+      assert(dist == drv, s"needs mismatch ndim=$nd: " +
+        s"dist-only=${(dist -- drv).take(3)} drv-only=${(drv -- dist).take(3)}")
+    }
+  }
+
+  test("affine needs table: 1e5-block grid builds off-driver (Range leaf, exact count)") {
+    // pure translation far outside the input: every output block is
+    // all-cval → exactly one sentinel need per cell, so the expected
+    // count is the grid size itself — arithmetic, no driver enumeration
+    val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val off = Array(1e9, 1e9)
+    val outS = Seq(1280, 1480) // chunk 4×4 → 320 × 370 = 118 400 blocks
+    val ds = Interp.needsDataset(spark, 2, m, off, Seq(4, 4), Seq(64, 64), outS, 1)
+    val plan = ds.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range"), s"needs build must be a Range scan, got:\n$plan")
+    assert(!plan.contains("LocalRelation"),
+      "needs table must not be driver-materialized (LocalRelation found)")
+    assert(ds.count() == 320L * 370L, "sentinel-per-cell count mismatch")
+  }
 }
