@@ -87,8 +87,10 @@ object ImreadQueries {
     ds.flatMap { b =>
       val nf = b.shape(0); val h = b.shape(1); val w = b.shape(2)
       val dt = b.dt
+      // element index in Int: a TBlock payload is one JVM byte array, so
+      // nf*h*w*width < 2^31 always holds — no Long widening to mislead
       for (f <- 0 until nf; i <- 0 until h; j <- 0 until w)
-        yield (b.origin.head + f, i, j, dt.read(b.data, (f.toLong * h + i).toInt * w + j).toLong)
+        yield (b.origin.head + f, i, j, dt.read(b.data, (f * h + i) * w + j).toLong)
     }.toDF("f", "i", "j", "p")
   }
 

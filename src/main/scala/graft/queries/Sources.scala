@@ -16,16 +16,20 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmp(dir: String, tag: String): String =
+  /** Fixture dir keyed by (sf dir, tag, THIS Spark app) — the app id
+    * makes concurrent runs over the same sfDir (Bench and Verify racing)
+    * write disjoint paths, so one process's mode("overwrite") delete can
+    * never collide with the other's read. */
+  private def tmp(s: SparkSession, dir: String, tag: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_src_${tag}_${math.abs(dir.hashCode)}").toString
+      s"graft_src_${tag}_${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}").toString
 
   /** documents → JSON-LINES on disk → schema-pinned read-back → per-lang
     * reduction. JSONL is the lingua franca of text-corpus interchange;
     * reading it back with the parquet schema (not inference) is the
     * production shape — inference at 100 TB is a full extra pass. */
   val jsonlRoundtrip: Q = (s, dir) => {
-    val out = tmp(dir, "jsonl")
+    val out = tmp(s, dir, "jsonl")
     val docs = t(s, dir, "documents")
     docs.write.mode("overwrite").json(out)
     s.read.schema(docs.schema).json(out)
@@ -42,27 +46,68 @@ object SourceQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** documents → quoted CSV → schema-pinned read-back → the same
-    * reduction as the JSONL gate. CSV is where interchange breaks in
-    * practice — free text full of commas and quotes must survive the
-    * quote/escape cycle byte-for-byte or sum(length(text)) moves. */
+  /** Adversarial rows unioned onto documents before the CSV write — the
+    * exact characters where CSV interchange breaks: embedded newline,
+    * embedded quote, commas, backslash, the empty string, and a NULL
+    * text. They are part of the hashed reduction (the oracle unions the
+    * same literals in SQL), so a mis-parsed row boundary, a dropped
+    * escape, or an empty-string-read-as-null all break the gate. */
+  private def advRows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq[(Long, Option[String], String, String, Long)](
+      (900001L, Some("line1\nline2"), "zz", "adv", 11L),
+      (900002L, Some("a,\"quoted\",b"), "zz", "adv", 12L),
+      (900003L, Some("back\\slash,end"), "zz", "adv", 14L),
+      (900004L, Some(""), "zz", "adv", 0L),
+      (900005L, None, "zz", "adv", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** documents (+ adversarial rows) → quoted CSV → schema-pinned
+    * multiLine read-back → per-lang reduction incl. count(text), which
+    * separates NULL from empty. nullValue is pinned to `\N` on BOTH
+    * sides so the empty string survives the cycle (Spark's default reads
+    * empty fields as null). CSV is where interchange breaks in practice
+    * — free text full of commas and quotes must survive the quote/escape
+    * cycle byte-for-byte or sum_text_len moves. */
   val csvRoundtrip: Q = (s, dir) => {
-    val out = tmp(dir, "csv")
-    val docs = t(s, dir, "documents")
-    docs.write.mode("overwrite").option("header", "true").csv(out)
-    s.read.schema(docs.schema).option("header", "true").csv(out)
+    val out = tmp(s, dir, "csv")
+    val docs = t(s, dir, "documents").unionByName(advRows(s))
+    docs.write.mode("overwrite").option("header", "true")
+      .option("nullValue", "\\N").csv(out)
+    s.read.schema(docs.schema).option("header", "true")
+      .option("multiLine", "true").option("nullValue", "\\N").csv(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(length(col("text"))).as("sum_text_len"))
+        sum(length(col("text"))).as("sum_text_len"),
+        count(col("text")).as("n_text"))
       .orderBy(col("lang"))
   }
+
+  val csvRoundtripSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (900001, 'line1' || chr(10) || 'line2', 'zz', 'adv', 11),
+      |    (900002, 'a,"quoted",b', 'zz', 'adv', 12),
+      |    (900003, 'back\slash,end', 'zz', 'adv', 14),
+      |    (900004, '', 'zz', 'adv', 0),
+      |    (900005, NULL, 'zz', 'adv', 5)
+      |  ) v(doc_id, text, lang, source, n_chars)
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |  count(text) AS n_text
+      |FROM aug GROUP BY lang ORDER BY lang""".stripMargin
 
   /** lineitem → ORC → read-back → q1-shaped reduction. ORC is Spark's
     * other first-class columnar format (Hive lakes); the gate proves the
     * type mapping (DOUBLE/STRING/TIMESTAMP) survives the round-trip. */
   val orcRoundtrip: Q = (s, dir) => {
-    val out = tmp(dir, "orc")
+    val out = tmp(s, dir, "orc")
     t(s, dir, "lineitem").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("l_returnflag"))
@@ -82,7 +127,7 @@ object SourceQueries {
     * SourcesSpec) — which IS the 100 TB scan-cost mechanism: a
     * status='F' query over a petabyte lake reads only status=F/ files. */
   val partitionedPrune: Q = (s, dir) => {
-    val out = tmp(dir, "part")
+    val out = tmp(s, dir, "part")
     t(s, dir, "orders").write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(out)
     prunedScan(s, out)
@@ -108,7 +153,7 @@ object SourceQueries {
 
   val oracle: Map[String, String] = Map(
     "jsonl_source_roundtrip" -> jsonlRoundtripSql,
-    "csv_source_roundtrip" -> jsonlRoundtripSql, // same reduction, same truth
+    "csv_source_roundtrip" -> csvRoundtripSql,
     "orc_source_roundtrip" -> orcRoundtripSql,
     "partitioned_lake_prune" -> partitionedPruneSql,
   )

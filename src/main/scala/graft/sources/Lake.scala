@@ -53,10 +53,21 @@ object Lake {
 
   /** Join `left` (large, possibly skewed on `leftKey`) with `right` on
     * equality, salting the right side `salt` ways so one hot key spreads
-    * over `salt` tasks. Result equals the plain equi-join. */
+    * over `salt` tasks. Result equals the plain equi-join.
+    *
+    * The left-side salt is `pmod(hash(<every left column>), salt)` — the
+    * same retry-deterministic idiom as `Relational.skewJoinSalted` (task
+    * re-execution reproduces the salt, which `rand()` would not), and
+    * hashing the full row makes the salt vary WITHIN a hot key, which
+    * hashing the join key alone would not. */
+  /** The fact-side salt expression — factored so LakeSpec pins spread
+    * and retry-determinism on the expression the join actually uses. */
+  private[graft] def saltCol(left: DataFrame, salt: Int) =
+    pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt))
+
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salt: Int): DataFrame = {
-    val l = left.withColumn("__salt", (rand(seed = 7) * salt).cast("int"))
+    val l = left.withColumn("__salt", saltCol(left, salt))
     val r = right.crossJoin(
       left.sparkSession.range(salt).select(col("id").cast("int").as("__salt")))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

@@ -47,6 +47,15 @@ class LakeSpec extends SparkSpec {
     val salted = Lake.saltedJoin(left, right, "k", "rk", salt = 8)
       .agg(count(lit(1)), sum("rv"), sum("payload")).collect().head
     assert(plain == salted, s"salted join diverges: $plain vs $salted")
+    // the salt must SPREAD within the hot key (hash of the full row, not
+    // of the join key) and be retry-deterministic (hash, not rand) —
+    // the r9 skewJoinSalted idiom, unified here in r10
+    val hotSalts = left.filter(col("k") === 7L)
+      .select(Lake.saltCol(left, 8).as("s"))
+    assert(hotSalts.distinct().count() > 1, "salt constant within hot key")
+    val a = hotSalts.collect().map(_.getInt(0)).toSeq
+    val b = hotSalts.collect().map(_.getInt(0)).toSeq
+    assert(a == b, "salt not deterministic across re-evaluation")
   }
 
   test("compact: many small files become few range-sorted files, content preserved") {

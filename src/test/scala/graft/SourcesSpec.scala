@@ -38,8 +38,16 @@ class SourcesSpec extends SparkSpec {
         sum(length(col("text"))).as("sum_text_len"))
       .orderBy(col("lang")).collect().toSeq
     assert(viaJson == direct, "jsonl round-trip diverges from parquet")
+    // the csv gate adds adversarial rows (lang 'zz': newline, quote,
+    // comma, backslash, empty, NULL) and a count(text) column — expect
+    // the augmented reduction, which is what the DuckDB oracle computes
     val viaCsv = SourceQueries.csvRoundtrip(spark, sf0001).collect().toSeq
-    assert(viaCsv == direct, "csv round-trip diverges from parquet")
+    val directCsv = direct.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(1)))
+    val expectedCsv = directCsv :+ (("zz", 5L, 42L, 37L, 4L))
+    assert(viaCsv.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) == expectedCsv,
+      "csv round-trip diverges from parquet + adversarial fixture")
 
     val viaOrc = SourceQueries.orcRoundtrip(spark, sf0001).collect().toSeq
     val directL = Tables.t(spark, sf0001, "lineitem")
