@@ -212,6 +212,42 @@ object ImreadQueries {
     framesToDf(ImageSource.readTiff(s, s"$out/*.tiff")).orderBy("f", "i", "j")
   }
 
+  /** BigTIFF + tiled-TIFF gate — the layout 100 TB microscopy actually
+    * arrives in. Frames 0–1 live in ONE BigTIFF file (magic 43: 8-byte
+    * IFD counts, 20-byte entries, LONG8 offset arrays) that is TILED
+    * with a non-dividing 20×20 grid over 48×64 — both axes pad, so tile
+    * reassembly must clip the padded edges — and LZW-compressed per
+    * tile. Frame 2 is a classic TILED 16-bit deflate file (exact 16×16
+    * grid), exercising the 2-byte-sample tile copy + byte-order
+    * normalization. Tile-offset arrays exceed the inline value field in
+    * both files, so the external-value indirection is also on the path. */
+  val imreadBigTiff: Q = (s, dir) => {
+    val base = fixtureBase(s, dir)
+    val frames01 = (0 until 2).map(f => base.map(p => (p + 19 * f) % 256))
+    val frame2 = fixtureBase16(s, dir).map(p => (p + 600) % 65536)
+    val out = fixtureDir(dir, "btiff")
+    java.nio.file.Files.write(out.resolve("frames_000_001.btiff"),
+      ImageSource.encodeTiffPages2(frames01.map((H, W, _)),
+        comp = 5, big = true, tile = Some((20, 20))))
+    java.nio.file.Files.write(out.resolve("frames_002.btiff"),
+      ImageSource.encodeTiffPages2(Seq((H, W, frame2)),
+        comp = 8, big = false, tile = Some((16, 16)), bps = 16))
+    framesToDf(ImageSource.readTiff(s, s"$out/*.btiff")).orderBy("f", "i", "j")
+  }
+
+  private val bigTiffSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(CASE WHEN f.f < 2
+       |    THEN ((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |          + 19 * f.f) % 256
+       |    ELSE ((CAST(round(g.v * 1000) AS BIGINT) % 65536 + 65536) % 65536
+       |          + 600) % 65536
+       |  END AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
   /** DataSource V2 imread gate: the same PGM fixture through
     * `format("graft-image")` with a `frame >= 1` predicate. The filter
     * pushes into the source's partition planning, so frame 0's file is
@@ -357,6 +393,7 @@ object ImreadQueries {
     "imread_typed_pipeline" -> imreadTypedPipeline,
     "imread_png" -> imreadPng,
     "imread_tiff" -> imreadTiff,
+    "imread_bigtiff" -> imreadBigTiff,
     "imread_v2_pushdown" -> imreadV2Pushdown,
     "imread_rgb" -> imreadRgb,
     "imread_jpeg" -> imreadJpeg,
@@ -370,6 +407,7 @@ object ImreadQueries {
     "imread_typed_pipeline" -> typedPipelineSql,
     "imread_png" -> roundtripSql(13),
     "imread_tiff" -> roundtripSql(11),
+    "imread_bigtiff" -> bigTiffSql,
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
     "imread_rgb" -> rgbRoundtripSql(17),
     "imread_rgb_channel_stats" -> rgbChannelStatsSql,

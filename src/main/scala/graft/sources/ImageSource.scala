@@ -297,56 +297,98 @@ object ImageSource {
     if (le) tU16(bytes, off, le).toLong | (tU16(bytes, off + 2, le).toLong << 16)
     else (tU16(bytes, off, le).toLong << 16) | tU16(bytes, off + 2, le).toLong
 
-  /** Number of IFDs (pages) — metadata-only walk, no pixel access. */
-  private[graft] def tiffPageCount(bytes: Array[Byte]): Long = {
+  private def tU64(bytes: Array[Byte], off: Int, le: Boolean): Long =
+    if (le) tU32(bytes, off, le) | (tU32(bytes, off + 4, le) << 32)
+    else (tU32(bytes, off, le) << 32) | tU32(bytes, off + 4, le)
+
+  /** A file offset must index the in-memory byte array: BigTIFF offsets
+    * are 8-byte, but one task decodes one file from one JVM byte array,
+    * so >2 GiB single files fail loudly here (split such acquisitions
+    * into per-frame files upstream). */
+  private def asIdx(v: Long, what: String): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"TIFF: $what offset $v exceeds the 2 GiB single-file limit")
+    v.toInt
+  }
+
+  /** Header parse: classic (magic 42, 4-byte offsets) or BigTIFF
+    * (magic 43, 8-byte offsets). Returns (littleEndian, big, firstIfd). */
+  private def tiffHeader(bytes: Array[Byte]): (Boolean, Boolean, Long) = {
     val le = tiffOrder(bytes)
-    require(tU16(bytes, 2, le) == 42, "not a TIFF: bad magic")
-    var ifd = tU32(bytes, 4, le).toInt
+    tU16(bytes, 2, le) match {
+      case 42 => (le, false, tU32(bytes, 4, le))
+      case 43 =>
+        require(tU16(bytes, 4, le) == 8 && tU16(bytes, 6, le) == 0,
+          "BigTIFF: offset size must be 8")
+        (le, true, tU64(bytes, 8, le))
+      case m => throw new IllegalArgumentException(s"not a TIFF: bad magic $m")
+    }
+  }
+
+  /** Number of IFDs (pages) — metadata-only walk, no pixel access.
+    * Classic and BigTIFF (8-byte entry counts and next-IFD pointers). */
+  private[graft] def tiffPageCount(bytes: Array[Byte]): Long = {
+    val (le, big, first) = tiffHeader(bytes)
+    var ifd = asIdx(first, "IFD")
     var n = 0L
     while (ifd != 0) {
       n += 1
-      ifd = tU32(bytes, ifd + 2 + 12 * tU16(bytes, ifd, le), le).toInt
+      val entries = if (big) tU64(bytes, ifd, le) else tU16(bytes, ifd, le).toLong
+      val next = ifd + (if (big) 8 else 2) + (if (big) 20 else 12) * entries.toInt
+      ifd = asIdx(if (big) tU64(bytes, next, le) else tU32(bytes, next, le), "IFD")
     }
     n
   }
 
-  /** Baseline TIFF decoder, typed: uncompressed (Compression=1) or LZW
-    * (Compression=5, incl. horizontal-differencing Predictor=2) grayscale
-    * (SamplesPerPixel=1), 8- or 16-bit unsigned, strip-organized, II or MM
-    * byte order, one (h, w, dtype, LE-packed payload) per IFD page —
-    * 8-bit pages stay uint8 (decompressed strips ARE the payload),
-    * 16-bit pages normalize the file byte order to uint16 LE. */
+  /** Baseline TIFF decoder, typed: uncompressed (Compression=1), LZW
+    * (Compression=5, incl. horizontal-differencing Predictor=2), deflate
+    * or PackBits grayscale (SamplesPerPixel=1), 8- or 16-bit unsigned,
+    * STRIP- or TILE-organized, classic or BigTIFF, II or MM byte order,
+    * one (h, w, dtype, LE-packed payload) per IFD page — 8-bit pages
+    * stay uint8 (decompressed segments ARE the payload), 16-bit pages
+    * normalize the file byte order to uint16 LE. Tiles are padded to the
+    * full tile geometry in the file (TIFF 6.0 §15); only the valid
+    * region is copied out. */
   private[graft] def decodeTiffTyped(bytes: Array[Byte]): Seq[(Int, Int, String, Array[Byte])] = {
-    val le = tiffOrder(bytes)
-    require(tU16(bytes, 2, le) == 42, "not a TIFF: bad magic")
-    var ifd = tU32(bytes, 4, le).toInt
+    val (le, big, first) = tiffHeader(bytes)
+    var ifd = asIdx(first, "IFD")
+    val entrySize = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Array[Byte])]
     while (ifd != 0) {
-      val n = tU16(bytes, ifd, le)
+      val n = (if (big) tU64(bytes, ifd, le) else tU16(bytes, ifd, le).toLong).toInt
+      val entriesStart = ifd + (if (big) 8 else 2)
       var width = -1L; var height = -1L; var bps = 1L; var comp = 1L
       var spp = 1L; var rps = Long.MaxValue; var pred = 1L
+      var tileW = -1L; var tileL = -1L
       var stripOffs: Array[Long] = Array.empty
       var stripCounts: Array[Long] = Array.empty
+      var tileOffs: Array[Long] = Array.empty
+      var tileCounts: Array[Long] = Array.empty
       var e = 0
       while (e < n) {
-        val off = ifd + 2 + 12 * e
+        val off = entriesStart + entrySize * e
         val tag = tU16(bytes, off, le)
         val typ = tU16(bytes, off + 2, le)
-        val cnt = tU32(bytes, off + 4, le).toInt
+        val cnt = (if (big) tU64(bytes, off + 4, le) else tU32(bytes, off + 4, le)).toInt
         val sz = typ match {
-          case 1 => 1 // BYTE
-          case 3 => 2 // SHORT
-          case 4 => 4 // LONG
-          case _ => 0 // types we never read (RATIONAL etc.)
+          case 1  => 1 // BYTE
+          case 3  => 2 // SHORT
+          case 4  => 4 // LONG
+          case 16 => 8 // LONG8 (BigTIFF)
+          case _  => 0 // types we never read (RATIONAL etc.)
         }
-        // values are inline (left-justified) when they fit in 4 bytes
+        val valPos = off + (if (big) 12 else 8)
+        // values are inline (left-justified) when they fit the value field
         def vals: Array[Long] = {
-          val base = if (sz != 0 && sz * cnt <= 4) off + 8 else tU32(bytes, off + 8, le).toInt
+          val base =
+            if (sz != 0 && sz * cnt <= inlineCap) valPos
+            else asIdx(if (big) tU64(bytes, valPos, le) else tU32(bytes, valPos, le), "entry")
           Array.tabulate(cnt) { i =>
             sz match {
               case 1 => (bytes(base + i) & 0xff).toLong
               case 2 => tU16(bytes, base + 2 * i, le).toLong
-              case _ => tU32(bytes, base + 4 * i, le)
+              case 4 => tU32(bytes, base + 4 * i, le)
+              case _ => tU64(bytes, base + 8 * i, le)
             }
           }
         }
@@ -360,6 +402,10 @@ object ImageSource {
           case 278 => rps = vals(0)
           case 279 => stripCounts = vals
           case 317 => pred = vals(0)
+          case 322 => tileW = vals(0)
+          case 323 => tileL = vals(0)
+          case 324 => tileOffs = vals
+          case 325 => tileCounts = vals
           case 339 => require(vals(0) == 1L, "TIFF: only unsigned-int samples supported")
           case _   => // photometric, resolution, … not needed
         }
@@ -370,62 +416,106 @@ object ImageSource {
         s"TIFF: compression $comp unsupported (1=none, 5=LZW, 8/32946=deflate, 32773=PackBits)")
       require(spp == 1L, "TIFF: only single-sample (grayscale) supported")
       require(bps == 8L || bps == 16L, s"TIFF: $bps bits/sample unsupported")
+      val tiled = tileOffs.nonEmpty
       require(pred == 1L || (pred == 2L && bps == 8L),
         s"TIFF: predictor $pred at $bps bps unsupported")
       val h = height.toInt; val w = width.toInt
-      val rowsPerStrip = math.min(rps, height).toInt
       val bytesPerPx = if (bps == 8L) 1 else 2
       val out = new Array[Byte](h * w * bytesPerPx)
-      var strip = 0
-      var row = 0
-      while (row < h) {
-        val rows = math.min(rowsPerStrip, h - row)
-        val expectedLen = rows * w * bytesPerPx
-        val off = stripOffs(strip).toInt
-        val sb: Array[Byte] = comp match {
-          case 1L =>
-            java.util.Arrays.copyOfRange(bytes, off, off + expectedLen)
-          case 5L =>
-            lzwDecode(java.util.Arrays.copyOfRange(bytes, off,
-              off + stripCounts(strip).toInt), expectedLen)
-          case 8L | 32946L =>
-            inflate(java.util.Arrays.copyOfRange(bytes, off,
-              off + stripCounts(strip).toInt), expectedLen)
-          case _ => // 32773 PackBits
-            packBitsDecode(java.util.Arrays.copyOfRange(bytes, off,
-              off + stripCounts(strip).toInt), expectedLen)
+
+      // one compressed segment (strip or tile) → raw bytes
+      def segment(off: Int, compLen: Int, expectedLen: Int): Array[Byte] = comp match {
+        case 1L =>
+          java.util.Arrays.copyOfRange(bytes, off, off + expectedLen)
+        case 5L =>
+          lzwDecode(java.util.Arrays.copyOfRange(bytes, off, off + compLen), expectedLen)
+        case 8L | 32946L =>
+          inflate(java.util.Arrays.copyOfRange(bytes, off, off + compLen), expectedLen)
+        case _ => // 32773 PackBits
+          packBitsDecode(java.util.Arrays.copyOfRange(bytes, off, off + compLen), expectedLen)
+      }
+      // horizontal differencing over a segment of row width `sw`
+      def undiff(sb: Array[Byte], rows: Int, sw: Int): Unit = {
+        var r = 0
+        while (r < rows) {
+          var cpos = 1
+          while (cpos < sw) {
+            sb(r * sw + cpos) = (sb(r * sw + cpos) + sb(r * sw + cpos - 1)).toByte
+            cpos += 1
+          }
+          r += 1
         }
-        if (pred == 2L) {
-          // horizontal differencing: each sample is a delta from the left
-          var r = 0
-          while (r < rows) {
-            var cpos = 1
-            while (cpos < w) {
-              sb(r * w + cpos) = (sb(r * w + cpos) + sb(r * w + cpos - 1)).toByte
-              cpos += 1
+      }
+
+      if (tiled) {
+        require(tileW > 0 && tileL > 0, "TIFF: tiled page missing TileWidth/TileLength")
+        val tw = tileW.toInt; val tl = tileL.toInt
+        val tilesAcross = (w + tw - 1) / tw
+        val tilesDown = (h + tl - 1) / tl
+        require(tileOffs.length >= tilesAcross * tilesDown,
+          s"TIFF: ${tileOffs.length} tiles < expected ${tilesAcross * tilesDown}")
+        val expectedLen = tw * tl * bytesPerPx // tiles are always full-size padded
+        var ty = 0
+        while (ty < tilesDown) {
+          var tx = 0
+          while (tx < tilesAcross) {
+            val idx = ty * tilesAcross + tx
+            val sb = segment(asIdx(tileOffs(idx), "tile"),
+              if (tileCounts.nonEmpty) tileCounts(idx).toInt else expectedLen, expectedLen)
+            if (pred == 2L) undiff(sb, tl, tw)
+            val rows = math.min(tl, h - ty * tl)
+            val cols = math.min(tw, w - tx * tw)
+            var r = 0
+            while (r < rows) {
+              val dstBase = (ty * tl + r) * w + tx * tw
+              if (bps == 8L)
+                System.arraycopy(sb, r * tw, out, dstBase, cols)
+              else {
+                var c = 0
+                while (c < cols) {
+                  val v = tU16(sb, (r * tw + c) * 2, le)
+                  out(2 * (dstBase + c)) = (v & 0xff).toByte
+                  out(2 * (dstBase + c) + 1) = ((v >> 8) & 0xff).toByte
+                  c += 1
+                }
+              }
+              r += 1
             }
-            r += 1
+            tx += 1
           }
+          ty += 1
         }
-        if (bps == 8L)
-          System.arraycopy(sb, 0, out, row * w, rows * w)
-        else {
-          var i = row * w
-          var p = 0
-          val end = (row + rows) * w
-          while (i < end) {
-            val v = tU16(sb, p, le)
-            out(2 * i) = (v & 0xff).toByte
-            out(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            p += 2
-            i += 1
+      } else {
+        val rowsPerStrip = math.min(rps, height).toInt
+        var strip = 0
+        var row = 0
+        while (row < h) {
+          val rows = math.min(rowsPerStrip, h - row)
+          val expectedLen = rows * w * bytesPerPx
+          val sb = segment(asIdx(stripOffs(strip), "strip"),
+            if (stripCounts.nonEmpty) stripCounts(strip).toInt else expectedLen, expectedLen)
+          if (pred == 2L) undiff(sb, rows, w)
+          if (bps == 8L)
+            System.arraycopy(sb, 0, out, row * w, rows * w)
+          else {
+            var i = row * w
+            var p = 0
+            val end = (row + rows) * w
+            while (i < end) {
+              val v = tU16(sb, p, le)
+              out(2 * i) = (v & 0xff).toByte
+              out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              p += 2
+              i += 1
+            }
           }
+          row += rows
+          strip += 1
         }
-        row += rows
-        strip += 1
       }
       frames += ((h, w, if (bps == 8L) DType.U8.name else DType.U16.name, out))
-      ifd = tU32(bytes, ifd + 2 + 12 * n, le).toInt
+      val next = entriesStart + entrySize * n
+      ifd = asIdx(if (big) tU64(bytes, next, le) else tU32(bytes, next, le), "IFD")
     }
     frames.toSeq
   }
@@ -658,6 +748,142 @@ object ImageSource {
 
   private[graft] def encodeTiff(h: Int, w: Int, px: Array[Double]): Array[Byte] =
     encodeTiffPages(Seq((h, w, px)))
+
+  /** Fixture encoder for the BigTIFF / tiled decode gates: little-endian
+    * grayscale pages, classic or BigTIFF header, strip- or tile-organized,
+    * 8- or 16-bit, uncompressed/LZW/deflate/PackBits. BigTIFF files carry
+    * 8-byte IFD counts, 20-byte entries, LONG8 (type 16) offset arrays and
+    * 8-byte next-IFD pointers so the magic-43 layout is genuinely
+    * exercised; tile arrays longer than the inline value field go to an
+    * external value area, exercising the offset-indirection path too. */
+  private[graft] def encodeTiffPages2(pages: Seq[(Int, Int, Array[Double])],
+      comp: Int = 1, big: Boolean = false, tile: Option[(Int, Int)] = None,
+      bps: Int = 8): Array[Byte] = {
+    require(bps == 8 || bps == 16, s"encodeTiffPages2: bps $bps")
+    val bpp = bps / 8
+    val maxV = (1L << bps) - 1
+    def rawOf(h: Int, w: Int, px: Array[Double], y0: Int, x0: Int,
+        sh: Int, sw: Int): Array[Byte] = {
+      // a padded (sh × sw) window of the page at (y0, x0); LE samples
+      val out = new Array[Byte](sh * sw * bpp)
+      for (r <- 0 until math.min(sh, h - y0); c <- 0 until math.min(sw, w - x0)) {
+        val v = math.max(0L, math.min(maxV, math.round(px((y0 + r) * w + x0 + c)))).toInt
+        if (bps == 8) out(r * sw + c) = v.toByte
+        else {
+          out(2 * (r * sw + c)) = (v & 0xff).toByte
+          out(2 * (r * sw + c) + 1) = ((v >> 8) & 0xff).toByte
+        }
+      }
+      out
+    }
+    def compress(raw: Array[Byte]): Array[Byte] = comp match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 8 =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      case 32773 => packBitsEncode(raw)
+      case other => throw new IllegalArgumentException(s"encodeTiffPages2: compression $other")
+    }
+    // per page: the compressed segments (1 strip, or the padded tile grid)
+    val pageSegs: Seq[IndexedSeq[Array[Byte]]] = pages.map { case (h, w, px) =>
+      tile match {
+        case None => IndexedSeq(compress(rawOf(h, w, px, 0, 0, h, w)))
+        case Some((tw, tl)) =>
+          for (ty <- 0 until (h + tl - 1) / tl; tx <- 0 until (w + tw - 1) / tw)
+            yield compress(rawOf(h, w, px, ty * tl, tx * tw, tl, tw))
+      }
+    }
+    // entry = (tag, typ, values); typ 3=SHORT, 4=LONG, 16=LONG8
+    def entriesOf(p: Int): Seq[(Int, Int, Array[Long])] = {
+      val (h, w, _) = pages(p)
+      val offTyp = if (big) 16 else 4
+      val segLens = pageSegs(p).map(_.length.toLong).toArray
+      val common = Seq(
+        (256, 4, Array(w.toLong)), (257, 4, Array(h.toLong)),
+        (258, 3, Array(bps.toLong)), (259, 3, Array(comp.toLong)),
+        (262, 3, Array(1L)))
+      tile match {
+        case None => common ++ Seq(
+          (273, offTyp, Array(0L)), // patched to segment offsets at emit
+          (277, 3, Array(1L)), (278, 4, Array(h.toLong)),
+          (279, 4, segLens))
+        case Some((tw, tl)) => common ++ Seq(
+          (277, 3, Array(1L)),
+          (322, 4, Array(tw.toLong)), (323, 4, Array(tl.toLong)),
+          (324, offTyp, Array.fill(segLens.length)(0L)), // patched at emit
+          (325, 4, segLens))
+      }
+    }
+    val headerSize = if (big) 16 else 8
+    val entrySize = if (big) 20 else 12
+    val countSize = if (big) 8 else 2
+    val nextSize = if (big) 8 else 4
+    val inlineCap = if (big) 8 else 4
+    def szOf(typ: Int) = typ match { case 3 => 2; case 4 => 4; case _ => 8 }
+    // layout pass: per page [segments][external values][IFD]
+    var off = headerSize.toLong
+    val segBase = new Array[Long](pages.length)
+    val extBase = new Array[Long](pages.length)
+    val ifdOff = new Array[Long](pages.length)
+    for (p <- pages.indices) {
+      segBase(p) = off; off += pageSegs(p).map(_.length.toLong).sum
+      extBase(p) = off
+      off += entriesOf(p).map { case (_, typ, vs) =>
+        val sz = szOf(typ) * vs.length
+        if (sz > inlineCap) sz.toLong else 0L
+      }.sum
+      ifdOff(p) = off
+      off += countSize + entriesOf(p).length * entrySize + nextSize
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Long): Unit = { bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt) }
+    def u32(v: Long): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32((v >> 32) & 0xffffffffL) }
+    def uN(v: Long, sz: Int): Unit = sz match {
+      case 2 => u16(v); case 4 => u32(v); case _ => u64(v)
+    }
+    bos.write('I'); bos.write('I')
+    if (big) { u16(43); u16(8); u16(0); u64(ifdOff(0)) }
+    else { u16(42); u32(ifdOff(0)) }
+    for (p <- pages.indices) {
+      pageSegs(p).foreach(bos.write)
+      // patch the segment-offset entry values now the layout is fixed
+      val segOffs = pageSegs(p).scanLeft(segBase(p))(_ + _.length).init.toArray
+      val entries = entriesOf(p).map {
+        case (tag, typ, _) if tag == 273 || tag == 324 => (tag, typ, segOffs)
+        case e => e
+      }
+      // external value area (same order as the entries referencing it)
+      var ext = extBase(p)
+      val extOffs = entries.map { case (_, typ, vs) =>
+        val sz = szOf(typ) * vs.length
+        if (sz > inlineCap) { val o = ext; ext += sz; o } else -1L
+      }
+      for (((_, typ, vs), eo) <- entries.zip(extOffs) if eo >= 0)
+        vs.foreach(uN(_, szOf(typ)))
+      // the IFD
+      uN(entries.length.toLong, countSize)
+      for (((tag, typ, vs), eo) <- entries.zip(extOffs)) {
+        u16(tag.toLong); u16(typ.toLong)
+        uN(vs.length.toLong, if (big) 8 else 4)
+        if (eo >= 0) uN(eo, if (big) 8 else 4)
+        else {
+          val sz = szOf(typ)
+          vs.foreach(uN(_, sz))
+          var pad = inlineCap - sz * vs.length
+          while (pad > 0) { bos.write(0); pad -= 1 }
+        }
+      }
+      uN(if (p + 1 < pages.length) ifdOff(p + 1) else 0L, nextSize)
+    }
+    val out = bos.toByteArray
+    assert(out.length.toLong == off, s"encodeTiffPages2 layout drift: ${out.length} vs $off")
+    out
+  }
 
   /** Encode a 2-d array as binary PGM (test/round-trip support). */
   private[graft] def encodePgm(h: Int, w: Int, px: Array[Double]): Array[Byte] = {

@@ -199,6 +199,54 @@ class ImageSourceSpec extends SparkSpec {
     assert(graft.tensor.DType.U16.decode(payload).toSeq == px.map(_.toDouble))
   }
 
+  test("BigTIFF: magic-43 multi-page strips decode identically to classic") {
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(11 * 13)(i => ((i * 31 + f * 97) % 256).toDouble))
+    val pages = frames.map(p => (11, 13, p))
+    for (comp <- Seq(1, 5, 8, 32773)) {
+      val classic = ImageSource.decodeTiffTyped(
+        ImageSource.encodeTiffPages2(pages, comp = comp, big = false))
+      val big = ImageSource.decodeTiffTyped(
+        ImageSource.encodeTiffPages2(pages, comp = comp, big = true))
+      assert(big.length == 3 && classic.length == 3, s"comp=$comp page count")
+      for (f <- 0 until 3) {
+        assert(big(f)._1 == 11 && big(f)._2 == 13 && big(f)._3 == "uint8")
+        assert(big(f)._4.sameElements(classic(f)._4),
+          s"comp=$comp frame $f: BigTIFF bytes diverge from classic")
+        assert(big(f)._4.sameElements(frames(f).map(_.toInt.toByte)),
+          s"comp=$comp frame $f: decode != source pixels")
+      }
+    }
+    // page-count walk handles the 8-byte IFD chain too
+    assert(ImageSource.tiffPageCount(
+      ImageSource.encodeTiffPages2(pages, big = true)) == 3L)
+  }
+
+  test("tiled TIFF: padded edge tiles reassemble byte-exactly, 8- and 16-bit") {
+    val h = 23; val w = 17 // prime-ish: 10×8 tiles pad on both axes
+    val px8 = Array.tabulate(h * w)(i => ((i * 7) % 256).toDouble)
+    val px16 = Array.tabulate(h * w)(i => ((i * 523) % 65536).toDouble)
+    for (comp <- Seq(1, 5, 8, 32773); big <- Seq(false, true)) {
+      val Seq((th, tw, dt, pay)) = ImageSource.decodeTiffTyped(
+        ImageSource.encodeTiffPages2(Seq((h, w, px8)), comp = comp,
+          big = big, tile = Some((8, 10))))
+      assert(th == h && tw == w && dt == "uint8", s"comp=$comp big=$big")
+      assert(DType.U8.decode(pay).toSeq == px8.toSeq,
+        s"comp=$comp big=$big: tiled uint8 reassembly mismatch")
+    }
+    val Seq((_, _, dt16, pay16)) = ImageSource.decodeTiffTyped(
+      ImageSource.encodeTiffPages2(Seq((h, w, px16)), comp = 8,
+        big = true, tile = Some((8, 10)), bps = 16))
+    assert(dt16 == "uint16")
+    assert(DType.U16.decode(pay16).toSeq == px16.toSeq,
+      "tiled uint16 reassembly mismatch")
+    // tile grid that divides exactly (no padding) also round-trips
+    val Seq((_, _, _, payEx)) = ImageSource.decodeTiffTyped(
+      ImageSource.encodeTiffPages2(Seq((24, 16, px8.take(24 * 16))),
+        comp = 5, big = false, tile = Some((8, 8))))
+    assert(DType.U8.decode(payEx).toSeq == px8.take(24 * 16).toSeq)
+  }
+
   test("typed grayscale imread: native byte payloads through the stacking shuffle") {
     val dir = Files.createTempDirectory("graft_typed_gray").toFile
     dir.deleteOnExit()
