@@ -600,10 +600,14 @@ object TensorQueries {
 
   /** fourier_gaussian over the raster treated as an (already-FFT'd)
     * spectrum — elementwise transfer function of global frequencies;
-    * real input ⇒ real output. */
+    * real input ⇒ real output. Runs the TYPED complex128 path (native
+    * f64-pair payloads, dtype recorded — r10): the kernel math is
+    * bit-identical to the float64 Block path, so the oracle is
+    * unchanged; InterpFourierSpec pins the two paths equal. */
   val tensorFourierGaussian: Q = (s, dir) => {
-    val cx = Fourier.fourierGaussian(
-      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(2.0, 2.0))
+    val cx = graft.tensor.TBlock.toBlocks(Fourier.fourierGaussianTyped(
+      Fourier.toComplexTyped(Images.eventsRaster(s, dir), graft.tensor.DType.C128),
+      Seq(2.0, 2.0)))
     Images.toPixels(cx)
       .filter(col("j") % 2 === 0)
       .select(col("i"), (col("j") / 2).cast("int").as("j"), round(col("v"), 4).as("v"))
@@ -617,10 +621,12 @@ object TensorQueries {
        |   4 * ${freq("j", 64)} * ${freq("j", 64)})), 4) AS v
        |FROM grid ORDER BY i, j""".stripMargin
 
-  /** fourier_shift — complex phase ramp; emits (re, im) per pixel. */
+  /** fourier_shift — complex phase ramp; emits (re, im) per pixel.
+    * Typed complex128 path (see tensorFourierGaussian). */
   val tensorFourierShift: Q = (s, dir) => {
-    val cx = Fourier.fourierShift(
-      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(1.5, -0.5))
+    val cx = graft.tensor.TBlock.toBlocks(Fourier.fourierShiftTyped(
+      Fourier.toComplexTyped(Images.eventsRaster(s, dir), graft.tensor.DType.C128),
+      Seq(1.5, -0.5)))
     val px = Images.toPixels(cx)
     val re = px.filter(col("j") % 2 === 0)
       .select(col("i"), (col("j") / 2).cast("int").as("j"),
@@ -641,10 +647,12 @@ object TensorQueries {
        |FROM grid ORDER BY i, j""".stripMargin
 
   // ------------------------------------------------------ fourier_uniform
-  /** fourier_uniform(size=(3,3)) — Π sinc(size·f) box spectrum. */
+  /** fourier_uniform(size=(3,3)) — Π sinc(size·f) box spectrum.
+    * Typed complex128 path (see tensorFourierGaussian). */
   val tensorFourierUniform: Q = (s, dir) => {
-    val cx = Fourier.fourierUniform(
-      Fourier.toComplex(Images.eventsRaster(s, dir)), Seq(3.0, 3.0))
+    val cx = graft.tensor.TBlock.toBlocks(Fourier.fourierUniformTyped(
+      Fourier.toComplexTyped(Images.eventsRaster(s, dir), graft.tensor.DType.C128),
+      Seq(3.0, 3.0)))
     Images.toPixels(cx)
       .filter(col("j") % 2 === 0)
       .select(col("i"), (col("j") / 2).cast("int").as("j"),
@@ -660,6 +668,30 @@ object TensorQueries {
        |  (CASE WHEN j = 0 THEN 1.0
        |        ELSE sin(3 * pi() * ${freq("j", 64)}) / (3 * pi() * ${freq("j", 64)}) END),
        |  4) + 0 AS v
+       |FROM grid ORDER BY i, j""".stripMargin
+
+  /** complex64 spectrum path — the HALF-WIDTH wire format (8 B per
+    * complex pixel, f32 components; ImageSourceSpec-style byte pin in
+    * TensorSpec). No decimal rounding: the oracle emulates the exact
+    * f32 arithmetic — input components quantize to REAL on lift (NumPy
+    * astype(complex64) semantics, round-to-nearest-even), the transfer
+    * multiply runs in double, the result rounds back to REAL and widens
+    * to DOUBLE — so both engines emit bit-identical doubles. */
+  val tensorFourierC64: Q = (s, dir) => {
+    val cx = graft.tensor.TBlock.toBlocks(Fourier.fourierGaussianTyped(
+      Fourier.toComplexTyped(Images.eventsRaster(s, dir), graft.tensor.DType.C64),
+      Seq(2.0, 2.0)))
+    Images.toPixels(cx)
+      .filter(col("j") % 2 === 0)
+      .select(col("i"), (col("j") / 2).cast("int").as("j"), col("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorFourierC64Sql: String =
+    s"""WITH $gridCte
+       |SELECT i, j, CAST(CAST(CAST(v AS REAL) * exp(-2 * pi() * pi() *
+       |  (4 * ${freq("i", 48)} * ${freq("i", 48)} +
+       |   4 * ${freq("j", 64)} * ${freq("j", 64)})) AS REAL) AS DOUBLE) AS v
        |FROM grid ORDER BY i, j""".stripMargin
 
   // ------------------------------------------------------ spline filters
@@ -1083,6 +1115,7 @@ object TensorQueries {
     "tensor_label_i32_store" -> tensorLabelI32Store,
     "tensor_find_objects" -> tensorFindObjects,
     "tensor_fourier_gaussian" -> tensorFourierGaussian,
+    "tensor_fourier_c64" -> tensorFourierC64,
     "tensor_fourier_shift" -> tensorFourierShift,
     "tensor_affine_shift" -> tensorAffineShift,
     "tensor_rotate90" -> tensorRotate90,
@@ -1112,6 +1145,7 @@ object TensorQueries {
     "tensor_percentile30" -> tensorPercentile30Sql,
     "tensor_generic_range" -> tensorGenericRangeSql,
     "tensor_fourier_gaussian" -> tensorFourierGaussianSql,
+    "tensor_fourier_c64" -> tensorFourierC64Sql,
     "tensor_fourier_shift" -> tensorFourierShiftSql,
     "tensor_affine_shift" -> tensorAffineShiftSql,
     "tensor_rotate90" -> tensorRotate90Sql,

@@ -168,6 +168,25 @@ object DType {
     }
   }
 
+  /** Complex dtypes are COMPONENT codecs: a complex array rides the
+    * engine's interleaved convention (last axis doubled, [re, im] pairs —
+    * see [[graft.tensor.Fourier]]), so the element index space of a
+    * complex payload is the COMPONENT space and `bytes` is the component
+    * width. complex64 packs f32 pairs (8 B per complex pixel — half the
+    * 16 B the interleaved-f64 path puts on the wire), complex128 packs
+    * f64 pairs. The dtype TAG is what distinguishes a complex64 payload
+    * from a float32 one: stores and kernels that care about complex
+    * semantics dispatch on the name, everything byte-level (halo, BNd,
+    * TensorStore) just sees fixed-width components. */
+  case object C64 extends DType("complex64", 4) {
+    def read(d: Array[Byte], i: Int): Double = F32.read(d, i)
+    def write(d: Array[Byte], i: Int, v: Double): Unit = F32.write(d, i, v)
+  }
+  case object C128 extends DType("complex128", 8) {
+    def read(d: Array[Byte], i: Int): Double = F64.read(d, i)
+    def write(d: Array[Byte], i: Int, v: Double): Unit = F64.write(d, i, v)
+  }
+
   @inline private def readI32(d: Array[Byte], i: Int): Int =
     (d(4 * i) & 0xff) | ((d(4 * i + 1) & 0xff) << 8) |
       ((d(4 * i + 2) & 0xff) << 16) | (d(4 * i + 3) << 24)
@@ -176,7 +195,7 @@ object DType {
     d(4 * i + 2) = ((v >> 16) & 0xff).toByte; d(4 * i + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, U32, I64, F16, F32, F64)
+  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, U32, I64, F16, F32, F64, C64, C128)
   def of(name: String): DType = all.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(s"unknown dtype: $name"))
 }

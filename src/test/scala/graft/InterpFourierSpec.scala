@@ -239,6 +239,51 @@ class InterpFourierSpec extends SparkSpec {
     }
   }
 
+  test("typed complex spectra: c128 equals the float path exactly, c64 is 8 B/px and stores round-trip") {
+    val ds = Grid.blockify(spark, "cx", img, Seq(7, 12))
+    // c128 path: identical double math → bit-exact vs the float64 path
+    for ((label, f64Op, typedOp) <- Seq[(String,
+        org.apache.spark.sql.Dataset[Block] => org.apache.spark.sql.Dataset[Block],
+        org.apache.spark.sql.Dataset[TBlock] => org.apache.spark.sql.Dataset[TBlock])](
+      ("gaussian", Fourier.fourierGaussian(_, Seq(1.5, 0.8)),
+        Fourier.fourierGaussianTyped(_, Seq(1.5, 0.8))),
+      ("shift", Fourier.fourierShift(_, Seq(0.5, -1.25)),
+        Fourier.fourierShiftTyped(_, Seq(0.5, -1.25))),
+      ("uniform", Fourier.fourierUniform(_, Seq(3.0, 2.0)),
+        Fourier.fourierUniformTyped(_, Seq(3.0, 2.0))))) {
+      val want = Grid.unblockify(f64Op(Fourier.toComplex(ds)))
+      val got = Grid.unblockify(TBlock.toBlocks(
+        typedOp(Fourier.toComplexTyped(ds, DType.C128))))
+      assert(got.data.sameElements(want.data), s"c128 $label diverges from float64 path")
+    }
+    // byte-width pin: c64 payload carries 8 B per complex pixel, c128 16
+    val c64Blocks = Fourier.fourierGaussianTyped(
+      Fourier.toComplexTyped(ds, DType.C64), Seq(1.5, 0.8)).collect()
+    for (b <- c64Blocks) {
+      val complexPx = b.shape.product / 2
+      assert(b.dtype == "complex64" && b.data.length == 8 * complexPx,
+        s"c64 block must pack 8 B/px: ${b.data.length} for $complexPx px")
+    }
+    // c64 == float path rounded through f32 components (astype semantics)
+    val wantC64 = Grid.unblockify(Fourier.fourierGaussian(
+      Fourier.toComplex(TBlock.toBlocks(TBlock.fromBlocks(ds, DType.F32))),
+      Seq(1.5, 0.8))).data.map(_.toFloat.toDouble)
+    val gotC64 = Grid.unblockify(TBlock.toBlocks(Fourier.fourierGaussianTyped(
+      Fourier.toComplexTyped(ds, DType.C64), Seq(1.5, 0.8)))).data
+    assert(gotC64.sameElements(wantC64), "c64 != f32-quantized float path")
+    // TensorStore round-trips the complex dtype tag and payload
+    val dir = java.nio.file.Files.createTempDirectory("graft_c64_store").toString
+    val spec = Fourier.toComplexTyped(ds, DType.C64)
+    graft.sources.TensorStore.writeTyped(spec, dir)
+    val back = graft.sources.TensorStore.readTyped(spark, dir).collect()
+      .map(b => (b.idx, b)).toMap
+    for (b <- spec.collect()) {
+      val r = back(b.idx)
+      assert(r.dtype == "complex64" && r.data.sameElements(b.data),
+        s"c64 store round-trip mismatch at ${b.idx}")
+    }
+  }
+
   test("affine needs table: distributed build equals the driver-side twin") {
     // rotation+scale+shift over a non-square geometry with outputShape
     // differing from inShape, both margin regimes (order<2 and order>=2)

@@ -145,8 +145,8 @@ class TensorSpec extends SparkSpec {
         case DType.I64 => vals.map(v => math.round(v).toDouble)
         case DType.F16 => vals.map(v => // half is a PROJECTION: settle once
           DType.F16.decode(DType.F16.encode(Array(v)))(0))
-        case DType.F32 => vals.map(_.toFloat.toDouble)
-        case DType.F64 => vals
+        case DType.F32 | DType.C64 => vals.map(_.toFloat.toDouble)
+        case DType.F64 | DType.C128 => vals
       }
       val rt = dt.decode(dt.encode(in))
       assert(rt.sameElements(in), s"${dt.name} round-trip: ${rt.toSeq} vs ${in.toSeq}")
