@@ -85,6 +85,39 @@ class GraphCCSpec extends SparkSpec {
     }
   }
 
+  test("hub stress: 1e6-edge hub-heavy graph — both kernels correct; rounds/wall compared") {
+    // 1000 hubs × 990 spokes (degree ~991) + a hub chain = one component
+    // of 10^6 edges rooted at node 0 — the skew shape that separates the
+    // kernels: minlabel re-shuffles each hub's full neighbor list every
+    // round, stars folds it into one map-side partial min per task.
+    import spark.implicits._
+    val spokes = spark.range(1000L * 990L).select(
+      (org.apache.spark.sql.functions.col("id") / 990L).cast("long").as("a"),
+      (org.apache.spark.sql.functions.col("id") + 1000L).as("b"))
+    val chain = spark.range(999L).select(
+      org.apache.spark.sql.functions.col("id").as("a"),
+      (org.apache.spark.sql.functions.col("id") + 1L).as("b"))
+    val edges = spokes.union(chain)
+    def run(label: String, f: => (org.apache.spark.sql.DataFrame, Int)): (Long, Int, Double) = {
+      val t0 = System.nanoTime()
+      val (comp, rounds) = f
+      val wrong = comp.filter(org.apache.spark.sql.functions.col("comp") =!= 0L).count()
+      val n = comp.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(wrong == 0, s"$label: nodes outside component 0")
+      (n, rounds, wall)
+    }
+    val (nS, rS, wS) = run("stars", graft.plans.GraphCC.componentsStarsCounted(edges))
+    val (nM, rM, wM) = run("minlabel", graft.plans.GraphCC.componentsMinLabelCounted(edges))
+    assert(nS == 1000L * 990L + 1000L && nM == nS, s"node count $nS vs $nM")
+    // the chain of hubs has diameter ~1000 but pointer doubling halves it
+    // each round; stars contracts hubs immediately — both must stay well
+    // under the 60-round guard
+    assert(rS < 30 && rM < 30, s"rounds stars=$rS minlabel=$rM")
+    info(f"hub stress 1e6 edges: stars rounds=$rS wall=$wS%.1f s; " +
+      f"minlabel rounds=$rM wall=$wM%.1f s")
+  }
+
   test("components() dispatches on graft.cc.algorithm") {
     val edges = Seq(5L -> 6L, 6L -> 7L)
     spark.conf.set("graft.cc.algorithm", "stars")
