@@ -173,6 +173,100 @@ object Bench {
     }
     val (rawResults, floorSamples) = best
     val results = reprobeSpikes(rawResults)
+
+    // ---------------------------------------------- tensor headline group
+    // (BASELINE.md "Tensor kernels"): four kernels over a deterministic
+    // 1024×1024 synthetic in 8 chunks (256×512) vs the SAME kernel over
+    // the single-block layout. No DuckDB twin exists for the tensor path,
+    // so the baseline is the no-halo single-block run: the multi/single
+    // ratio bounds the halo-exchange + merge tax (plus the win from 8-way
+    // parallelism — a ratio < 1 means the parallelism pays for the halo).
+    // Timing mirrors the relational group: one warm-up, median of 3.
+    // Shuffle width is lifted to the block count for this group — the
+    // relational width (1 at sf0.1) would serialize the 8-task exchange.
+    val tensorOn = sys.env.getOrElse("SPARK_GRAFT_TENSOR", "1") == "1"
+    var tensorJson = ""
+    if (tensorOn) {
+      import spark.implicits._
+      import graft.tensor._
+      val H = 1024; val W = 1024
+      def synth(chunk: Seq[Int], id: String): org.apache.spark.sql.Dataset[Block] = {
+        val gh = (H + chunk(0) - 1) / chunk(0)
+        val gw = (W + chunk(1) - 1) / chunk(1)
+        val (ch, cw) = (chunk(0), chunk(1))
+        spark.range(gh.toLong * gw).map { cell =>
+          val bi = (cell / gw).toInt; val bj = (cell % gw).toInt
+          val oi = bi * ch; val oj = bj * cw
+          val h = math.min(ch, H - oi); val w = math.min(cw, W - oj)
+          val data = new Array[Double](h * w)
+          var i = 0
+          while (i < h) {
+            var j = 0
+            while (j < w) {
+              val gi = oi + i; val gj = oj + j
+              data(i * w + j) =
+                (((gi * 1315423911L + gj * 2654435761L) >>> 7) % 256L).toDouble
+              j += 1
+            }
+            i += 1
+          }
+          Block(id, Seq(bi, bj), Seq(oi, oj), Seq(h, w), chunk, Seq(H, W), data)
+        }
+      }
+      def force(ds: org.apache.spark.sql.Dataset[Block]): Unit = {
+        ds.map(_.data.length.toLong).reduce(_ + _); ()
+      }
+      def forceT(ds: org.apache.spark.sql.Dataset[TBlock]): Unit = {
+        ds.map(_.data.length.toLong).reduce(_ + _); ()
+      }
+      def tOnce(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def tMed(f: => Unit): Double = {
+        f; Seq(tOnce(f), tOnce(f), tOnce(f)).sorted.apply(1)
+      }
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(cpus.toInt, 8).toString)
+      val persistLvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      def binarize(ds: org.apache.spark.sql.Dataset[Block]) =
+        Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
+      val variants = Seq(
+        "multi" -> Seq(256, 512),
+        "single" -> Seq(1024, 1024)).toMap
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+      for ((vname, chunk) <- Seq("multi" -> variants("multi"), "single" -> variants("single"))) {
+        val base = synth(chunk, s"bench_$vname").persist(persistLvl)
+        force(base)
+        val u8 = TBlock.fromBlocks(base, DType.U8).persist(persistLvl)
+        forceT(u8)
+        val bin = binarize(base).persist(persistLvl)
+        force(bin)
+        val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+        val off = Array(0.5, -0.25)
+        times(vname) = scala.collection.immutable.ListMap(
+          // σ=0.5, truncate=4 → radius 2: the 5×5 gaussian
+          "gaussian5" -> tMed(force(Filters.gaussianFilter(base, Seq(0.5, 0.5)))),
+          "uniform3_u8" -> tMed(forceT(
+            Filters.uniformFilterTyped(u8, Seq(3, 3), DType.F32))),
+          "label_stats" -> tMed {
+            val (lab, _) = Measure.label(bin, 2)
+            Measure.area(bin, lab, 2).count(); ()
+          },
+          "affine_shift" -> tMed(force(
+            Interp.affineTransform(base, 2, m, off, order = 1))))
+        base.unpersist(); u8.unpersist(); bin.unpersist()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def grp(m: Map[String, Double]) =
+        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ratios = times("multi").map { case (k, v) =>
+        k -> v / math.max(times("single")(k), 1e-9)
+      }
+      tensorJson = s""","tensor":${grp(times("multi"))}""" +
+        s""","tensor_single":${grp(times("single"))}""" +
+        s""","tensor_ratio":${grp(ratios)}"""
+    }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -189,7 +283,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
