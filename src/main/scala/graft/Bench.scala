@@ -18,6 +18,15 @@ object Bench {
     "string_funcs", "date_trunc_agg", "json_extract", "tumbling_window",
     "session_gap", "exact_dedup_docs", "doc_token_stats", "cosine_topk")
 
+  /** The LLM-pipeline headliners (BASELINE.md sf1 appendix, round 10):
+    * dedup and packing ARE the 100 TB workload, so they get their own
+    * benched group — separate from `headline` to keep the relational
+    * total comparable round-over-round. Same protocol; the DuckDB twin
+    * runs the same keys' oracle SQL (tools/bench_duckdb.py --llm). */
+  val llmHeadline: Seq[String] = Seq(
+    "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
+    "pack_sequences", "shuffle_shards")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,6 +183,25 @@ object Bench {
     val (rawResults, floorSamples) = best
     val results = reprobeSpikes(rawResults)
 
+    // ------------------------------------------------ LLM-pipeline group
+    // Same per-query protocol as the main pass (warm-ups then median of
+    // 3, spike re-probe), separate total so the 16-key relational
+    // continuity artifact is untouched. No interleaved floor probes: the
+    // group rides the main pass's contention verdict (it runs seconds
+    // after it, same process).
+    val llmOn = sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1"
+    var llmJson = ""
+    if (llmOn) {
+      val llmRaw = llmHeadline.filter(qs.contains).map { name =>
+        (1 to warmups).foreach(_ => queryOnce(name))
+        name -> queryMedian3(name)
+      }
+      val llm = reprobeSpikes(llmRaw)
+      val lj = llm.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      llmJson = s""","llm":$lj,"llm_total":${llm.map(_._2).sum}"""
+    }
+
     // ---------------------------------------------- tensor headline group
     // (BASELINE.md "Tensor kernels"): four kernels over a deterministic
     // 1024×1024 synthetic in 8 chunks (256×512) vs the SAME kernel over
@@ -283,7 +311,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$tensorJson,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$llmJson$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,18 @@ HEADLINE = [
     "session_gap", "exact_dedup_docs", "doc_token_stats", "cosine_topk",
 ]
 
-sf_dir, oracle_path = sys.argv[1], sys.argv[2]
-threads = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+# The LLM-pipeline headliners (graft.Bench.llmHeadline twin): benched as a
+# separate group with its own total so the 16-key baseline stays
+# comparable across rounds. Enabled with --llm (anywhere in argv).
+LLM = [
+    "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
+    "pack_sequences", "shuffle_shards",
+]
+
+args = [a for a in sys.argv[1:] if a != "--llm"]
+run_llm = "--llm" in sys.argv
+sf_dir, oracle_path = args[0], args[1]
+threads = int(args[2]) if len(args) > 2 else 4
 oracle = json.load(open(oracle_path))
 
 con = duckdb.connect()
@@ -49,18 +59,26 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-results = {}
-for name in HEADLINE:
-    sql = oracle[name]
-    con.execute(sql).fetchall()  # warm-up (OS cache + plan)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        times.append(time.perf_counter() - t0)
-    results[name] = statistics.median(times)
+def bench(names):
+    out = {}
+    for name in names:
+        sql = oracle[name]
+        con.execute(sql).fetchall()  # warm-up (OS cache + plan)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        out[name] = statistics.median(times)
+    return out
 
+results = bench(HEADLINE)
 total = sum(results.values())
 qjson = ",".join(f'"{k}":{v}' for k, v in results.items())
+llm_json = ""
+if run_llm:
+    llm = bench(LLM)
+    lq = ",".join(f'"{k}":{v}' for k, v in llm.items())
+    llm_json = f',"llm":{{{lq}}},"llm_total":{sum(llm.values())}'
 print(f'{{"metric":"duckdb_total","value":{total},"unit":"sec",'
-      f'"queries":{{{qjson}}},"threads":{threads},"sf":"{sf_dir}"}}')
+      f'"queries":{{{qjson}}}{llm_json},"threads":{threads},"sf":"{sf_dir}"}}')
