@@ -115,6 +115,31 @@ object Bench {
     def queryMedian3(name: String): Double =
       Seq(queryOnce(name), queryOnce(name), queryOnce(name)).sorted.apply(1)
 
+    // One-pass scale smoke (SURVEY §6, round 10 — the sf10 artifact):
+    // each headline key runs ONCE, reporting wall clock and peak driver
+    // heap. No warm-ups or medians — at GB scale a single pass is signal
+    // and 6 extra runs per key would stretch the smoke to tens of
+    // minutes. Run with SPARK_GRAFT_CACHE= (empty) so peak heap tracks
+    // driver-side METADATA (needs tables, relabel maps, plan state), not
+    // cached table storage: the row exists to catch metadata that grows
+    // with the data instead of the grid — flat heap sf1 → sf10 is the
+    // pass condition.
+    if (sys.env.contains("SPARK_GRAFT_ONEPASS")) {
+      import scala.jdk.CollectionConverters._
+      val t0 = System.nanoTime()
+      val res = headline.filter(qs.contains).map(n => n -> queryOnce(n))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val peakMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+      val qj = res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
+        s""""failed":$fj,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     /** One full measurement pass. Floor probes are INTERLEAVED between
       * query groups (before, every 4 queries, after) so a load spike that
       * inflates the queries inflates the floor samples too — the round-7
