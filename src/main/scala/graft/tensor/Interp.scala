@@ -70,107 +70,138 @@ object Interp {
         val rows = it.toSeq
         val n = rows.head._1
         val (m, off) = bcM.value
-        // sample from the shipped input blocks via a per-block lookup
-        val byIdx = rows.flatMap(r => Option(r._2)).map(b => b.idx -> b).toMap
-        def sample(g: Array[Int]): Double = {
-          var k = 0
-          var inside = true
-          while (k < ndim) {
-            if (g(k) < 0 || g(k) >= inShape(k)) inside = false
-            k += 1
-          }
-          if (!inside) return cval
-          val bIdx = (0 until ndim).map(k => g(k) / chunk(k))
-          byIdx.get(bIdx) match {
-            case None => cval // block not shipped → outside requested bbox
-            case Some(b) =>
-              val nd = Nd.of(b.shape.toArray, b.data)
-              val local = new Array[Int](ndim)
-              var j = 0
-              while (j < ndim) { local(j) = g(j) - b.origin(j); j += 1 }
-              nd(local)
+        // Allocation-free inner loop (r10 — the bench showed ~4 µs/px
+        // dominated by per-corner Seq keys, Map lookups and Nd wrappers):
+        // blocks key on a FLATTENED grid index, per-block strides are
+        // precomputed, and every per-pixel buffer (coords, weights,
+        // corner offsets) is hoisted to the group scope. Arithmetic
+        // order is IDENTICAL to the original form (same corner
+        // enumeration, same accumulation order) — results stay
+        // bit-exact (InterpFourierSpec equality pins).
+        val chunkA = chunk.toArray
+        val inShapeA = inShape.toArray
+        val inGrid = new Array[Int](ndim)
+        var kk = 0
+        while (kk < ndim) {
+          inGrid(kk) = (inShapeA(kk) + chunkA(kk) - 1) / chunkA(kk); kk += 1
+        }
+        // flattened block index → (origin, rowStrides, data)
+        val byLin = new java.util.HashMap[java.lang.Long, (Array[Int], Array[Int], Array[Double])]()
+        rows.foreach { r =>
+          val b = r._2
+          if (b != null) {
+            var lin = 0L
+            var k = 0
+            while (k < ndim) { lin = lin * inGrid(k) + b.idx(k); k += 1 }
+            val shapeA = b.shape.toArray
+            val strides = new Array[Int](ndim)
+            var acc = 1
+            var j = ndim - 1
+            while (j >= 0) { strides(j) = acc; acc *= shapeA(j); j -= 1 }
+            byLin.put(lin, (b.origin.toArray, strides, b.data))
           }
         }
+        def sample(g: Array[Int]): Double = {
+          var k = 0
+          while (k < ndim) {
+            if (g(k) < 0 || g(k) >= inShapeA(k)) return cval
+            k += 1
+          }
+          var lin = 0L
+          k = 0
+          while (k < ndim) { lin = lin * inGrid(k) + g(k) / chunkA(k); k += 1 }
+          val e = byLin.get(lin)
+          if (e == null) return cval // block not shipped → outside bbox
+          val (origin, strides, data) = e
+          var o = 0
+          k = 0
+          while (k < ndim) { o += (g(k) - origin(k)) * strides(k); k += 1 }
+          data(o)
+        }
+        // per-pixel work buffers, shared across the whole output block
+        val srcPos = new Array[Double](ndim)
+        val g = new Array[Int](ndim)
+        val base = new Array[Int](ndim)
+        val support =
+          if (order == 0) 1 else if (order == 3) 4
+          else if (order >= 2) order + 1 else 2
+        // corner enumeration hoisted: same Grid.cartesian order as the
+        // per-pixel form it replaces (last axis fastest)
+        val corners: Array[Array[Int]] =
+          if (order == 0) Array.empty
+          else Grid.cartesian(Seq.fill(ndim)(support)).map(_.toArray).toArray
+        val cornerShift = if (order == 3) -1 else 0
+        val wAxis = Array.ofDim[Double](ndim, support)
         val out = Nd.zeros(n.outShape.toArray)
         out.foreachCoord { c =>
-          val src = new Array[Double](ndim)
           var r = 0
           while (r < ndim) {
             var acc = off(r)
             var cc = 0
             while (cc < ndim) { acc += m(r)(cc) * (n.outOrigin(cc) + c(cc)); cc += 1 }
-            src(r) = acc
+            srcPos(r) = acc
             r += 1
           }
           out(c) =
             if (order == 0) {
               // scipy order-0: nearest via floor(x + 0.5)
-              val g = src.map(x => math.floor(x + 0.5).toInt)
+              var k = 0
+              while (k < ndim) { g(k) = math.floor(srcPos(k) + 0.5).toInt; k += 1 }
               sample(g)
-            } else if (order == 3) {
-              // cubic B-spline blend over the 4^d neighborhood of the
-              // prefiltered coefficients
-              val base = src.map(x => math.floor(x).toInt)
-              val wAxis = Array.tabulate(ndim) { k =>
-                val t = src(k) - base(k)
-                val t2 = t * t; val t3 = t2 * t
-                Array(
-                  (1 - 3 * t + 3 * t2 - t3) / 6.0, // offset −1: (1−t)³/6
-                  (3 * t3 - 6 * t2 + 4) / 6.0, // offset 0
-                  (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0, // offset 1
-                  t3 / 6.0) // offset 2
-              }
-              var acc = 0.0
-              Grid.cartesian(Seq.fill(ndim)(4)).foreach { offs4 =>
-                var w = 1.0
-                val g = new Array[Int](ndim)
+            } else {
+              if (order == 3) {
+                // cubic B-spline blend over the 4^d neighborhood of the
+                // prefiltered coefficients
                 var k = 0
                 while (k < ndim) {
-                  w *= wAxis(k)(offs4(k))
-                  g(k) = base(k) + offs4(k) - 1
+                  base(k) = math.floor(srcPos(k)).toInt
+                  val t = srcPos(k) - base(k)
+                  val t2 = t * t; val t3 = t2 * t
+                  wAxis(k)(0) = (1 - 3 * t + 3 * t2 - t3) / 6.0 // offset −1: (1−t)³/6
+                  wAxis(k)(1) = (3 * t3 - 6 * t2 + 4) / 6.0 // offset 0
+                  wAxis(k)(2) = (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0 // offset 1
+                  wAxis(k)(3) = t3 / 6.0 // offset 2
                   k += 1
                 }
-                if (w != 0.0) acc += w * sample(g)
-              }
-              acc
-            } else if (order >= 2) {
-              // general B-spline blend (orders 2, 4, 5): support = order+1
-              // points starting at scipy's start index — floor(x) − order/2
-              // for odd orders, floor(x + 0.5) − order/2 for even
-              val half = order / 2
-              val base = src.map(x =>
-                (if (order % 2 == 1) math.floor(x) else math.floor(x + 0.5)).toInt - half)
-              val wAxis = Array.tabulate(ndim) { k =>
-                Array.tabulate(order + 1)(t => bspline(order, src(k) - (base(k) + t)))
+              } else if (order >= 2) {
+                // general B-spline blend (orders 2, 4, 5): support =
+                // order+1 points starting at scipy's start index —
+                // floor(x) − order/2 odd, floor(x + 0.5) − order/2 even
+                val half = order / 2
+                var k = 0
+                while (k < ndim) {
+                  base(k) = (if (order % 2 == 1) math.floor(srcPos(k))
+                    else math.floor(srcPos(k) + 0.5)).toInt - half
+                  var t = 0
+                  while (t <= order) {
+                    wAxis(k)(t) = bspline(order, srcPos(k) - (base(k) + t)); t += 1
+                  }
+                  k += 1
+                }
+              } else {
+                // multilinear blend over the 2^d floor-corner cube
+                var k = 0
+                while (k < ndim) {
+                  base(k) = math.floor(srcPos(k)).toInt
+                  val frac = srcPos(k) - base(k)
+                  wAxis(k)(0) = 1.0 - frac
+                  wAxis(k)(1) = frac
+                  k += 1
+                }
               }
               var acc = 0.0
-              Grid.cartesian(Seq.fill(ndim)(order + 1)).foreach { offs =>
+              var ci = 0
+              while (ci < corners.length) {
+                val offs = corners(ci)
                 var w = 1.0
-                val g = new Array[Int](ndim)
                 var k = 0
                 while (k < ndim) {
                   w *= wAxis(k)(offs(k))
-                  g(k) = base(k) + offs(k)
+                  g(k) = base(k) + offs(k) + cornerShift
                   k += 1
                 }
                 if (w != 0.0) acc += w * sample(g)
-              }
-              acc
-            } else {
-              // multilinear blend over the 2^d floor-corner cube
-              val base = src.map(x => math.floor(x).toInt)
-              val frac = src.indices.map(k => src(k) - base(k))
-              var acc = 0.0
-              Grid.cartesian(Seq.fill(ndim)(2)).foreach { bits =>
-                var w = 1.0
-                val g = new Array[Int](ndim)
-                var k = 0
-                while (k < ndim) {
-                  w *= (if (bits(k) == 1) frac(k) else 1.0 - frac(k))
-                  g(k) = base(k) + bits(k)
-                  k += 1
-                }
-                if (w != 0.0) acc += w * sample(g)
+                ci += 1
               }
               acc
             }
