@@ -219,8 +219,10 @@ object ImreadQueries {
     * reassembly must clip the padded edges — and LZW-compressed per
     * tile. Frame 2 is a classic TILED 16-bit deflate file (exact 16×16
     * grid), exercising the 2-byte-sample tile copy + byte-order
-    * normalization. Tile-offset arrays exceed the inline value field in
-    * both files, so the external-value indirection is also on the path. */
+    * normalization. Both files use horizontal differencing (Predictor=2
+    * — with LZW, THE standard microscopy combination; 16-bit diffs whole
+    * samples). Tile-offset arrays exceed the inline value field in both
+    * files, so the external-value indirection is also on the path. */
   val imreadBigTiff: Q = (s, dir) => {
     val base = fixtureBase(s, dir)
     val frames01 = (0 until 2).map(f => base.map(p => (p + 19 * f) % 256))
@@ -228,10 +230,10 @@ object ImreadQueries {
     val out = fixtureDir(dir, "btiff")
     java.nio.file.Files.write(out.resolve("frames_000_001.btiff"),
       ImageSource.encodeTiffPages2(frames01.map((H, W, _)),
-        comp = 5, big = true, tile = Some((20, 20))))
+        comp = 5, big = true, tile = Some((20, 20)), pred = 2))
     java.nio.file.Files.write(out.resolve("frames_002.btiff"),
       ImageSource.encodeTiffPages2(Seq((H, W, frame2)),
-        comp = 8, big = false, tile = Some((16, 16)), bps = 16))
+        comp = 8, big = false, tile = Some((16, 16)), bps = 16, pred = 2))
     framesToDf(ImageSource.readTiff(s, s"$out/*.btiff")).orderBy("f", "i", "j")
   }
 

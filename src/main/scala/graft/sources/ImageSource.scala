@@ -417,8 +417,8 @@ object ImageSource {
       require(spp == 1L, "TIFF: only single-sample (grayscale) supported")
       require(bps == 8L || bps == 16L, s"TIFF: $bps bits/sample unsupported")
       val tiled = tileOffs.nonEmpty
-      require(pred == 1L || (pred == 2L && bps == 8L),
-        s"TIFF: predictor $pred at $bps bps unsupported")
+      require(pred == 1L || pred == 2L,
+        s"TIFF: predictor $pred unsupported (1=none, 2=horizontal)")
       val h = height.toInt; val w = width.toInt
       val bytesPerPx = if (bps == 8L) 1 else 2
       val out = new Array[Byte](h * w * bytesPerPx)
@@ -434,13 +434,22 @@ object ImageSource {
         case _ => // 32773 PackBits
           packBitsDecode(java.util.Arrays.copyOfRange(bytes, off, off + compLen), expectedLen)
       }
-      // horizontal differencing over a segment of row width `sw`
+      // horizontal differencing over a segment of row width `sw` —
+      // per 8-bit byte, or per 16-bit sample in the FILE's byte order
+      // (TIFF 6.0 §14: the predictor operates on samples, pre-decode)
       def undiff(sb: Array[Byte], rows: Int, sw: Int): Unit = {
         var r = 0
         while (r < rows) {
           var cpos = 1
           while (cpos < sw) {
-            sb(r * sw + cpos) = (sb(r * sw + cpos) + sb(r * sw + cpos - 1)).toByte
+            if (bps == 8L)
+              sb(r * sw + cpos) = (sb(r * sw + cpos) + sb(r * sw + cpos - 1)).toByte
+            else {
+              val o = (r * sw + cpos) * 2 // byte offset of the sample
+              val v = (tU16(sb, o, le) + tU16(sb, o - 2, le)) & 0xffff
+              if (le) { sb(o) = (v & 0xff).toByte; sb(o + 1) = ((v >> 8) & 0xff).toByte }
+              else { sb(o) = ((v >> 8) & 0xff).toByte; sb(o + 1) = (v & 0xff).toByte }
+            }
             cpos += 1
           }
           r += 1
@@ -758,8 +767,9 @@ object ImageSource {
     * external value area, exercising the offset-indirection path too. */
   private[graft] def encodeTiffPages2(pages: Seq[(Int, Int, Array[Double])],
       comp: Int = 1, big: Boolean = false, tile: Option[(Int, Int)] = None,
-      bps: Int = 8): Array[Byte] = {
+      bps: Int = 8, pred: Int = 1): Array[Byte] = {
     require(bps == 8 || bps == 16, s"encodeTiffPages2: bps $bps")
+    require(pred == 1 || pred == 2, s"encodeTiffPages2: predictor $pred")
     val bpp = bps / 8
     val maxV = (1L << bps) - 1
     def rawOf(h: Int, w: Int, px: Array[Double], y0: Int, x0: Int,
@@ -772,6 +782,24 @@ object ImageSource {
         else {
           out(2 * (r * sw + c)) = (v & 0xff).toByte
           out(2 * (r * sw + c) + 1) = ((v >> 8) & 0xff).toByte
+        }
+      }
+      out
+    }
+    // horizontal differencing (tag 317 = 2) applied per segment row
+    // before compression; 16-bit diffs whole LE samples mod 2^16
+    def diff(raw: Array[Byte], sw: Int): Array[Byte] = {
+      if (pred == 1) return raw
+      val out = raw.clone()
+      val rows = raw.length / (sw * bpp)
+      for (r <- 0 until rows; c <- (sw - 1) until 0 by -1) {
+        if (bps == 8)
+          out(r * sw + c) = (raw(r * sw + c) - raw(r * sw + c - 1)).toByte
+        else {
+          val i = r * sw + c
+          val v = (tU16(raw, 2 * i, true) - tU16(raw, 2 * (i - 1), true)) & 0xffff
+          out(2 * i) = (v & 0xff).toByte
+          out(2 * i + 1) = ((v >> 8) & 0xff).toByte
         }
       }
       out
@@ -791,10 +819,10 @@ object ImageSource {
     // per page: the compressed segments (1 strip, or the padded tile grid)
     val pageSegs: Seq[IndexedSeq[Array[Byte]]] = pages.map { case (h, w, px) =>
       tile match {
-        case None => IndexedSeq(compress(rawOf(h, w, px, 0, 0, h, w)))
+        case None => IndexedSeq(compress(diff(rawOf(h, w, px, 0, 0, h, w), w)))
         case Some((tw, tl)) =>
           for (ty <- 0 until (h + tl - 1) / tl; tx <- 0 until (w + tw - 1) / tw)
-            yield compress(rawOf(h, w, px, ty * tl, tx * tw, tl, tw))
+            yield compress(diff(rawOf(h, w, px, ty * tl, tx * tw, tl, tw), tw))
       }
     }
     // entry = (tag, typ, values); typ 3=SHORT, 4=LONG, 16=LONG8
@@ -806,13 +834,14 @@ object ImageSource {
         (256, 4, Array(w.toLong)), (257, 4, Array(h.toLong)),
         (258, 3, Array(bps.toLong)), (259, 3, Array(comp.toLong)),
         (262, 3, Array(1L)))
+      val predE = if (pred != 1) Seq((317, 3, Array(pred.toLong))) else Nil
       tile match {
         case None => common ++ Seq(
           (273, offTyp, Array(0L)), // patched to segment offsets at emit
           (277, 3, Array(1L)), (278, 4, Array(h.toLong)),
-          (279, 4, segLens))
+          (279, 4, segLens)) ++ predE
         case Some((tw, tl)) => common ++ Seq(
-          (277, 3, Array(1L)),
+          (277, 3, Array(1L))) ++ predE ++ Seq(
           (322, 4, Array(tw.toLong)), (323, 4, Array(tl.toLong)),
           (324, offTyp, Array.fill(segLens.length)(0L)), // patched at emit
           (325, 4, segLens))
