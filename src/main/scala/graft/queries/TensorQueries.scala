@@ -766,6 +766,34 @@ object TensorQueries {
        |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j + 1
        |ORDER BY g.i, g.j""".stripMargin
 
+  /** The SAME subpixel shift over the NATIVE uint8 raster through the
+    * typed gather path (r10): the needs join ships 1 byte/pixel — 8×
+    * less shuffle than the float path — with samples decoded at the
+    * kernel edge; f64 output keeps the 4-tap blend oracle exact. */
+  val tensorAffineU8: Q = (s, dir) => {
+    val out = Interp.affineTransformTyped(u8Raster(s, dir), 2,
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.5, 0.25),
+      order = 1, cval = 0.0, outDtype = graft.tensor.DType.F64)
+    Images.toPixels(TBlock.toBlocks(out))
+      .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorAffineU8Sql: String =
+    s"""WITH $gridCte,
+       |q AS (SELECT i, j,
+       |        (CAST(round(v * 100) AS BIGINT) % 256 + 256) % 256 AS u
+       |      FROM grid)
+       |SELECT g.i, g.j,
+       |  round(0.375 * coalesce(a.u, 0) + 0.125 * coalesce(b.u, 0) +
+       |        0.375 * coalesce(c.u, 0) + 0.125 * coalesce(d.u, 0), 6) + 0 AS v
+       |FROM q g
+       |LEFT JOIN q a ON a.i = g.i     AND a.j = g.j
+       |LEFT JOIN q b ON b.i = g.i     AND b.j = g.j + 1
+       |LEFT JOIN q c ON c.i = g.i + 1 AND c.j = g.j
+       |LEFT JOIN q d ON d.i = g.i + 1 AND d.j = g.j + 1
+       |ORDER BY g.i, g.j""".stripMargin
+
   /** rotate 90° with reshape — an exact permutation, so the whole
     * matrix/center/gather pipeline is hash-checked with no tolerance. */
   val tensorRotate90: Q = (s, dir) => {
@@ -1118,6 +1146,7 @@ object TensorQueries {
     "tensor_fourier_c64" -> tensorFourierC64,
     "tensor_fourier_shift" -> tensorFourierShift,
     "tensor_affine_shift" -> tensorAffineShift,
+    "tensor_affine_u8" -> tensorAffineU8,
     "tensor_rotate90" -> tensorRotate90,
     "tensor_rank3" -> tensorRank3,
     "tensor_percentile30" -> tensorPercentile30,
@@ -1148,6 +1177,7 @@ object TensorQueries {
     "tensor_fourier_c64" -> tensorFourierC64Sql,
     "tensor_fourier_shift" -> tensorFourierShiftSql,
     "tensor_affine_shift" -> tensorAffineShiftSql,
+    "tensor_affine_u8" -> tensorAffineU8Sql,
     "tensor_rotate90" -> tensorRotate90Sql,
     "tensor_uniform3" -> tensorUniform3Sql,
     "tensor_gaussian" -> tensorGaussianSql,

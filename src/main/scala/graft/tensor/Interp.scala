@@ -210,6 +210,144 @@ object Interp {
       }
   }
 
+  /** affine_transform over TYPED payloads, orders 0–1: the gather join
+    * ships NATIVE bytes (1 B/px on uint8 — 8× less shuffle than the
+    * float64 Block path), samples decode at the kernel edge, and the
+    * result encodes to `outDtype` (f32/f64 for interpolated output, the
+    * input dtype for order-0 nearest). Spline orders need the float
+    * prefilter — promote with `TBlock.toBlocks` first. Same distributed
+    * needs-table build and allocation-free kernel as the float path. */
+  def affineTransformTyped(
+      ds: Dataset[TBlock],
+      ndim: Int,
+      matrix: Array[Array[Double]],
+      offset: Array[Double],
+      outputShape: Option[Seq[Int]] = None,
+      order: Int = 1,
+      cval: Double = 0.0,
+      outDtype: DType = DType.F32): Dataset[TBlock] = {
+    require(order == 0 || order == 1,
+      "typed affine: orders 0/1 only (promote to float Blocks for spline orders)")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val proto = ds.head()
+    val inShape = proto.arrayShape
+    val chunk = proto.chunk
+    val outShape = outputShape.getOrElse(inShape)
+    val needsDs = needsDataset(spark, ndim, matrix, offset,
+      chunk, inShape, outShape, margin = 1)
+    val bcM = spark.sparkContext.broadcast((matrix, offset))
+    val imageId = proto.imageId
+    val inDtype = proto.dtype
+    val outName = outDtype.name
+
+    needsDs.joinWith(ds, needsDs("inIdx") === ds("idx"), "left_outer")
+      .groupByKey(_._1.outIdx)
+      .mapGroups { (oIdx: Seq[Int], it: Iterator[(Need, TBlock)]) =>
+        val rows = it.toSeq
+        val n = rows.head._1
+        val (m, off) = bcM.value
+        val dt = DType.of(inDtype)
+        val odt = DType.of(outName)
+        val chunkA = chunk.toArray
+        val inShapeA = inShape.toArray
+        val inGrid = new Array[Int](ndim)
+        var kk = 0
+        while (kk < ndim) {
+          inGrid(kk) = (inShapeA(kk) + chunkA(kk) - 1) / chunkA(kk); kk += 1
+        }
+        val byLin = new java.util.HashMap[java.lang.Long, (Array[Int], Array[Int], Array[Byte])]()
+        rows.foreach { r =>
+          val b = r._2
+          if (b != null) {
+            require(b.dtype == inDtype,
+              s"typed affine: mixed dtypes (${b.dtype} vs $inDtype) — promote first")
+            var lin = 0L
+            var k = 0
+            while (k < ndim) { lin = lin * inGrid(k) + b.idx(k); k += 1 }
+            val shapeA = b.shape.toArray
+            val strides = new Array[Int](ndim)
+            var acc = 1
+            var j = ndim - 1
+            while (j >= 0) { strides(j) = acc; acc *= shapeA(j); j -= 1 }
+            byLin.put(lin, (b.origin.toArray, strides, b.data))
+          }
+        }
+        def sample(g: Array[Int]): Double = {
+          var k = 0
+          while (k < ndim) {
+            if (g(k) < 0 || g(k) >= inShapeA(k)) return cval
+            k += 1
+          }
+          var lin = 0L
+          k = 0
+          while (k < ndim) { lin = lin * inGrid(k) + g(k) / chunkA(k); k += 1 }
+          val e = byLin.get(lin)
+          if (e == null) return cval
+          val (origin, strides, data) = e
+          var o = 0
+          k = 0
+          while (k < ndim) { o += (g(k) - origin(k)) * strides(k); k += 1 }
+          dt.read(data, o)
+        }
+        val srcPos = new Array[Double](ndim)
+        val g = new Array[Int](ndim)
+        val base = new Array[Int](ndim)
+        val corners: Array[Array[Int]] =
+          if (order == 0) Array.empty
+          else Grid.cartesian(Seq.fill(ndim)(2)).map(_.toArray).toArray
+        val wAxis = Array.ofDim[Double](ndim, 2)
+        val outSh = n.outShape.toArray
+        val outData = new Array[Byte](outSh.product * odt.bytes)
+        val outNd = Nd.zeros(outSh) // coordinate walker only
+        var elem = 0
+        outNd.foreachCoord { c =>
+          var r = 0
+          while (r < ndim) {
+            var acc = off(r)
+            var cc = 0
+            while (cc < ndim) { acc += m(r)(cc) * (n.outOrigin(cc) + c(cc)); cc += 1 }
+            srcPos(r) = acc
+            r += 1
+          }
+          val v =
+            if (order == 0) {
+              var k = 0
+              while (k < ndim) { g(k) = math.floor(srcPos(k) + 0.5).toInt; k += 1 }
+              sample(g)
+            } else {
+              var k = 0
+              while (k < ndim) {
+                base(k) = math.floor(srcPos(k)).toInt
+                val frac = srcPos(k) - base(k)
+                wAxis(k)(0) = 1.0 - frac
+                wAxis(k)(1) = frac
+                k += 1
+              }
+              var acc = 0.0
+              var ci = 0
+              while (ci < corners.length) {
+                val offs = corners(ci)
+                var w = 1.0
+                var k2 = 0
+                while (k2 < ndim) {
+                  w *= wAxis(k2)(offs(k2))
+                  g(k2) = base(k2) + offs(k2)
+                  k2 += 1
+                }
+                if (w != 0.0) acc += w * sample(g)
+                ci += 1
+              }
+              acc
+            }
+          odt.write(outData, elem, v)
+          elem += 1
+        }
+        TBlock(imageId, oIdx, n.outOrigin, n.outShape, chunk, outShape,
+          outName, outData)
+      }
+  }
+
   /** The input blocks one output block needs (pure per-cell math shared by
     * the distributed build and the spec's driver-side equality pin). */
   private[graft] def needsOf(

@@ -284,6 +284,28 @@ class InterpFourierSpec extends SparkSpec {
     }
   }
 
+  test("typed affine: u8 gather equals the float path bit-exactly; order 0 keeps the dtype") {
+    val q = Nd.zeros(img.shape)
+    for (i <- q.data.indices)
+      q.data(i) = (((math.round(img.data(i) * 50) % 256) + 256) % 256).toDouble
+    val ds = Grid.blockify(spark, "ta", q, Seq(7, 9))
+    val typed = TBlock.fromBlocks(ds, DType.U8)
+    val m = Array(Array(0.8, 0.1), Array(-0.1, 1.1))
+    val off = Array(0.5, -0.25)
+    // order 1: identical double math after the u8 decode → bit-exact
+    val want = Grid.unblockify(Interp.affineTransform(ds, 2, m, off, order = 1, cval = 3.0))
+    val got = Grid.unblockify(TBlock.toBlocks(Interp.affineTransformTyped(
+      typed, 2, m, off, order = 1, cval = 3.0, outDtype = DType.F64)))
+    assert(got.data.sameElements(want.data), "typed affine diverges from float path")
+    // order 0: nearest gather can stay in the input dtype end to end
+    val near = Interp.affineTransformTyped(typed, 2, m, off, order = 0,
+      cval = 0.0, outDtype = DType.U8)
+    assert(near.collect().forall(_.dtype == "uint8"), "order-0 output dtype")
+    val want0 = Grid.unblockify(Interp.affineTransform(ds, 2, m, off, order = 0, cval = 0.0))
+    val got0 = Grid.unblockify(TBlock.toBlocks(near))
+    assert(got0.data.sameElements(want0.data), "order-0 typed affine diverges")
+  }
+
   test("affine needs table: distributed build equals the driver-side twin") {
     // rotation+scale+shift over a non-square geometry with outputShape
     // differing from inShape, both margin regimes (order<2 and order>=2)
