@@ -281,44 +281,56 @@ object Bench {
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions",
         math.min(cpus.toInt, 8).toString)
-      val persistLvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-      def binarize(ds: org.apache.spark.sql.Dataset[Block]) =
-        Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
-      val variants = Seq(
-        "multi" -> Seq(256, 512),
-        "single" -> Seq(1024, 1024)).toMap
-      val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
-      for ((vname, chunk) <- Seq("multi" -> variants("multi"), "single" -> variants("single"))) {
-        val base = synth(chunk, s"bench_$vname").persist(persistLvl)
-        force(base)
-        val u8 = TBlock.fromBlocks(base, DType.U8).persist(persistLvl)
-        forceT(u8)
-        val bin = binarize(base).persist(persistLvl)
-        force(bin)
-        val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
-        val off = Array(0.5, -0.25)
-        times(vname) = scala.collection.immutable.ListMap(
-          // σ=0.5, truncate=4 → radius 2: the 5×5 gaussian
-          "gaussian5" -> tMed(force(Filters.gaussianFilter(base, Seq(0.5, 0.5)))),
-          "uniform3_u8" -> tMed(forceT(
-            Filters.uniformFilterTyped(u8, Seq(3, 3), DType.F32))),
-          "label_stats" -> tMed {
-            val (lab, _) = Measure.label(bin, 2)
-            Measure.area(bin, lab, 2).count(); ()
-          },
-          "affine_shift" -> tMed(force(
-            Interp.affineTransform(base, 2, m, off, order = 1))))
-        base.unpersist(); u8.unpersist(); bin.unpersist()
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      def grp(m: Map[String, Double]) =
-        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val ratios = times("multi").map { case (k, v) =>
-        k -> v / math.max(times("single")(k), 1e-9)
-      }
-      tensorJson = s""","tensor":${grp(times("multi"))}""" +
-        s""","tensor_single":${grp(times("single"))}""" +
-        s""","tensor_ratio":${grp(ratios)}"""
+      try {
+        val persistLvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+        def binarize(ds: org.apache.spark.sql.Dataset[Block]) =
+          Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
+        // a crashing kernel must not discard the whole pass: record the
+        // failure (same contract as queryOnce) and bench it as its elapsed
+        val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+        def guarded(key: String)(f: => Unit): Double = {
+          val t0 = System.nanoTime()
+          try f catch {
+            case e: Throwable =>
+              failed += key
+              System.err.println(s"[bench] $key FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        for ((vname, chunk) <- Seq(
+            "multi" -> Seq(256, 512), "single" -> Seq(1024, 1024))) {
+          val base = synth(chunk, s"bench_$vname").persist(persistLvl)
+          force(base)
+          val u8 = TBlock.fromBlocks(base, DType.U8).persist(persistLvl)
+          forceT(u8)
+          val bin = binarize(base).persist(persistLvl)
+          force(bin)
+          val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+          val off = Array(0.5, -0.25)
+          def k(name: String) = s"tensor_${name}_$vname"
+          times(vname) = scala.collection.immutable.ListMap(
+            // σ=0.5, truncate=4 → radius 2: the 5×5 gaussian
+            "gaussian5" -> tMed(guarded(k("gaussian5"))(
+              force(Filters.gaussianFilter(base, Seq(0.5, 0.5))))),
+            "uniform3_u8" -> tMed(guarded(k("uniform3_u8"))(
+              forceT(Filters.uniformFilterTyped(u8, Seq(3, 3), DType.F32)))),
+            "label_stats" -> tMed(guarded(k("label_stats")) {
+              val (lab, _) = Measure.label(bin, 2)
+              Measure.area(bin, lab, 2).count(); ()
+            }),
+            "affine_shift" -> tMed(guarded(k("affine_shift"))(
+              force(Interp.affineTransform(base, 2, m, off, order = 1)))))
+          base.unpersist(); u8.unpersist(); bin.unpersist()
+        }
+        def grp(m: Map[String, Double]) =
+          m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val ratios = times("multi").map { case (k, v) =>
+          k -> v / math.max(times("single")(k), 1e-9)
+        }
+        tensorJson = s""","tensor":${grp(times("multi"))}""" +
+          s""","tensor_single":${grp(times("single"))}""" +
+          s""","tensor_ratio":${grp(ratios)}"""
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

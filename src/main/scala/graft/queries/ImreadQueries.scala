@@ -34,12 +34,18 @@ object ImreadQueries {
     base
   }
 
-  /** Per-(codec, sf-dir) fixture directory, wiped of stale codec files so
-    * an old checkout's leftovers can't leak extra frames into the glob. */
-  private def fixtureDir(dir: String, codec: String): java.nio.file.Path = {
+  /** Per-(codec, sf-dir, Spark app) fixture directory, wiped of stale
+    * codec files so an old run's leftovers can't leak extra frames into
+    * the glob. Keyed by applicationId like SourceQueries.tmp — two
+    * processes over one sfDir (Bench and Verify racing) must not delete
+    * each other's fixtures mid-glob — and registered for JVM-exit
+    * cleanup so repeated runs don't accumulate in the temp dir. */
+  private def fixtureDir(s: SparkSession, dir: String, codec: String): java.nio.file.Path = {
     val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_imread_${codec}_${math.abs(dir.hashCode)}")
+      sys.props("java.io.tmpdir"),
+      s"graft_imread_${codec}_${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}")
     java.nio.file.Files.createDirectories(out)
+    TmpCleanup.register(out)
     out.toFile.listFiles().filter(_.getName.endsWith(s".$codec"))
       .foreach(_.delete())
     out
@@ -49,7 +55,7 @@ object ImreadQueries {
   private def writeFixture(s: SparkSession, dir: String, codec: String,
       frameStep: Int): String = {
     val base = fixtureBase(s, dir)
-    val out = fixtureDir(dir, codec)
+    val out = fixtureDir(s, dir, codec)
     for (f <- 0 until FRAMES) {
       val frame = base.map(p => (p + frameStep * f) % 256)
       val bytes = codec match {
@@ -111,7 +117,7 @@ object ImreadQueries {
     * the wire. */
   val imreadPgm16Typed: Q = (s, dir) => {
     val base = fixtureBase16(s, dir)
-    val out = fixtureDir(dir, "pgm16")
+    val out = fixtureDir(s, dir, "pgm16")
     for (f <- 0 until FRAMES) {
       val frame = base.map(p => (p + 300 * f) % 65536)
       java.nio.file.Files.write(out.resolve(f"frame_$f%03d.pgm16"),
@@ -204,7 +210,7 @@ object ImreadQueries {
     val base = fixtureBase(s, dir)
     val frameStep = 11
     val frames = (0 until FRAMES).map(f => base.map(p => (p + frameStep * f) % 256))
-    val out = fixtureDir(dir, "tiff")
+    val out = fixtureDir(s, dir, "tiff")
     java.nio.file.Files.write(out.resolve("frames_000_001.tiff"),
       ImageSource.encodeTiffPages(frames.take(2).map(f => (H, W, f)), lzw = true))
     java.nio.file.Files.write(out.resolve("frames_002.tiff"),
@@ -227,7 +233,7 @@ object ImreadQueries {
     val base = fixtureBase(s, dir)
     val frames01 = (0 until 2).map(f => base.map(p => (p + 19 * f) % 256))
     val frame2 = fixtureBase16(s, dir).map(p => (p + 600) % 65536)
-    val out = fixtureDir(dir, "btiff")
+    val out = fixtureDir(s, dir, "btiff")
     java.nio.file.Files.write(out.resolve("frames_000_001.btiff"),
       ImageSource.encodeTiffPages2(frames01.map((H, W, _)),
         comp = 5, big = true, tile = Some((20, 20)), pred = 2))
@@ -283,7 +289,7 @@ object ImreadQueries {
   private def writeRgbFixture(s: SparkSession, dir: String, codec: String,
       frameStep: Int): String = {
     val base = fixtureBase(s, dir)
-    val out = fixtureDir(dir, codec)
+    val out = fixtureDir(s, dir, codec)
     for (f <- 0 until FRAMES) {
       val rgb = new Array[Byte](H * W * 3)
       for (p <- 0 until H * W; c <- 0 until 3)
@@ -313,7 +319,7 @@ object ImreadQueries {
     * frame mis-index, or nondeterministic decode breaks the hash. The
     * pixel-level DCT residual stays bounded in ImageSourceSpec. */
   val imreadJpeg: Q = (s, dir) => {
-    val out = fixtureDir(dir, "jpg")
+    val out = fixtureDir(s, dir, "jpg")
     for (f <- 0 until FRAMES) {
       val rgb = new Array[Byte](H * W * 3)
       for (i <- 0 until H; j <- 0 until W; c <- 0 until 3)

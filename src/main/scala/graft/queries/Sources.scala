@@ -19,10 +19,15 @@ object SourceQueries {
   /** Fixture dir keyed by (sf dir, tag, THIS Spark app) — the app id
     * makes concurrent runs over the same sfDir (Bench and Verify racing)
     * write disjoint paths, so one process's mode("overwrite") delete can
-    * never collide with the other's read. */
-  private def tmp(s: SparkSession, dir: String, tag: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    * never collide with the other's read. Registered for JVM-exit
+    * cleanup: run-keyed dirs are never reused and would otherwise
+    * accumulate a full fixture copy per invocation. */
+  private def tmp(s: SparkSession, dir: String, tag: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_src_${tag}_${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}").toString
+    TmpCleanup.register(p)
+    p
+  }
 
   /** documents → JSON-LINES on disk → schema-pinned read-back → per-lang
     * reduction. JSONL is the lingua franca of text-corpus interchange;

@@ -676,7 +676,12 @@ object TensorQueries {
     * f32 arithmetic — input components quantize to REAL on lift (NumPy
     * astype(complex64) semantics, round-to-nearest-even), the transfer
     * multiply runs in double, the result rounds back to REAL and widens
-    * to DOUBLE — so both engines emit bit-identical doubles. */
+    * to DOUBLE — so both engines emit bit-identical doubles. Residual
+    * risk, accepted: JVM exp vs DuckDB exp can differ by ~1 double ulp
+    * (2⁻⁵² rel); the f32 rounding absorbs that unless the product sits
+    * within an ulp of an f32 boundary — ≈2⁻²⁸ per element, ~1e-5 per
+    * 3072-pixel run. Every decimal-rounding alternative has a LARGER
+    * boundary-straddle probability, so this is the robust form. */
   val tensorFourierC64: Q = (s, dir) => {
     val cx = graft.tensor.TBlock.toBlocks(Fourier.fourierGaussianTyped(
       Fourier.toComplexTyped(Images.eventsRaster(s, dir), graft.tensor.DType.C64),

@@ -299,9 +299,13 @@ object Interp {
         val wAxis = Array.ofDim[Double](ndim, 2)
         val outSh = n.outShape.toArray
         val outData = new Array[Byte](outSh.product * odt.bytes)
-        val outNd = Nd.zeros(outSh) // coordinate walker only
+        // zero-allocation coordinate walker (an Nd.zeros walker would
+        // waste 8 B/px of dead doubles): plain odometer, last axis fastest
+        // — the same order Nd.foreachCoord produces
+        val c = new Array[Int](ndim)
         var elem = 0
-        outNd.foreachCoord { c =>
+        val totalElems = outSh.product
+        while (elem < totalElems) {
           var r = 0
           while (r < ndim) {
             var acc = off(r)
@@ -342,6 +346,13 @@ object Interp {
             }
           odt.write(outData, elem, v)
           elem += 1
+          // odometer: advance c, last axis fastest
+          var j = ndim - 1
+          var carry = true
+          while (carry && j >= 0) {
+            c(j) += 1
+            if (c(j) < outSh(j)) carry = false else { c(j) = 0; j -= 1 }
+          }
         }
         TBlock(imageId, oIdx, n.outOrigin, n.outShape, chunk, outShape,
           outName, outData)

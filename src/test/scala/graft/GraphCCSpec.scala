@@ -85,16 +85,22 @@ class GraphCCSpec extends SparkSpec {
     }
   }
 
-  test("hub stress: 1e6-edge hub-heavy graph — both kernels correct; rounds/wall compared") {
-    // 1000 hubs × 990 spokes (degree ~991) + a hub chain = one component
-    // of 10^6 edges rooted at node 0 — the skew shape that separates the
-    // kernels: minlabel re-shuffles each hub's full neighbor list every
-    // round, stars folds it into one map-side partial min per task.
+  test("hub stress: hub-heavy graph — both kernels correct; rounds/wall compared") {
+    // H hubs × 990 spokes (degree ~991) + a hub chain = one component
+    // rooted at node 0 — the skew shape that separates the kernels:
+    // minlabel re-shuffles each hub's full neighbor list every round,
+    // stars folds it into one map-side partial min per task. Default is
+    // 100 hubs (~1e5 edges, seconds); the full measured configuration —
+    // GRAFT_CC_HUBS=1000 → 1e6 edges, stars 11 rounds/50 s vs minlabel
+    // 11 rounds/27 s at 32-way local — is documented in the GraphCC
+    // scaladoc and re-runnable via the env var without taxing every
+    // sbt-test iteration with its ~80 s.
     import spark.implicits._
-    val spokes = spark.range(1000L * 990L).select(
+    val hubs = sys.env.getOrElse("GRAFT_CC_HUBS", "100").toLong
+    val spokes = spark.range(hubs * 990L).select(
       (org.apache.spark.sql.functions.col("id") / 990L).cast("long").as("a"),
-      (org.apache.spark.sql.functions.col("id") + 1000L).as("b"))
-    val chain = spark.range(999L).select(
+      (org.apache.spark.sql.functions.col("id") + hubs).as("b"))
+    val chain = spark.range(hubs - 1).select(
       org.apache.spark.sql.functions.col("id").as("a"),
       (org.apache.spark.sql.functions.col("id") + 1L).as("b"))
     val edges = spokes.union(chain)
@@ -109,12 +115,12 @@ class GraphCCSpec extends SparkSpec {
     }
     val (nS, rS, wS) = run("stars", graft.plans.GraphCC.componentsStarsCounted(edges))
     val (nM, rM, wM) = run("minlabel", graft.plans.GraphCC.componentsMinLabelCounted(edges))
-    assert(nS == 1000L * 990L + 1000L && nM == nS, s"node count $nS vs $nM")
-    // the chain of hubs has diameter ~1000 but pointer doubling halves it
+    assert(nS == hubs * 990L + hubs && nM == nS, s"node count $nS vs $nM")
+    // the hub chain's diameter is `hubs` but pointer doubling halves it
     // each round; stars contracts hubs immediately — both must stay well
     // under the 60-round guard
     assert(rS < 30 && rM < 30, s"rounds stars=$rS minlabel=$rM")
-    info(f"hub stress 1e6 edges: stars rounds=$rS wall=$wS%.1f s; " +
+    info(f"hub stress ${hubs * 990 + hubs - 1} edges: stars rounds=$rS wall=$wS%.1f s; " +
       f"minlabel rounds=$rM wall=$wM%.1f s")
   }
 

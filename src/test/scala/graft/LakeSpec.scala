@@ -53,9 +53,16 @@ class LakeSpec extends SparkSpec {
     val hotSalts = left.filter(col("k") === 7L)
       .select(Lake.saltCol(left, 8).as("s"))
     assert(hotSalts.distinct().count() > 1, "salt constant within hot key")
-    val a = hotSalts.collect().map(_.getInt(0)).toSeq
-    val b = hotSalts.collect().map(_.getInt(0)).toSeq
-    assert(a == b, "salt not deterministic across re-evaluation")
+    // retry determinism = the salt is a pure function of ROW CONTENT, not
+    // of partition/position (which task re-execution can change): the
+    // per-row (payload → salt) map must survive a repartition — seeded
+    // rand() would pass a same-plan re-collect but fails this
+    val byRow = left.select(col("payload"), Lake.saltCol(left, 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val reparted = left.repartition(7)
+    val byRowR = reparted.select(col("payload"), Lake.saltCol(reparted, 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byRow == byRowR, "salt depends on partitioning — not retry-safe")
   }
 
   test("compact: many small files become few range-sorted files, content preserved") {
