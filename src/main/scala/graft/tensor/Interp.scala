@@ -434,8 +434,27 @@ object Interp {
     * forward rotation matrix of −angle around the array center). */
   def rotate(ds: Dataset[Block], ndim: Int, angleDeg: Double, axes: (Int, Int) = (1, 0),
       reshape: Boolean = true, order: Int = 1, cval: Double = 0.0): Dataset[Block] = {
-    val proto = ds.head()
-    val inShape = proto.arrayShape
+    val (m, off, outShape) =
+      rotateGeometry(ds.head().arrayShape, ndim, angleDeg, axes, reshape)
+    affineTransform(ds, ndim, m, off, Some(outShape), order, cval)
+  }
+
+  /** rotate over TYPED payloads, orders 0–1 — delegates to the typed
+    * affine gather (native bytes on the wire; order-0 can keep the input
+    * dtype end to end). Spline orders: promote via TBlock.toBlocks. */
+  def rotateTyped(ds: Dataset[TBlock], ndim: Int, angleDeg: Double,
+      axes: (Int, Int) = (1, 0), reshape: Boolean = true, order: Int = 1,
+      cval: Double = 0.0, outDtype: DType = DType.F32): Dataset[TBlock] = {
+    val (m, off, outShape) =
+      rotateGeometry(ds.head().arrayShape, ndim, angleDeg, axes, reshape)
+    affineTransformTyped(ds, ndim, m, off, Some(outShape), order, cval, outDtype)
+  }
+
+  /** Shared rotation geometry: inverse-map matrix, offset, and (reshaped)
+    * output shape — metadata-only, identical for both payload paths. */
+  private def rotateGeometry(inShape: Seq[Int], ndim: Int, angleDeg: Double,
+      axes: (Int, Int), reshape: Boolean)
+      : (Array[Array[Double]], Array[Double], Seq[Int]) = {
     val (a0, a1) = axes
     val rad = math.toRadians(angleDeg)
     val (c, s) = (math.cos(rad), math.sin(rad))
@@ -463,7 +482,7 @@ object Interp {
       else if (r == a1) inC1 + s * outC0 - c * outC1
       else 0.0
     }
-    affineTransform(ds, ndim, m, off, Some(outShape), order, cval)
+    (m, off, outShape)
   }
 
   // ------------------------------------------------------------ splines

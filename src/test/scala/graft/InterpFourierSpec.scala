@@ -304,6 +304,15 @@ class InterpFourierSpec extends SparkSpec {
     val want0 = Grid.unblockify(Interp.affineTransform(ds, 2, m, off, order = 0, cval = 0.0))
     val got0 = Grid.unblockify(TBlock.toBlocks(near))
     assert(got0.data.sameElements(want0.data), "order-0 typed affine diverges")
+    // rotate delegates through the same geometry: typed == float, and a
+    // 90° rotation of u8 input at order 0 is an exact uint8 permutation
+    val rotF = Grid.unblockify(Interp.rotate(ds, 2, 90.0, reshape = true, order = 0))
+    val rotT = Interp.rotateTyped(typed, 2, 90.0, reshape = true, order = 0,
+      outDtype = DType.U8)
+    assert(rotT.collect().forall(_.dtype == "uint8"))
+    val rotTDec = Grid.unblockify(TBlock.toBlocks(rotT))
+    assert(rotTDec.shape.toSeq == rotF.shape.toSeq &&
+      rotTDec.data.sameElements(rotF.data), "typed rotate diverges")
   }
 
   test("affine needs table: distributed build equals the driver-side twin") {
