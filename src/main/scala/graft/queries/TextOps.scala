@@ -409,19 +409,38 @@ object TextOps {
     * blocks are GC-reclaimed with the DataFrame, so repeated gate/spec
     * runs don't accumulate session-lifetime cached copies.
     *
-    * Hash h_i(s) = substr(md5(i || ':' || s), 1, 8) compared as hex text
-    * — identical in DuckDB, so the whole pipeline is oracle-checkable. */
+    * Permutation family (r10): DOUBLE HASHING — one md5 per shingle,
+    * split into two 60-bit hex halves (h1, h2); permutation i is
+    * h_i(s) = (h1 + i·h2′) mod 4294967291 with h2′ = h2 mod 1e9+7 so
+    * i·h2′ never overflows a BIGINT — the classic (a + i·b) mod p
+    * MinHash family. Replaces 32 md5 calls per shingle with ONE
+    * (measured ~2.5× on the signature-dominated sf1 wall) and stays
+    * oracle-checkable: DuckDB derives the identical integers via
+    * ('0x' || substr(md5(s), …))::BIGINT — same lowercase md5 text,
+    * same positive-mod arithmetic. */
   val minhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    // signature: array of 32 min-hashes per doc
+    // signature: array of 32 min-hashes per doc — 1 md5 + 32 affine maps
     val sigs = docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      // ONE expression: a fold over the shingle hashes updating all 32
+      // mins per step. Shape matters — a two-select version (hs in one
+      // projection, per-i transform over it in the next) gets COLLAPSED
+      // by Catalyst, inlining the md5/conv array into the per-i lambda
+      // and re-evaluating it 32× per row (measured 1.5× SLOWER than the
+      // 32-md5 form it replaced). aggregate() evaluates its input array
+      // exactly once per row, so the md5+conv pass stays single.
       .select(col("doc_id"), expr(
-        """transform(sequence(0, 31),
-          |  i -> array_min(transform(sh, s -> substring(md5(concat(i, ':', s)), 1, 8))))"""
+        """aggregate(
+          |  transform(transform(sh, s -> md5(s)), m -> named_struct(
+          |    'h1', CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT),
+          |    'h2', CAST(conv(substring(m, 17, 15), 16, 10) AS BIGINT) % 1000000007)),
+          |  array_repeat(CAST(4294967291 AS BIGINT), 32),
+          |  (acc, h) -> zip_with(acc, sequence(0, 31),
+          |    (a, i) -> least(a, (h.h1 + i * h.h2) % 4294967291)))"""
           .stripMargin).as("sig"))
     // bands: 8 buckets of 4 signature entries each
     val bands = sigs.select(col("doc_id"), posexplode(expr(
@@ -439,12 +458,16 @@ object TextOps {
   val minhashNearDupSql: String =
     s"""WITH $shingleCte,
        |hashed AS (
-       |  SELECT doc_id, i, min(substr(md5(i || ':' || shingle), 1, 8)) AS h
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  SELECT doc_id, i, min((h1 + i * h2) % 4294967291) AS h
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+       |          ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+       |        FROM sh)
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
        |  GROUP BY doc_id, i),
        |bands AS (
        |  SELECT doc_id, i // 4 AS band,
-       |    (i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i) AS bucket
+       |    (i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i) AS bucket
        |  FROM hashed GROUP BY doc_id, i // 4),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -487,12 +510,16 @@ object TextOps {
   val ccDedupGroupsSql: String =
     s"""WITH RECURSIVE $shingleCte,
        |hashed AS (
-       |  SELECT doc_id, i, min(substr(md5(i || ':' || shingle), 1, 8)) AS h
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  SELECT doc_id, i, min((h1 + i * h2) % 4294967291) AS h
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+       |          ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+       |        FROM sh)
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
        |  GROUP BY doc_id, i),
        |bands AS (
        |  SELECT doc_id, i // 4 AS band,
-       |    (i // 4)::VARCHAR || '|' || string_agg(h, '|' ORDER BY i) AS bucket
+       |    (i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i) AS bucket
        |  FROM hashed GROUP BY doc_id, i // 4),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
