@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.signLshSig)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
@@ -33,6 +34,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (es: Seq[Expression]) => MinHashSig(es.head))
 
+  val signLshSig: FnDesc = (
+    FunctionIdentifier("sign_lsh_sig"),
+    new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
+    (es: Seq[Expression]) => SignLshSig(es.head))
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -45,7 +51,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -108,28 +108,20 @@ object Similarity {
     * matrix per ROW — ~4096 transcendental calls per vector — where a
     * literal column costs one plan constant and per-row array reads. */
   private[graft] val lshPlanes: Seq[Seq[Double]] =
-    (0 until 64).map { p =>
-      (0 until 64).map { d =>
-        val s = math.sin((p * 64 + d).toDouble) * 43758.5453
-        (s - math.floor(s)) * 2 - 1
-      }
-    }
+    graft.functions.SignLshSig.planes.map(_.toSeq).toSeq
 
   /** Sign-LSH banded candidate pairs (va, vb) — factored out
     * un-checkpointed so SimilaritySpec can assert the plan shape. */
   private[graft] def embeddingLshCandidates(emb: DataFrame): DataFrame = {
     // fract-sin hash → uniform [−1, 1) plane weights, decorrelated per
     // (plane, dim); see the embeddingNearDup docstring for why plain
-    // sin(n) planes are unusable here
-    val sigExpr = expr(
-      """aggregate(sequence(0, 63), 0L, (acc, p) -> acc +
-        |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
-        |                               (x, y) -> CAST(x AS DOUBLE) * y),
-        |                      0D, (a, x) -> a + x) > 0D
-        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
+    // sin(n) planes are unusable here. The signature is the NATIVE
+    // codegen expression (r10) — bit-identical to the interpreted
+    // HOF-over-literal-matrix form it replaced (SimilaritySpec pins
+    // native == HOF == inline-sin), without the per-(row, plane)
+    // zip_with allocation.
     val banded = emb
-      .withColumn("planes", typedLit(lshPlanes))
-      .select(col("vec_id"), col("label"), sigExpr.as("sig"))
+      .select(col("vec_id"), col("label"), expr("sign_lsh_sig(embedding)").as("sig"))
       .select(col("vec_id"), col("label"), explode(expr(
         "transform(sequence(0, 31), b -> b * 4 + (shiftright(sig, CAST(b * 2 AS INT)) & 3))"))
         .as("bucket"))

@@ -91,6 +91,12 @@ class SimilaritySpec extends SparkSpec {
           |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaPlanes == inlineSig, "hoisted signatures diverge from inline sin()")
+    // the NATIVE codegen expression (the r10 production path) must match
+    // both interpreted forms bit-for-bit
+    graft.functions.GraftExtensions.install(spark)
+    val native = emb.select(col("vec_id"), expr("sign_lsh_sig(embedding)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == inlineSig, "native sign_lsh_sig diverges from the HOF forms")
   }
 
   test("embedding_near_dup candidates come from banded buckets, not label all-pairs") {
