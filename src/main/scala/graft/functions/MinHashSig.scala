@@ -10,13 +10,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** TypedImperativeAggregate building a k-permutation MinHash signature
-  * over a group of string shingles (SURVEY.md §4.2 item 3 — the custom
-  * binary-buffer aggregate the near-dedup pipeline uses at scale; one
+  * over a group of string shingles (SURVEY.md §4.2 item 3 — demonstrates
+  * the custom binary-buffer aggregate shape for signature building: one
   * narrow pass, partial-mergeable, no exploded hash rows).
   *
   * Permutation i hashes shingle s as the first 8 hex chars of
   * md5(i + ":" + s) — deliberately md5-based so a SQL oracle reproduces
   * the signatures bit-for-bit. Output: ARRAY<STRING> of k hex entries.
+  *
+  * NOTE: this is a DIFFERENT permutation family from the production
+  * `minhash_near_dup` pipeline, which uses double hashing ((h1 + i·h2)
+  * mod p from one md5 — see TextOps) for 32× fewer md5 calls. The two
+  * are not interchangeable: swapping one in for the other changes every
+  * signature and band. An aggregate-based variant of the double-hash
+  * family would keep this class's buffer shape with that arithmetic.
   */
 case class MinHashSig(
     child: Expression,

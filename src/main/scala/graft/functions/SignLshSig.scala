@@ -59,18 +59,27 @@ object SignLshSig {
     }
 
   /** Shared by interpreted eval and generated code (a static call keeps
-    * the codegen template one line; the loop JITs identically). */
+    * the codegen template one line; the loop JITs identically).
+    *
+    * Degenerate inputs follow the HOF's null-propagation exactly: a
+    * non-64-dim embedding or a null element makes every zip_with dot
+    * product NULL there, so every CASE yields bit 0 → signature 0. The
+    * same rule here keeps the bit-identity pin total, not just on
+    * well-formed data. */
   def compute(x: ArrayData, isFloat: Boolean): Long = {
-    val n = math.min(x.numElements(), 64)
+    val n = x.numElements()
+    if (n != 64) return 0L
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return 0L; i += 1 }
     var sig = 0L
     var p = 0
     while (p < 64) {
       val w = planes(p)
       var dot = 0.0
-      var i = 0
-      while (i < n) {
-        dot += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * w(i)
-        i += 1
+      var j = 0
+      while (j < 64) {
+        dot += (if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)) * w(j)
+        j += 1
       }
       if (dot > 0.0) sig |= (1L << p)
       p += 1

@@ -119,7 +119,9 @@ object Similarity {
     // codegen expression (r10) — bit-identical to the interpreted
     // HOF-over-literal-matrix form it replaced (SimilaritySpec pins
     // native == HOF == inline-sin), without the per-(row, plane)
-    // zip_with allocation.
+    // zip_with allocation. Register here, not at the call sites: this
+    // helper must analyze standalone (spec plan assertions).
+    graft.functions.GraftExtensions.install(emb.sparkSession)
     val banded = emb
       .select(col("vec_id"), col("label"), expr("sign_lsh_sig(embedding)").as("sig"))
       .select(col("vec_id"), col("label"), explode(expr(

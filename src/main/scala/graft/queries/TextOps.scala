@@ -890,9 +890,11 @@ object TextOps {
   // ------------------------------------------------ native aggregate
   /** Per-document MinHash signatures via the custom
     * TypedImperativeAggregate (graft.functions.MinHashSig): one narrow
-    * partial-mergeable aggregation over shingle rows — the scale path the
-    * HOF-based minhash_near_dup signature step upgrades to. Oracle
-    * reproduces the md5 permutation hashes in SQL. */
+    * partial-mergeable aggregation over shingle rows — demonstrates the
+    * aggregate-over-exploded-shingles shape. Uses MinHashSig's
+    * md5-per-permutation family (NOT interchangeable with
+    * minhash_near_dup's double-hash family — see MinHashSig scaladoc).
+    * Oracle reproduces the md5 permutation hashes in SQL. */
   val minhashSignatures: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     shingleRows(t(s, dir, "documents"))
