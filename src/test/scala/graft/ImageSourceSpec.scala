@@ -272,6 +272,47 @@ class ImageSourceSpec extends SparkSpec {
     assert(!plain.sameElements(diffd), "pred=2 must alter the sample stream")
   }
 
+  test("TIFF codec property sweep: random geometries × all layout configs round-trip") {
+    // deterministic pseudo-random sweep over the configuration cube the
+    // hand-written binary layout code has to get right: odd geometries
+    // (1×1, 1×w, h×1), tiles larger than the image, non-dividing tiles,
+    // every compression, both headers, both depths, both predictors
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 12) {
+      val h = 1 + rnd.nextInt(25)
+      val w = 1 + rnd.nextInt(25)
+      val bps = if (rnd.nextBoolean()) 8 else 16
+      val maxV = (1 << bps) - 1
+      val px = Array.fill(h * w)(rnd.nextInt(maxV + 1).toDouble)
+      val comp = Seq(1, 5, 8, 32773)(rnd.nextInt(4))
+      val big = rnd.nextBoolean()
+      val tile = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some((1 + rnd.nextInt(w + 4), 1 + rnd.nextInt(h + 4))) // may exceed image
+        case _ => Some((1 + rnd.nextInt(8), 1 + rnd.nextInt(8)))
+      }
+      val pred = if (rnd.nextBoolean()) 2 else 1
+      val cfg = s"trial=$trial h=$h w=$w bps=$bps comp=$comp big=$big tile=$tile pred=$pred"
+      val pages = ImageSource.decodeTiffTyped(ImageSource.encodeTiffPages2(
+        Seq((h, w, px)), comp = comp, big = big, tile = tile, bps = bps, pred = pred))
+      assert(pages.length == 1, cfg)
+      val (dh, dw, dt, pay) = pages.head
+      assert(dh == h && dw == w, cfg)
+      val dec = graft.tensor.DType.of(dt).decode(pay)
+      assert(dec.toSeq == px.toSeq, s"$cfg: pixel mismatch")
+    }
+    // multi-page chain under one random config
+    val frames = (0 until 4).map(f =>
+      Array.fill(9 * 7)(rnd.nextInt(65536).toDouble))
+    val multi = ImageSource.decodeTiffTyped(ImageSource.encodeTiffPages2(
+      frames.map((9, 7, _)), comp = 5, big = true, tile = Some((3, 4)),
+      bps = 16, pred = 2))
+    assert(multi.length == 4)
+    for (f <- 0 until 4)
+      assert(graft.tensor.DType.U16.decode(multi(f)._4).toSeq == frames(f).toSeq,
+        s"multi-page frame $f mismatch")
+  }
+
   test("typed grayscale imread: native byte payloads through the stacking shuffle") {
     val dir = Files.createTempDirectory("graft_typed_gray").toFile
     dir.deleteOnExit()
