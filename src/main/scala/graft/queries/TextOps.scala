@@ -943,6 +943,50 @@ object TextOps {
       |FROM batch WHERE h NOT IN (SELECT h FROM existing)
       |GROUP BY h ORDER BY keep_id""".stripMargin
 
+  // ------------------------------------------ n-gram-overlap doc filter
+  /** Bulk near-duplicate DOC filter by shingle overlap (the Dolma/C4-
+    * style prefilter that runs BEFORE MinHash: a doc whose shingles
+    * mostly appear in other docs is boilerplate or a near-copy — drop
+    * it without any pairwise work). Per doc: distinct 3-gram shingles
+    * (the same shingling as the MinHash pipeline), how many occur in
+    * ≥ 2 distinct docs (corpus-duplicated), and the keep decision
+    * n_dup·5 ≤ n_grams·4 (integer form of dup_frac ≤ 0.8 — exact, no
+    * float boundary). Inverted-index shape: one groupBy on the shingle
+    * + one semi-join back keyed on it — linear in corpus tokens, a hot
+    * boilerplate shingle costs one reducer row; at 100 TB hash the
+    * shingle to 64-bit first so the shuffle carries fixed-width keys. */
+  val dupNgramDocFilter: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+        .as("ngram"))
+    val shared = grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("nd")) // grams are distinct per doc → count = doc count
+      .filter(col("nd") >= 2)
+      .select(col("ngram"))
+    grams.join(shared, Seq("ngram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)) * 5 <= col("n_grams") * 4).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupNgramDocFilterSql: String =
+    s"""WITH $shingleCte,
+       |shared AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+       |dup AS (
+       |  SELECT doc_id, count(*) AS n_dup FROM sh
+       |  WHERE shingle IN (SELECT shingle FROM shared) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_grams, coalesce(d.n_dup, 0) AS n_dup,
+       |  coalesce(d.n_dup, 0) * 5 <= t.n_grams * 4 AS keep
+       |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // --------------------------------------------- repeated n-gram spans
   /** Substring-level duplication mining: word 5-grams that occur in ≥ 2
     * distinct documents, with how many docs share them (the signal
@@ -1001,6 +1045,7 @@ object TextOps {
     "repetition_stats" -> repetitionStats,
     "incremental_dedup" -> incrementalDedup,
     "repeated_ngram_spans" -> repeatedNgramSpans,
+    "dup_ngram_doc_filter" -> dupNgramDocFilter,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1028,5 +1073,6 @@ object TextOps {
     "repetition_stats" -> repetitionStatsSql,
     "incremental_dedup" -> incrementalDedupSql,
     "repeated_ngram_spans" -> repeatedNgramSpansSql,
+    "dup_ngram_doc_filter" -> dupNgramDocFilterSql,
   )
 }
