@@ -83,6 +83,30 @@ class TextOpsSpec extends SparkSpec {
       s"candidate semi-join missing from the optimized plan:\n$plan")
   }
 
+  test("dup_ngram_doc_filter matches a naive per-doc recount (sf0.001)") {
+    val rows = TextOps.dupNgramDocFilter(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val occurs = sh.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    for ((id, ng, nd, keep) <- rows) {
+      val mine = sh(id)
+      assert(ng == mine.size, s"doc $id n_grams $ng vs ${mine.size}")
+      val dup = mine.count(g => occurs(g) >= 2).toLong
+      assert(nd == dup, s"doc $id n_dup $nd vs $dup")
+      assert(keep == (dup * 5 <= mine.size.toLong * 4), s"doc $id keep")
+    }
+    assert(rows.map(_._1).toSet == sh.filter(_._2.nonEmpty).keys.toSet,
+      "every doc with >=1 shingle must get a verdict row")
+  }
+
   test("exact dedup accounting is idempotent: re-deduping kept docs removes nothing") {
     val docs = Tables.t(spark, sf001, "documents")
     val kept = docs.groupBy(md5(col("text")).as("h"))
