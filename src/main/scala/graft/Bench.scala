@@ -319,7 +319,12 @@ object Bench {
               Measure.area(bin, lab, 2).count(); ()
             }),
             "affine_shift" -> tMed(guarded(k("affine_shift"))(
-              force(Interp.affineTransform(base, 2, m, off, order = 1)))))
+              force(Interp.affineTransform(base, 2, m, off, order = 1)))),
+            // typed twin: the gather join ships 1 B/px uint8 instead of
+            // 8 B/px float64 — the r10 native-byte resampling path
+            "affine_u8" -> tMed(guarded(k("affine_u8"))(
+              forceT(Interp.affineTransformTyped(u8, 2, m, off,
+                order = 1, outDtype = DType.F32)))))
           base.unpersist(); u8.unpersist(); bin.unpersist()
         }
         def grp(m: Map[String, Double]) =
