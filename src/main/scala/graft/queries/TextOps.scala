@@ -952,27 +952,22 @@ object TextOps {
     * ≥ 2 distinct docs (corpus-duplicated), and the keep decision
     * n_dup·5 ≤ n_grams·4 (integer form of dup_frac ≤ 0.8 — exact, no
     * float boundary). Inverted-index shape: one groupBy on the shingle
-    * + one semi-join back keyed on it — linear in corpus tokens, a hot
-    * boilerplate shingle costs one reducer row; at 100 TB hash the
-    * shingle to 64-bit first so the shuffle carries fixed-width keys. */
+    * (a hot boilerplate shingle costs one reducer row) + one join back,
+    * then a per-doc aggregate — two scans of the shingle stream total;
+    * at 100 TB hash the shingle to 64-bit first so both shuffles carry
+    * fixed-width keys. Shingling is shared with the MinHash pipeline
+    * (`shingleRows`) by construction, not by copy. */
   val dupNgramDocFilter: Q = (s, dir) => {
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-        .as("ngram"))
-    val shared = grams.groupBy(col("ngram"))
+    val grams = shingleRows(t(s, dir, "documents"))
+      .withColumnRenamed("shingle", "ngram")
+    val occ = grams.groupBy(col("ngram"))
       .agg(count(lit(1)).as("nd")) // grams are distinct per doc → count = doc count
-      .filter(col("nd") >= 2)
-      .select(col("ngram"))
-    grams.join(shared, Seq("ngram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
-        Seq("doc_id"), "right_outer")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (coalesce(col("n_dup"), lit(0L)) * 5 <= col("n_grams") * 4).as("keep"))
+    grams.join(occ, Seq("ngram")) // inner: every gram occurs at least once
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup") * 5 <= col("n_grams") * 4).as("keep"))
       .orderBy(col("doc_id"))
   }
 
