@@ -126,12 +126,17 @@ object Bench {
     // pass condition.
     if (sys.env.contains("SPARK_GRAFT_ONEPASS")) {
       import scala.jdk.CollectionConverters._
+      val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+      // Reset per-pool peaks so the figure measures the PASS, not JVM
+      // startup / table-cache warm-up highs. Summing per-pool peaks that
+      // occur at different instants is still an upper bound on the true
+      // simultaneous peak — fine for the flat-sf1-vs-sf10 regression flag.
+      heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
       val res = headline.filter(qs.contains).map(n => n -> queryOnce(n))
       val wall = (System.nanoTime() - t0) / 1e9
-      val peakMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
-        .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
-        .map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
       val qj = res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       println(s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
@@ -234,7 +239,15 @@ object Bench {
     // so the baseline is the no-halo single-block run: the multi/single
     // ratio bounds the halo-exchange + merge tax (plus the win from 8-way
     // parallelism — a ratio < 1 means the parallelism pays for the halo).
-    // Timing mirrors the relational group: one warm-up, median of 3.
+    // Timing mirrors the relational group: one warm-up, median of 3,
+    // and — round 11 — the SAME floor/contention/spike machinery: floor
+    // probes interleave the kernel runs (tensor_floor / tensor_contended
+    // in the JSON), and a kernel whose multi/single ratio breaches the
+    // BASELINE.md ≤2 band gets ONE fresh re-measurement of BOTH layouts,
+    // kept unconditionally (a transient spike clears; a real regression
+    // reproduces and is reported at its re-run value). The round-10
+    // driver artifact recorded gaussian5 at ratio 3.35 with no way to
+    // tell contention from regression — this guard is the adjudicator.
     // Shuffle width is lifted to the block count for this group — the
     // relational width (1 at sf0.1) would serialize the 8-task exchange.
     val tensorOn = sys.env.getOrElse("SPARK_GRAFT_TENSOR", "1") == "1"
@@ -286,55 +299,119 @@ object Bench {
         def binarize(ds: org.apache.spark.sql.Dataset[Block]) =
           Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
         // a crashing kernel must not discard the whole pass: record the
-        // failure (same contract as queryOnce) and bench it as its elapsed
-        val times = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
-        def guarded(key: String)(f: => Unit): Double = {
-          val t0 = System.nanoTime()
+        // failure (same contract as queryOnce); its slot reports null in
+        // the JSON maps (a fast-failure elapsed is not kernel performance)
+        def guarded(key: String)(f: => Unit): Unit = {
           try f catch {
             case e: Throwable =>
               failed += key
               System.err.println(s"[bench] $key FAILED: ${e.getMessage}")
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        for ((vname, chunk) <- Seq(
-            "multi" -> Seq(256, 512), "single" -> Seq(1024, 1024))) {
-          val base = synth(chunk, s"bench_$vname").persist(persistLvl)
-          force(base)
-          val u8 = TBlock.fromBlocks(base, DType.U8).persist(persistLvl)
-          forceT(u8)
-          val bin = binarize(base).persist(persistLvl)
-          force(bin)
-          val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
-          val off = Array(0.5, -0.25)
-          def k(name: String) = s"tensor_${name}_$vname"
-          times(vname) = scala.collection.immutable.ListMap(
+        // Both layouts' inputs stay persisted for the whole group (≈25 MiB
+        // total) so a ratio-breach re-probe can re-run either side without
+        // rebuilding state.
+        val inputs = Seq("multi" -> Seq(256, 512), "single" -> Seq(1024, 1024))
+          .map { case (vname, chunk) =>
+            val base = synth(chunk, s"bench_$vname").persist(persistLvl)
+            force(base)
+            val u8 = TBlock.fromBlocks(base, DType.U8).persist(persistLvl)
+            forceT(u8)
+            val bin = binarize(base).persist(persistLvl)
+            force(bin)
+            vname -> ((base, u8, bin))
+          }.toMap
+        val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+        val off = Array(0.5, -0.25)
+        val kernelNames = Seq(
+          "gaussian5", "uniform3_u8", "label_stats", "affine_shift", "affine_u8")
+        def runKernel(kname: String, vname: String): Unit = {
+          val (base, u8, bin) = inputs(vname)
+          kname match {
             // σ=0.5, truncate=4 → radius 2: the 5×5 gaussian
-            "gaussian5" -> tMed(guarded(k("gaussian5"))(
-              force(Filters.gaussianFilter(base, Seq(0.5, 0.5))))),
-            "uniform3_u8" -> tMed(guarded(k("uniform3_u8"))(
-              forceT(Filters.uniformFilterTyped(u8, Seq(3, 3), DType.F32)))),
-            "label_stats" -> tMed(guarded(k("label_stats")) {
+            case "gaussian5" =>
+              force(Filters.gaussianFilter(base, Seq(0.5, 0.5)))
+            case "uniform3_u8" =>
+              forceT(Filters.uniformFilterTyped(u8, Seq(3, 3), DType.F32))
+            case "label_stats" =>
               val (lab, _) = Measure.label(bin, 2)
               Measure.area(bin, lab, 2).count(); ()
-            }),
-            "affine_shift" -> tMed(guarded(k("affine_shift"))(
-              force(Interp.affineTransform(base, 2, m, off, order = 1)))),
+            case "affine_shift" =>
+              force(Interp.affineTransform(base, 2, m, off, order = 1))
             // typed twin: the gather join ships 1 B/px uint8 instead of
             // 8 B/px float64 — the r10 native-byte resampling path
-            "affine_u8" -> tMed(guarded(k("affine_u8"))(
+            case "affine_u8" =>
               forceT(Interp.affineTransformTyped(u8, 2, m, off,
-                order = 1, outDtype = DType.F32)))))
-          base.unpersist(); u8.unpersist(); bin.unpersist()
+                order = 1, outDtype = DType.F32))
+          }
         }
-        def grp(m: Map[String, Double]) =
-          m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        val ratios = times("multi").map { case (k, v) =>
-          k -> v / math.max(times("single")(k), 1e-9)
+        def measure(kname: String, vname: String): Option[Double] = {
+          val key = s"tensor_${kname}_$vname"
+          val t = tMed(guarded(key)(runKernel(kname, vname)))
+          if (failed.contains(key)) None else Some(t)
         }
-        tensorJson = s""","tensor":${grp(times("multi"))}""" +
-          s""","tensor_single":${grp(times("single"))}""" +
-          s""","tensor_ratio":${grp(ratios)}"""
+        // One guarded pass over the group: floor probes bracket each
+        // kernel pair so a load spike that inflates the kernels inflates
+        // the floor too (same rationale as runPass); whole-group retry on
+        // a contended floor, bounded by the shared attempt budget.
+        def tensorPass(): (Map[String, Option[Double]], Map[String, Option[Double]], Seq[Double]) = {
+          val floors = scala.collection.mutable.ArrayBuffer(floorOnce())
+          val multi = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
+          val single = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
+          for (kname <- kernelNames) {
+            multi(kname) = measure(kname, "multi")
+            single(kname) = measure(kname, "single")
+            floors += floorOnce()
+          }
+          (scala.collection.immutable.ListMap(multi.toSeq: _*),
+            scala.collection.immutable.ListMap(single.toSeq: _*), floors.toSeq)
+        }
+        var tAttempt = 0
+        var tBest: (Map[String, Option[Double]], Map[String, Option[Double]], Seq[Double]) = null
+        var tBestFloor = Double.MaxValue
+        var tContended = true
+        while (tAttempt < maxAttempts && tContended) {
+          tAttempt += 1
+          val pass = tensorPass()
+          val fm = median(pass._3)
+          if (fm < tBestFloor) { tBestFloor = fm; tBest = pass }
+          tContended = tBestFloor > 3 * floorRef
+          if (tContended)
+            System.err.println(
+              f"[bench] tensor attempt $tAttempt contended: floor median $fm%.3f s > 3×$floorRef%.2f s")
+        }
+        var (tMulti, tSingle, tFloors) = (tBest._1, tBest._2, tBest._3)
+        // Ratio-breach re-probe: BASELINE.md's band says multi/single ≤ 2
+        // for every kernel. A breach gets ONE fresh median-of-3 of BOTH
+        // layouts, kept unconditionally — mirrors reprobeSpikes' contract
+        // (no min(old,new) one-sided filter).
+        for (kname <- kernelNames) {
+          (tMulti(kname), tSingle(kname)) match {
+            case (Some(mt), Some(st)) if mt > 2 * math.max(st, 1e-9) =>
+              val m2 = measure(kname, "multi")
+              val s2 = measure(kname, "single")
+              System.err.println(
+                f"[bench] tensor $kname ratio ${mt / st}%.2f breach -> re-measured " +
+                  f"multi ${m2.getOrElse(-1.0)}%.3f s single ${s2.getOrElse(-1.0)}%.3f s (kept)")
+              tMulti = tMulti.updated(kname, m2)
+              tSingle = tSingle.updated(kname, s2)
+            case _ =>
+          }
+        }
+        inputs.values.foreach { case (b, u, n) =>
+          b.unpersist(); u.unpersist(); n.unpersist()
+        }
+        def grp(m: Map[String, Option[Double]]) =
+          m.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
+            .mkString("{", ",", "}")
+        val ratios: Map[String, Option[Double]] = tMulti.map { case (k, v) =>
+          k -> (for (mv <- v; sv <- tSingle(k)) yield mv / math.max(sv, 1e-9))
+        }
+        tensorJson = s""","tensor":${grp(tMulti)}""" +
+          s""","tensor_single":${grp(tSingle)}""" +
+          s""","tensor_ratio":${grp(ratios)}""" +
+          s""","tensor_floor":${median(tFloors)}""" +
+          s""","tensor_contended":$tContended,"tensor_attempts":$tAttempt"""
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
