@@ -420,6 +420,15 @@ object TextOps {
     * same positive-mod arithmetic. */
   val minhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    val cand = minhashCandidates(docs).localCheckpoint(true)
+    // exact verify on candidates ONLY (shared candidate-restricted path)
+    verifyJaccardPairs(docs, cand)
+  }
+
+  /** MinHash LSH candidate pairs (da, db) — factored out un-checkpointed
+    * so PlanShapeSpec can assert the plan shape (one md5 pass, banded
+    * bucket join, no cartesian). */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
     // signature: array of 32 min-hashes per doc — 1 md5 + 32 affine maps
     val sigs = docs
       .select(col("doc_id"), toks.as("t"))
@@ -446,13 +455,10 @@ object TextOps {
     val bands = sigs.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 7), b -> concat_ws('|', b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
       .as(Seq("band", "bucket")))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-      .localCheckpoint(true)
-    // exact verify on candidates ONLY (shared candidate-restricted path)
-    verifyJaccardPairs(docs, cand)
   }
 
   val minhashNearDupSql: String =
@@ -951,21 +957,31 @@ object TextOps {
     * (the same shingling as the MinHash pipeline), how many occur in
     * ≥ 2 distinct docs (corpus-duplicated), and the keep decision
     * n_dup·5 ≤ n_grams·4 (integer form of dup_frac ≤ 0.8 — exact, no
-    * float boundary). Inverted-index shape: one groupBy on the shingle
-    * (a hot boilerplate shingle costs one reducer row) + one join back,
-    * then a per-doc aggregate — two scans of the shingle stream total;
-    * at 100 TB hash the shingle to 64-bit first so both shuffles carry
-    * fixed-width keys. Shingling is shared with the MinHash pipeline
-    * (`shingleRows`) by construction, not by copy. */
+    * float boundary). Inverted-index shape, skew-proof (round 11): the
+    * only shuffle on the shingle key is the groupBy (map-side partial
+    * aggregation absorbs a hot boilerplate shingle before the exchange);
+    * the join back to the gram stream is a BROADCAST left-outer probe of
+    * the SHARED set (nd ≥ 2 — a small fraction of distinct shingles), so
+    * a shingle appearing in millions of docs costs a hash-probe per gram
+    * row, never a single reducer partition. Two scans of the shingle
+    * stream total. At 100 TB hash the shingle to 64-bit first so the
+    * agg shuffle and the broadcast carry fixed-width keys; if the shared
+    * set ever outgrows the broadcast budget the fallback is
+    * `Lake.saltedJoin` on the gram stream — never a plain shuffle join
+    * on the raw shingle (pinned by PlanShapeSpec). Shingling is shared
+    * with the MinHash pipeline (`shingleRows`) by construction, not by
+    * copy. */
   val dupNgramDocFilter: Q = (s, dir) => {
     val grams = shingleRows(t(s, dir, "documents"))
       .withColumnRenamed("shingle", "ngram")
-    val occ = grams.groupBy(col("ngram"))
+    val shared = grams.groupBy(col("ngram"))
       .agg(count(lit(1)).as("nd")) // grams are distinct per doc → count = doc count
-    grams.join(occ, Seq("ngram")) // inner: every gram occurs at least once
+      .filter(col("nd") >= 2)
+      .select(col("ngram"), lit(1).as("is_dup"))
+    grams.join(broadcast(shared), Seq("ngram"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(coalesce(col("is_dup").cast("long"), lit(0L))).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup") * 5 <= col("n_grams") * 4).as("keep"))
       .orderBy(col("doc_id"))
