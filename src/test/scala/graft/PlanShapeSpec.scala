@@ -42,4 +42,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") && p.contains("TakeOrderedAndProject"),
       s"query vector must broadcast and top-k must stay partial:\n$p")
   }
+
+  test("dup_ngram_doc_filter: shared-set probe is a broadcast join, never a shuffle join on the raw ngram") {
+    // BASELINE.md's skew story: a boilerplate shingle in millions of docs
+    // must cost a hash-probe per gram row, not one reducer partition. The
+    // only ngram-keyed shuffle allowed is the partial-agg groupBy.
+    val p = plan("dup_ngram_doc_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shared (nd>=2) set must broadcast into the gram stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join on the raw ngram key (skew-exposed at corpus scale):\n$p")
+  }
+
+  test("minhash_near_dup candidates: ONE md5 pass, banded bucket join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sf001, "documents")
+    val cand = queries.TextOps.minhashCandidates(docs)
+    // The projection-collapse trap (BASELINE.md regression story): a
+    // two-select signature gets its md5/conv array re-inlined into the
+    // per-permutation lambda — 32 md5 evaluations per row. The pin: the
+    // signature must be ONE aggregate() fold whose INPUT array carries
+    // the md5 transform (aggregate evaluates its input exactly once by
+    // construction). The band self-join duplicates the subtree, so each
+    // pattern appears once PER JOIN BRANCH = 2.
+    val opt = cand.queryExecution.optimizedPlan.toString
+    assert("md5".r.findAllIn(opt).size == 2,
+      s"expected exactly one md5 per self-join branch, found " +
+        s"${"md5".r.findAllIn(opt).size} (signature shape changed — re-audit the fold):\n$opt")
+    assert("aggregate\\(transform\\(transform\\(".r.findAllIn(opt).size == 2,
+      s"signature must be one aggregate() fold over the md5-transformed " +
+        s"shingles (single-evaluation by construction):\n$opt")
+    val p = cand.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band self-join degenerated to all-pairs:\n$p")
+    assert(p.contains("bucket"), s"band bucket join key missing:\n$p")
+    // the verified output is unchanged by the factoring
+    assert(cand.filter(col("da") >= col("db")).count() == 0)
+  }
+
+  test("embedding_near_dup candidates: native sign_lsh_sig node, banded equi-join, no cartesian") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val cand = queries.Similarity.embeddingLshCandidates(emb)
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("sign_lsh_sig"),
+      s"native codegen signature expression lost (interpreted fallback?):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded self-join degenerated to all-pairs:\n$p")
+    // equi-join keyed on (label, bucket): a hot label shards into buckets
+    assert(p.contains("label") && p.contains("bucket"),
+      s"banded join keys missing:\n$p")
+  }
 }
