@@ -2,85 +2,161 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.ImageSource
 
-/** Multimodal columns (SURVEY.md §2C): image/audio/video payloads as
-  * opaque BINARY columns with typed metadata, processed by batch
-  * transforms whose Spark-side plumbing (schema, partitioning, batch
-  * shape) is real even where the codec is a deterministic stub.
+/** Multimodal columns (SURVEY.md §2C): image/video payloads as opaque
+  * BINARY columns beside typed metadata, decoded by the engine's REAL
+  * codecs (round 11 — the deterministic fake-decode stub is gone).
   *
-  * The asset table is derived from `documents` (text bytes as the
-  * payload — the only binary-capable source in the testdata), with the
-  * same schema a real lake would use:
+  * The asset table is synthesized distributedly from `documents`: each
+  * doc rasterizes to a deterministic pixel grid and is ENCODED with the
+  * repo's own writers — RGB PNG (modality "image", lossless, via the
+  * same javax.imageio path `imread_rgb` gates) and multi-page LZW TIFF
+  * (modality "video", one page per frame, via the strip writer the TIFF
+  * decode gates use). Queries then decode the payloads back with
+  * `ImageSource.decodeRgb` / `decodeTiff` — the identical code path a
+  * real image lake would run after `spark.read.format("binaryFile")` —
+  * and reduce to integer-exact features the DuckDB oracle recomputes
+  * from the pixel formula (lossless codecs ⇒ byte-exact oracles; the
+  * lossy-JPEG determinism pattern lives in `imread_jpeg`).
+  *
+  * Schema is the lake shape:
   *   (asset_id LONG, modality STRING, payload BINARY,
-  *    meta STRUCT<n_bytes LONG, checksum STRING>)
+  *    meta STRUCT<h INT, w INT, n_frames INT, n_bytes LONG>)
   *
-  * The DECODE seam is the stub: `fakeDecode` maps payload bytes to a
-  * deterministic fixed-shape feature vector (a real JPEG/audio decoder
-  * drops into the same mapPartitions seam without touching the plan).
-  * Feature extraction, resizing to k dims, and frame-sampling run as
-  * real distributed transforms and are oracle-checked from the bytes.
+  * 100 TB design: encode and decode are per-row map work — no shuffle,
+  * no driver state; a real corpus swaps the synthesizer for a binaryFile
+  * scan and keeps every downstream line. Feature extraction shuffles
+  * only the (asset_id, stats) rows, never pixels.
   */
 object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
   import graft.Tables.t
 
-  /** The asset table: documents' text encoded as binary payloads. */
-  def assets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id").as("asset_id"),
-      lit("text").as("modality"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        length(col("text")).cast("long").as("n_bytes"),
-        md5(col("text")).as("checksum")).as("meta"))
+  /** Deterministic per-doc geometry: h ∈ {16,24,32}, w ∈ {16..48},
+    * n_frames ∈ {3..6} — varied so a transposed axis or dropped frame
+    * breaks the hash. */
+  private def geoH(docId: Long): Int = 16 + (docId % 3).toInt * 8
+  private def geoW(docId: Long): Int = 16 + (docId % 5).toInt * 8
+  private def geoF(docId: Long): Int = 3 + (docId % 4).toInt
 
-  /** Metadata + a stubbed 4-dim feature vector per asset. The "decode"
-    * is the deterministic stand-in for the absent image/audio codecs:
-    * features = byte-histogram moments over fixed payload strides —
-    * fully reproducible by the oracle from the same bytes. */
+  /** Image pixel formula, channel-last: every (doc, channel) plane is a
+    * distinct affine shift so channel swaps are detectable. */
+  private def imgPx(nChars: Long, docId: Long, i: Int, j: Int, c: Int): Int =
+    ((nChars + 7 * docId + 3 * i + 5 * j + 85 * c) % 256).toInt
+
+  /** Video (grayscale) pixel formula; the 11·f term orders frames. */
+  private def vidPx(nChars: Long, docId: Long, f: Int, i: Int, j: Int): Int =
+    ((nChars + 7 * docId + 11 * f + 3 * i + 5 * j) % 256).toInt
+
+  private case class Asset(asset_id: Long, modality: String,
+      payload: Array[Byte], h: Int, w: Int, n_frames: Int)
+
+  /** The asset table: one PNG image + one multi-page TIFF video per doc,
+    * payloads encoded distributedly (per-row map, no shuffle). */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    docs.flatMap { case (docId, nChars) =>
+      val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
+      val rgb = new Array[Byte](h * w * 3)
+      for (i <- 0 until h; j <- 0 until w; c <- 0 until 3)
+        rgb((i * w + j) * 3 + c) = imgPx(nChars, docId, i, j, c).toByte
+      val png = ImageSource.encodeRgb(h, w, rgb, "png")
+      val pages = (0 until nf).map { f =>
+        val px = new Array[Double](h * w)
+        for (i <- 0 until h; j <- 0 until w)
+          px(i * w + j) = vidPx(nChars, docId, f, i, j).toDouble
+        (h, w, px)
+      }
+      val tiff = ImageSource.encodeTiffPages(pages, lzw = true)
+      Seq(Asset(docId, "image", png, h, w, 1),
+        Asset(docId, "video", tiff, h, w, nf))
+    }.toDF()
+      .select(col("asset_id"), col("modality"), col("payload"),
+        struct(col("h"), col("w"), col("n_frames"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Image features through the REAL PNG decode: geometry + per-channel
+    * pixel sums (the channel-balance QC a vision pipeline runs right
+    * after decode). Integer-exact, so the oracle recomputes every value
+    * from the pixel formula. */
   val multimodalFeatures: Q = (s, dir) => {
+    import s.implicits._
     assets(s, dir)
-      .select(col("asset_id"), col("modality"),
-        col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"),
-        // stride-sampled byte statistics = the fake decode output
-        substring(base64(col("payload")), 1, 8).as("head_b64"))
+      .filter(col("modality") === "image")
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (assetId, payload) =>
+        val (h, w, px) = ImageSource.decodeRgb(payload)
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < h * w) {
+          var c = 0
+          while (c < 3) { sums(c) += px(p * 3 + c) & 0xff; c += 1 }
+          p += 1
+        }
+        (assetId, h, w, 3, sums(0), sums(1), sums(2))
+      }.toDF("asset_id", "h", "w", "nc", "sum_r", "sum_g", "sum_b")
       .orderBy(col("asset_id"))
   }
 
   val multimodalFeaturesSql: String =
-    """SELECT doc_id AS asset_id, 'text' AS modality,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  md5(text) AS checksum,
-      |  substr(to_base64(encode(text)), 1, 8) AS head_b64
-      |FROM documents ORDER BY asset_id""".stripMargin
+    """WITH geo AS (
+      |  SELECT doc_id, n_chars,
+      |    16 + (doc_id % 3) * 8 AS h, 16 + (doc_id % 5) * 8 AS w
+      |  FROM documents),
+      |ri AS (SELECT *, unnest(range(0, h)) AS i FROM geo),
+      |cells AS (SELECT *, unnest(range(0, w)) AS j FROM ri),
+      |px AS (
+      |  SELECT doc_id, h, w, c.c AS c,
+      |    (n_chars + 7 * doc_id + 3 * i + 5 * j + 85 * c.c) % 256 AS p
+      |  FROM cells CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c)
+      |SELECT doc_id AS asset_id, CAST(h AS INT) AS h, CAST(w AS INT) AS w,
+      |  3 AS nc,
+      |  CAST(sum(CASE WHEN c = 0 THEN p END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN c = 1 THEN p END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN c = 2 THEN p END) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, h, w ORDER BY asset_id""".stripMargin
 
-  /** Frame sampling: treat each payload as a stream of fixed-size
-    * "frames" (64-byte windows) and keep every k-th — the video
-    * frame-sample plumbing (explode + stride filter, distributed). */
+  /** Frame sampling through the REAL multi-page TIFF decode: keep every
+    * 2nd frame of each video payload, one (sum, count) row per sampled
+    * frame — the video keyframe-extraction plumbing with the LZW strip
+    * decoder in the hot path. */
   val multimodalFrameSample: Q = (s, dir) => {
+    import s.implicits._
     assets(s, dir)
-      // guard: Spark's sequence(0, -1) DESCENDS, so a payload under one
-      // frame would fabricate frames; the oracle's range(0,0) is empty
-      .filter(col("meta.n_bytes") >= 64)
-      .select(col("asset_id"), explode(expr(
-        "transform(sequence(0, CAST(meta.n_bytes AS INT) div 64 - 1), " +
-          "f -> named_struct('frame', f, 'bytes', substring(payload, f * 64 + 1, 64)))"))
-        .as("fr"))
-      .filter(col("fr.frame") % 4 === 0) // sample every 4th frame
-      .select(col("asset_id"), col("fr.frame").as("frame"),
-        md5(col("fr.bytes")).as("frame_checksum"))
+      .filter(col("modality") === "video")
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (assetId, payload) =>
+        ImageSource.decodeTiff(payload).zipWithIndex.collect {
+          case ((h, w, px), f) if f % 2 == 0 =>
+            var sum = 0L
+            var p = 0
+            while (p < px.length) { sum += px(p).toLong; p += 1 }
+            (assetId, f, sum, h.toLong * w)
+        }
+      }.toDF("asset_id", "frame", "sum_p", "n_px")
       .orderBy(col("asset_id"), col("frame"))
   }
 
   val multimodalFrameSampleSql: String =
-    """SELECT doc_id AS asset_id, f AS frame,
-      |  md5(substr(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_checksum
-      |FROM (
-      |  SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS f
-      |  FROM documents)
-      |WHERE f % 4 = 0
-      |ORDER BY asset_id, frame""".stripMargin
+    """WITH geo AS (
+      |  SELECT doc_id, n_chars,
+      |    16 + (doc_id % 3) * 8 AS h, 16 + (doc_id % 5) * 8 AS w,
+      |    3 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (SELECT *, unnest(range(0, nf)) AS f FROM geo),
+      |ri AS (SELECT * FROM (SELECT *, unnest(range(0, h)) AS i FROM fr)
+      |       WHERE f % 2 = 0),
+      |cells AS (SELECT *, unnest(range(0, w)) AS j FROM ri)
+      |SELECT doc_id AS asset_id, CAST(f AS INT) AS frame,
+      |  CAST(sum((n_chars + 7 * doc_id + 11 * f + 3 * i + 5 * j) % 256)
+      |    AS BIGINT) AS sum_p,
+      |  count(*) AS n_px
+      |FROM cells GROUP BY doc_id, f ORDER BY asset_id, frame""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
