@@ -439,16 +439,45 @@ object Similarity {
     * are exact integers and both engines accumulate the dot products in
     * array order, so the compare is the same shape as `cosine_topk`. */
   val embeddingQuantTopk: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    import graft.tensor.DType
     val e = t(s, dir, "embeddings").select(col("vec_id"), vecD.as("v"))
     val sc = e.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(expr("transform(array_sort(collect_list(struct(d, mn, mx))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(d, mn, mx))), s -> s.mx)").as("mxs"))
-    val deq = e.crossJoin(broadcast(sc))
-      .select(col("vec_id"), expr(
-        """zip_with(v, zip_with(mns, mxs, (a, b) -> named_struct('mn', a, 'mx', b)),
-          |  (x, s) -> s.mn + round((x - s.mn) * 255D / (s.mx - s.mn)) * (s.mx - s.mn) / 255D)"""
-          .stripMargin).as("dv"))
+    // Encode: pack each vector's codes as a TYPED INT8 payload via the
+    // DType.I8 codec — 64 bytes/vector, the actual storage format the
+    // 4×/8× memory claim rests on (r11: the codes no longer ride a
+    // double array between quantize and dequantize). Codes are
+    // re-centered to [−128, 127] so the signed byte domain is exact.
+    val codes = e.crossJoin(broadcast(sc))
+      .select(col("vec_id"), col("v"), col("mns"), col("mxs"))
+      .as[(Long, Seq[Double], Seq[Double], Seq[Double])]
+      .map { case (id, v, mns, mxs) =>
+        val c = new Array[Double](v.length)
+        var i = 0
+        while (i < c.length) {
+          c(i) = math.round((v(i) - mns(i)) * 255.0 / (mxs(i) - mns(i))) - 128.0
+          i += 1
+        }
+        (id, DType.I8.encode(c))
+      }.toDF("vec_id", "codes")
+    // Decode: dequantize FROM the packed i8 bytes with the same scale
+    // table; arithmetic replays the oracle's ops in the oracle's order.
+    val deq = codes.crossJoin(broadcast(sc))
+      .as[(Long, Array[Byte], Seq[Double], Seq[Double])]
+      .map { case (id, bytes, mns, mxs) =>
+        val cs = DType.I8.decode(bytes)
+        val dv = new Array[Double](cs.length)
+        var i = 0
+        while (i < dv.length) {
+          dv(i) = mns(i) + (cs(i) + 128.0) * (mxs(i) - mns(i)) / 255.0
+          i += 1
+        }
+        (id, dv.toSeq)
+      }.toDF("vec_id", "dv")
     val q = deq.filter(col("vec_id") === 0).select(col("dv").as("qdv"))
     deq.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))

@@ -1116,10 +1116,43 @@ object TensorQueries {
        |  (CAST(round(v * 1000) AS BIGINT) % 65536 + 65536) % 65536 AS u
        |FROM grid WHERE i >= 16 ORDER BY i, j""".stripMargin
 
+  /** int8 twin (r11 — the quantized-embedding dtype): signed-wrap
+    * quantization at ×100 mod 256 re-centered to [−128, 127], stored at
+    * 1 byte/pixel (`dtype:"int8"` in the manifest — TensorStoreSpec),
+    * read back byte-exact under the same frame-range pruning. Negative
+    * values are guaranteed by the re-centering, so the signed decode is
+    * genuinely exercised. */
+  val tensorStoreInt8Roundtrip: Q = (s, dir) => {
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_i8_${math.abs(dir.hashCode)}").toString
+    val spark = s
+    import spark.implicits._
+    val i8 = TBlock.fromBlocks(
+      Images.eventsRaster(s, dir).map { b =>
+        b.copy(data = b.data.map(v =>
+          ((math.round(v * 100) % 256 + 384) % 256 - 128).toDouble))
+      }, DType.I8)
+    graft.sources.TensorStore.writeTyped(i8, store)
+    graft.sources.TensorStore.readTyped(s, store, frameRange = Some((1, 2)))
+      .flatMap { b =>
+        val h = b.shape(0); val w = b.shape(1)
+        for (i <- 0 until h; j <- 0 until w)
+          yield (b.origin(0) + i, b.origin(1) + j, b.data(i * w + j).toLong)
+      }.toDF("i", "j", "q")
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorStoreInt8RoundtripSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j,
+       |  (CAST(round(v * 100) AS BIGINT) % 256 + 384) % 256 - 128 AS q
+       |FROM grid WHERE i >= 16 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtrip,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8Roundtrip,
     "tensor_store_uint16_roundtrip" -> tensorStoreUint16Roundtrip,
+    "tensor_store_int8_roundtrip" -> tensorStoreInt8Roundtrip,
     "tensor_3d_uniform" -> tensor3dUniform,
     "tensor_measure_extended" -> tensorMeasureExtended,
     "tensor_conv_corr" -> tensorConvCorr,
@@ -1162,6 +1195,7 @@ object TensorQueries {
     "tensor_store_roundtrip" -> tensorStoreRoundtripSql,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8RoundtripSql,
     "tensor_store_uint16_roundtrip" -> tensorStoreUint16RoundtripSql,
+    "tensor_store_int8_roundtrip" -> tensorStoreInt8RoundtripSql,
     "tensor_3d_uniform" -> tensor3dUniformSql,
     "tensor_measure_extended" -> tensorMeasureExtendedSql,
     "tensor_conv_corr" -> tensorConvCorrSql,

@@ -39,6 +39,13 @@ object DType {
     def write(d: Array[Byte], i: Int, v: Double): Unit =
       d(i) = (math.round(v) & 0xffL).toByte
   }
+  case object I8 extends DType("int8", 1) {
+    // int8 is the quantized-embedding dtype (the 100 TB ANN storage
+    // format); round-then-wrap like every integer codec here.
+    def read(d: Array[Byte], i: Int): Double = d(i).toDouble
+    def write(d: Array[Byte], i: Int, v: Double): Unit =
+      d(i) = math.round(v).toByte
+  }
   case object BOOL extends DType("bool", 1) {
     def read(d: Array[Byte], i: Int): Double = if (d(i) != 0) 1.0 else 0.0
     def write(d: Array[Byte], i: Int, v: Double): Unit =
@@ -154,6 +161,29 @@ object DType {
       while (k < 8) { d(8 * i + k) = (bits & 0xff).toByte; bits >>>= 8; k += 1 }
     }
   }
+  case object U64 extends DType("uint64", 8) {
+    // Unsigned decode through Double: exact up to 2^53 and MONOTONE over
+    // the whole unsigned range (values < 2^63 sort below values ≥ 2^63,
+    // so order statistics on decoded u64 stay correct); values past 2^53
+    // round like NumPy's astype(float64).
+    def read(d: Array[Byte], i: Int): Double = {
+      var bits = 0L
+      var k = 7
+      while (k >= 0) { bits = (bits << 8) | (d(8 * i + k) & 0xffL); k -= 1 }
+      if (bits >= 0L) bits.toDouble
+      else (bits & Long.MaxValue).toDouble + 9.223372036854775808e18
+    }
+    def write(d: Array[Byte], i: Int, v: Double): Unit = {
+      // [2^63, 2^64) doesn't fit a signed round: shift down by 2^63,
+      // round, then restore the top bit; negatives wrap mod 2^64 through
+      // the signed bit pattern (the unsigned twin of I64's path)
+      var bits = if (v >= 9.223372036854775808e18)
+        math.round(v - 9.223372036854775808e18) | Long.MinValue
+      else math.round(v)
+      var k = 0
+      while (k < 8) { d(8 * i + k) = (bits & 0xff).toByte; bits >>>= 8; k += 1 }
+    }
+  }
   case object F64 extends DType("float64", 8) {
     def read(d: Array[Byte], i: Int): Double = {
       var bits = 0L
@@ -195,7 +225,7 @@ object DType {
     d(4 * i + 2) = ((v >> 16) & 0xff).toByte; d(4 * i + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  val all: Seq[DType] = Seq(BOOL, U8, U16, I16, I32, U32, I64, F16, F32, F64, C64, C128)
+  val all: Seq[DType] = Seq(BOOL, I8, U8, U16, I16, I32, U32, I64, U64, F16, F32, F64, C64, C128)
   def of(name: String): DType = all.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(s"unknown dtype: $name"))
 }

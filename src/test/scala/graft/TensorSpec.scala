@@ -137,12 +137,15 @@ class TensorSpec extends SparkSpec {
     for (dt <- DType.all) {
       val in = dt match {
         case DType.BOOL => vals.map(v => if (v != 0.0) 1.0 else 0.0)
+        case DType.I8 => vals.map(v => math.round(v).toByte.toDouble)
         case DType.U8 => vals.map(v => ((math.round(v) % 256 + 256) % 256).toDouble)
         case DType.U16 => vals.map(v => ((math.round(v) % 65536 + 65536) % 65536).toDouble)
         case DType.I16 => vals.map(v => math.round(v).toShort.toDouble)
         case DType.I32 => vals.map(v => math.round(v).toInt.toDouble)
         case DType.U32 => vals.map(v => (math.round(v) & 0xffffffffL).toDouble)
         case DType.I64 => vals.map(v => math.round(v).toDouble)
+        case DType.U64 => vals.map(v => // lossy past 2^53: settle once
+          DType.U64.decode(DType.U64.encode(Array(v)))(0))
         case DType.F16 => vals.map(v => // half is a PROJECTION: settle once
           DType.F16.decode(DType.F16.encode(Array(v)))(0))
         case DType.F32 | DType.C64 => vals.map(_.toFloat.toDouble)
@@ -169,6 +172,22 @@ class TensorSpec extends SparkSpec {
     assert(h1(tie + math.pow(2, -30)) == 1.0009765625,
       s"f16 above-tie must round up: ${h1(tie + math.pow(2, -30))}")
     assert(h1(-(tie + math.pow(2, -30))) == -1.0009765625, "f16 sign symmetry")
+    // i8 wrap semantics (NumPy astype): 130 → -126, -129 → 127
+    def i8(v: Double): Double = DType.I8.decode(DType.I8.encode(Array(v)))(0)
+    assert(i8(130.0) == -126.0 && i8(-129.0) == 127.0 && i8(-1.0) == -1.0,
+      s"i8 wrap: ${i8(130.0)}, ${i8(-129.0)}, ${i8(-1.0)}")
+    // u64: the 2^63 boundary survives, the top of the range decodes
+    // unsigned, and decode is MONOTONE across the sign-bit seam (the
+    // property order statistics rely on)
+    def u64(v: Double): Double = DType.U64.decode(DType.U64.encode(Array(v)))(0)
+    val p63 = 9.223372036854775808e18
+    assert(u64(p63) == p63, s"u64 2^63: ${u64(p63)}")
+    assert(u64(p63 + 4096) == p63 + 4096, s"u64 above 2^63: ${u64(p63 + 4096)}")
+    assert(u64(1.0) == 1.0 && u64(4503599627370496.0) == 4503599627370496.0)
+    val u64ordered = Seq(0.0, 1.0, 255.0, 4294967296.0, 9.007199254740992e15,
+      p63 - 2048, p63, p63 + 4096, 1.8446744073709550e19).map(u64)
+    assert(u64ordered == u64ordered.sorted,
+      s"u64 decode must be monotone across the sign seam: $u64ordered")
     // byte-domain u8 min/max == float64 kernels on the same quantized image
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = ((i * 7919 + 13) % 256).toDouble

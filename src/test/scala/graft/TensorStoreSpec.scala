@@ -107,6 +107,45 @@ class TensorStoreSpec extends SparkSpec {
       "i32 label image changed across the store round-trip")
   }
 
+  test("typed store: int8 and uint64 round-trip at native widths (r11 dtype-set cap)") {
+    val s = spark
+    import s.implicits._
+    // i8: signed-wrapped quantization — negative values must survive
+    val dirI8 = java.nio.file.Files.createTempDirectory("graft_store_i8").toString
+    val i8 = TBlock.fromBlocks(
+      Images.eventsRaster(spark, sf0001).map { b =>
+        b.copy(data = b.data.map(v =>
+          ((math.round(v * 100) % 256 + 384) % 256 - 128).toDouble))
+      }, DType.I8)
+    assert(i8.collect().exists(_.toBlock.data.exists(_ < 0.0)),
+      "fixture never exercises negative int8 values")
+    val beforeI8 = i8.collect().map(b => b.idx -> b.data.toSeq).toMap
+    TensorStore.writeTyped(i8, dirI8)
+    val backI8 = TensorStore.readTyped(spark, dirI8).collect()
+    assert(backI8.map(b => b.idx -> b.data.toSeq).toMap == beforeI8,
+      "i8 payload changed across the store round-trip")
+    assert(backI8.forall(b => b.dtype == "int8" &&
+      b.data.length == b.shape.product), "i8 payload not 1 byte/elem")
+    assert(TensorStore.attrs(spark, dirI8).head._6 == "int8")
+    // u64: values above 2^32 (and the sign-bit seam) must survive
+    val dirU64 = java.nio.file.Files.createTempDirectory("graft_store_u64").toString
+    val u64 = TBlock.fromBlocks(
+      Images.eventsRaster(spark, sf0001).map { b =>
+        b.copy(data = b.data.zipWithIndex.map { case (v, i) =>
+          math.round(v * 100).toDouble * 4294967296.0 +
+            (if (i % 7 == 0) 9.223372036854775808e18 else 0.0)
+        })
+      }, DType.U64)
+    val beforeU64 = u64.collect().map(b => b.idx -> b.data.toSeq).toMap
+    TensorStore.writeTyped(u64, dirU64)
+    val backU64 = TensorStore.readTyped(spark, dirU64).collect()
+    assert(backU64.map(b => b.idx -> b.data.toSeq).toMap == beforeU64,
+      "u64 payload changed across the store round-trip")
+    assert(backU64.forall(b => b.dtype == "uint64" &&
+      b.data.length == b.shape.product * 8), "u64 payload not 8 bytes/elem")
+    assert(TensorStore.attrs(spark, dirU64).head._6 == "uint64")
+  }
+
   test("mixed geometry under one imageId fails the write loudly") {
     val s = spark
     import s.implicits._
