@@ -423,6 +423,14 @@ object ImageSource {
       val bytesPerPx = if (bps == 8L) 1 else 2
       val out = new Array[Byte](h * w * bytesPerPx)
 
+      // Compressed segments need the real stream length: falling back to
+      // expectedLen (the UNCOMPRESSED size) silently truncates any LZW/
+      // PackBits stream that expanded past the raw size (possible on
+      // tiny or noisy segments) and mis-decodes instead of failing.
+      require(comp == 1L || (if (tiled) tileCounts.nonEmpty else stripCounts.nonEmpty),
+        s"TIFF: compression $comp without the byte-count tag " +
+          s"(${if (tiled) "325 TileByteCounts" else "279 StripByteCounts"}) — " +
+          "stream lengths cannot be inferred")
       // one compressed segment (strip or tile) → raw bytes
       def segment(off: Int, compLen: Int, expectedLen: Int): Array[Byte] = comp match {
         case 1L =>

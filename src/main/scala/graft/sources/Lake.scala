@@ -61,9 +61,27 @@ object Lake {
     * hashing the full row makes the salt vary WITHIN a hot key, which
     * hashing the join key alone would not. */
   /** The fact-side salt expression — factored so LakeSpec pins spread
-    * and retry-determinism on the expression the join actually uses. */
-  private[graft] def saltCol(left: DataFrame, salt: Int) =
-    pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt))
+    * and retry-determinism on the expression the join actually uses.
+    *
+    * hash() rejects MapType columns (map iteration order is undefined,
+    * so Spark refuses to hash them), so maps are EXCLUDED from the salt
+    * mix — frames carrying a map column salt on their remaining columns.
+    * Known limit, shared with any deterministic row-content salt: fully
+    * identical duplicate rows of a hot key hash to one salt and don't
+    * spread; rows must differ somewhere outside their map columns for
+    * the salt to vary within a key. */
+  private[graft] def saltCol(left: DataFrame, salt: Int) = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = left.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedJoin: every left column contains a map — nothing hashable to salt on")
+    pmod(hash(hashable.toIndexedSeq: _*), lit(salt))
+  }
 
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salt: Int): DataFrame = {

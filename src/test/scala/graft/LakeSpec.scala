@@ -63,6 +63,16 @@ class LakeSpec extends SparkSpec {
     val byRowR = reparted.select(col("payload"), Lake.saltCol(reparted, 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(byRow == byRowR, "salt depends on partitioning — not retry-safe")
+    // map columns can't be hashed (Spark refuses MapType in hash());
+    // saltCol must exclude them instead of throwing AnalysisException,
+    // and the join must still be exact with a map aboard
+    val withMap = left.withColumn("m", map(col("k"), col("payload")))
+    val saltedMap = Lake.saltedJoin(withMap, right, "k", "rk", salt = 8)
+      .agg(count(lit(1)), sum("rv"), sum("payload")).collect().head
+    assert(plain == saltedMap, s"salted join with map column diverges: $plain vs $saltedMap")
+    assert(withMap.filter(col("k") === 7L)
+      .select(Lake.saltCol(withMap, 8).as("s")).distinct().count() > 1,
+      "salt constant within hot key once maps are excluded")
   }
 
   test("compact: many small files become few range-sorted files, content preserved") {
