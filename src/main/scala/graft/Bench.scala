@@ -27,6 +27,63 @@ object Bench {
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
     "pack_sequences", "shuffle_shards")
 
+  /** The ANN headliners (round 11): the three approximate top-k paths,
+    * benched with RECALL against the exact brute-force top-10 — an ANN
+    * operator that got fast by returning the wrong neighbors must fail
+    * the artifact, not pass on wall-clock alone. Floors are the sf1
+    * measured values minus slack (BASELINE.md ann table); a key below
+    * its floor lands in `failed`. */
+  val annHeadline: Seq[(String, Double)] = Seq(
+    "ivf_cosine_topk" -> 0.8,
+    "ann_hyperplane_topk" -> 0.2,
+    "embedding_quantize_topk" -> 0.8)
+
+  /** Deterministic synthetic grid for the tensor benches: pixel (gi, gj)
+    * = ((gi·1315423911 + gj·2654435761) >>> 7) mod 256, blockified at
+    * `chunk` — built from a `spark.range` leaf over the CELL count, so
+    * the block table is distributed at any grid size (the same property
+    * the r10 needs-table fix pinned for affine). */
+  private def synthBlocks(spark: SparkSession, H: Int, W: Int,
+      chunk: Seq[Int], id: String): org.apache.spark.sql.Dataset[graft.tensor.Block] = {
+    import spark.implicits._
+    val gh = (H + chunk(0) - 1) / chunk(0)
+    val gw = (W + chunk(1) - 1) / chunk(1)
+    val (ch, cw) = (chunk(0), chunk(1))
+    spark.range(gh.toLong * gw).map { cell =>
+      val bi = (cell / gw).toInt; val bj = (cell % gw).toInt
+      val oi = bi * ch; val oj = bj * cw
+      val h = math.min(ch, H - oi); val w = math.min(cw, W - oj)
+      val data = new Array[Double](h * w)
+      var i = 0
+      while (i < h) {
+        var j = 0
+        while (j < w) {
+          val gi = oi + i; val gj = oj + j
+          data(i * w + j) =
+            (((gi * 1315423911L + gj * 2654435761L) >>> 7) % 256L).toDouble
+          j += 1
+        }
+        i += 1
+      }
+      graft.tensor.Block(id, Seq(bi, bj), Seq(oi, oj), Seq(h, w), chunk, Seq(H, W), data)
+    }
+  }
+
+  private def forceB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(_.data.length.toLong).reduce(_ + _); ()
+  }
+
+  private def forceTB(ds: org.apache.spark.sql.Dataset[graft.tensor.TBlock]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(_.data.length.toLong).reduce(_ + _); ()
+  }
+
+  private def binarizeB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]) =
+    graft.tensor.Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -145,6 +202,63 @@ object Bench {
       return
     }
 
+    // Big-grid tensor one-pass smoke (round 11 — the tensor twin of the
+    // sf10 relational row): SPARK_GRAFT_TENSOR_SMOKE=<side> runs
+    // gaussian5 + label_stats + affine_u8 ONCE over a side² grid in
+    // 256×512 blocks (8192² default → 512 blocks, 64× the bench
+    // synthetic) and reports wall + peak heap. Nothing is persisted —
+    // every kernel streams from the Range-leaf synth — so peak heap
+    // tracks per-kernel operator state (halo slabs, CC edge tables,
+    // gather needs rows), the metadata classes that must grow with the
+    // BLOCK, not the grid. Flat heap 1024² → 8192² is the pass bar.
+    if (sys.env.contains("SPARK_GRAFT_TENSOR_SMOKE")) {
+      import scala.jdk.CollectionConverters._
+      import graft.tensor._
+      val side = sys.env("SPARK_GRAFT_TENSOR_SMOKE") match {
+        case "" | "1" => 8192
+        case v => v.toInt
+      }
+      val chunk = Seq(256, 512)
+      val nBlocks = ((side + 255) / 256).toLong * ((side + 511) / 512)
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+      heapPools.foreach(_.resetPeakUsage())
+      def smokeOnce(key: String)(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try f catch {
+          case e: Throwable =>
+            failed += key
+            System.err.println(s"[bench] $key FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = synthBlocks(spark, side, side, chunk, "smoke")
+      val t0 = System.nanoTime()
+      val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+      val off = Array(0.5, -0.25)
+      val res = Seq(
+        "gaussian5" -> smokeOnce("tensor_smoke_gaussian5")(
+          forceB(Filters.gaussianFilter(base, Seq(0.5, 0.5)))),
+        "label_stats" -> smokeOnce("tensor_smoke_label_stats") {
+          val bin = binarizeB(base)
+          val (lab, _) = Measure.label(bin, 2)
+          Measure.area(bin, lab, 2).count(); ()
+        },
+        "affine_u8" -> smokeOnce("tensor_smoke_affine_u8")(
+          forceTB(Interp.affineTransformTyped(
+            TBlock.fromBlocks(base, DType.U8), 2, m, off,
+            order = 1, outDtype = DType.F32))))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+      val qj = res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"tensor_onepass","value":$wall,"unit":"sec","queries":$qj,""" +
+        s""""failed":$fj,"peak_heap_mb":$peakMb,"side":$side,"blocks":$nBlocks}""")
+      spark.stop()
+      return
+    }
+
     /** One full measurement pass. Floor probes are INTERLEAVED between
       * query groups (before, every 4 queries, after) so a load spike that
       * inflates the queries inflates the floor samples too — the round-7
@@ -232,6 +346,39 @@ object Bench {
       llmJson = s""","llm":$lj,"llm_total":${llm.map(_._2).sum}"""
     }
 
+    // ------------------------------------------------------ ANN group
+    // Wall + recall for the approximate top-k paths. Recall = overlap of
+    // the ANN top-10 vec_ids with the exact brute-force top-10 (the
+    // cosine_topk headline result) — 10 driver rows per key, no corpus
+    // collect. Same timing protocol as the main pass; rides its
+    // contention verdict like the LLM group.
+    val annOn = sys.env.getOrElse("SPARK_GRAFT_ANN", "1") == "1"
+    var annJson = ""
+    if (annOn && annHeadline.forall { case (n, _) => qs.contains(n) }) {
+      val truth = qs("cosine_topk")(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val annRaw = annHeadline.map { case (name, _) =>
+        (1 to warmups).foreach(_ => queryOnce(name))
+        name -> queryMedian3(name)
+      }
+      val ann = reprobeSpikes(annRaw)
+      val recalls = annHeadline.map { case (name, floor) =>
+        val ids = qs(name)(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val r = ids.intersect(truth).size / math.max(truth.size, 1).toDouble
+        if (r < floor) {
+          failed += s"${name}_recall"
+          System.err.println(f"[bench] $name recall $r%.2f below floor $floor%.2f")
+        }
+        name -> r
+      }
+      val aj = ann.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val rj = recalls.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      annJson = s""","ann":$aj,"ann_total":${ann.map(_._2).sum},"ann_recall":$rj"""
+    }
+
     // ---------------------------------------------- tensor headline group
     // (BASELINE.md "Tensor kernels"): four kernels over a deterministic
     // 1024×1024 synthetic in 8 chunks (256×512) vs the SAME kernel over
@@ -253,38 +400,11 @@ object Bench {
     val tensorOn = sys.env.getOrElse("SPARK_GRAFT_TENSOR", "1") == "1"
     var tensorJson = ""
     if (tensorOn) {
-      import spark.implicits._
       import graft.tensor._
       val H = 1024; val W = 1024
-      def synth(chunk: Seq[Int], id: String): org.apache.spark.sql.Dataset[Block] = {
-        val gh = (H + chunk(0) - 1) / chunk(0)
-        val gw = (W + chunk(1) - 1) / chunk(1)
-        val (ch, cw) = (chunk(0), chunk(1))
-        spark.range(gh.toLong * gw).map { cell =>
-          val bi = (cell / gw).toInt; val bj = (cell % gw).toInt
-          val oi = bi * ch; val oj = bj * cw
-          val h = math.min(ch, H - oi); val w = math.min(cw, W - oj)
-          val data = new Array[Double](h * w)
-          var i = 0
-          while (i < h) {
-            var j = 0
-            while (j < w) {
-              val gi = oi + i; val gj = oj + j
-              data(i * w + j) =
-                (((gi * 1315423911L + gj * 2654435761L) >>> 7) % 256L).toDouble
-              j += 1
-            }
-            i += 1
-          }
-          Block(id, Seq(bi, bj), Seq(oi, oj), Seq(h, w), chunk, Seq(H, W), data)
-        }
-      }
-      def force(ds: org.apache.spark.sql.Dataset[Block]): Unit = {
-        ds.map(_.data.length.toLong).reduce(_ + _); ()
-      }
-      def forceT(ds: org.apache.spark.sql.Dataset[TBlock]): Unit = {
-        ds.map(_.data.length.toLong).reduce(_ + _); ()
-      }
+      def synth(chunk: Seq[Int], id: String) = synthBlocks(spark, H, W, chunk, id)
+      def force(ds: org.apache.spark.sql.Dataset[Block]): Unit = forceB(ds)
+      def forceT(ds: org.apache.spark.sql.Dataset[TBlock]): Unit = forceTB(ds)
       def tOnce(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
@@ -296,8 +416,7 @@ object Bench {
         math.min(cpus.toInt, 8).toString)
       try {
         val persistLvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-        def binarize(ds: org.apache.spark.sql.Dataset[Block]) =
-          Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
+        def binarize(ds: org.apache.spark.sql.Dataset[Block]) = binarizeB(ds)
         // a crashing kernel must not discard the whole pass: record the
         // failure (same contract as queryOnce); its slot reports null in
         // the JSON maps (a fast-failure elapsed is not kernel performance)
@@ -430,7 +549,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$llmJson$tensorJson,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$llmJson$annJson$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,8 +36,16 @@ LLM = [
     "pack_sequences", "shuffle_shards",
 ]
 
-args = [a for a in sys.argv[1:] if a != "--llm"]
+# The ANN headliners (graft.Bench.annHeadline twin) — wall only; recall
+# is the Spark artifact's job (both engines run the same approximation,
+# so their result sets match by the correctness gate). --ann enables.
+ANN = [
+    "ivf_cosine_topk", "ann_hyperplane_topk", "embedding_quantize_topk",
+]
+
+args = [a for a in sys.argv[1:] if a not in ("--llm", "--ann")]
 run_llm = "--llm" in sys.argv
+run_ann = "--ann" in sys.argv
 sf_dir, oracle_path = args[0], args[1]
 threads = int(args[2]) if len(args) > 2 else 4
 oracle = json.load(open(oracle_path))
@@ -80,5 +88,10 @@ if run_llm:
     llm = bench(LLM)
     lq = ",".join(f'"{k}":{v}' for k, v in llm.items())
     llm_json = f',"llm":{{{lq}}},"llm_total":{sum(llm.values())}'
+ann_json = ""
+if run_ann:
+    ann = bench(ANN)
+    aq = ",".join(f'"{k}":{v}' for k, v in ann.items())
+    ann_json = f',"ann":{{{aq}}},"ann_total":{sum(ann.values())}'
 print(f'{{"metric":"duckdb_total","value":{total},"unit":"sec",'
-      f'"queries":{{{qjson}}}{llm_json},"threads":{threads},"sf":"{sf_dir}"}}')
+      f'"queries":{{{qjson}}}{llm_json}{ann_json},"threads":{threads},"sf":"{sf_dir}"}}')
