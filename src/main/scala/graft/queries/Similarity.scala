@@ -88,16 +88,54 @@ object Similarity {
     * unrelated ones split.) */
   val embeddingNearDup: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
-    val cand = embeddingLshCandidates(t(s, dir, "embeddings"))
+    val e = t(s, dir, "embeddings")
+    // EXACT-DUP COLLAPSE before the fuzzy stage (r11, same design as
+    // minhash_near_dup): verbatim vector copies have identical sign-LSH
+    // signatures, so k copies collide in all 32 bands and the candidate
+    // set grows as C(k,2) per group — the sf10 artifact (100 copies per
+    // vector) dragged ~10⁸ candidate pairs each carrying two 64-double
+    // arrays through the verify joins and killed the run. Verify ONE
+    // representative per distinct (label, embedding), then expand pairs
+    // through the duplicate groups. Exact, not approximate: the
+    // signature and the cosine are functions of the vector alone, so
+    // candidacy and cos transfer from the rep pair to every member
+    // pair, and an intra-group pair's cos is the rep's SELF-cosine
+    // computed by the same expression — identical arithmetic, so even
+    // the zero-vector NaN edge (excluded by the ≥ threshold filter)
+    // behaves as the naive form does. Quadratic work drops to
+    // distinct-vectors²; expansion is linear in the output pair list.
+    val keyed = e.select(col("vec_id"), col("label"), col("embedding"))
+    val reps = keyed.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val mapping = keyed.join(reps, Seq("label", "embedding"))
+      .select(col("vec_id"), col("rep"))
+    val repE = e.join(reps.select(col("rep").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val cand = embeddingLshCandidates(repE)
       .localCheckpoint(true) // tiny; eager so both verify joins reuse it
-    val ve = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    cand
+    val ve = repE.select(col("vec_id"), col("embedding"))
+    val verified = cand
       .join(ve.as("ea"), col("va") === col("ea.vec_id"))
       .join(ve.as("eb"), col("vb") === col("eb.vec_id"))
       .select(col("va"), col("vb"),
         round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4).as("cos"))
       .filter(col("cos") >= 0.40)
-      .orderBy(col("va"), col("vb"))
+    val interG = verified
+      .join(mapping.as("ma"), col("va") === col("ma.rep"))
+      .join(mapping.as("mb"), col("vb") === col("mb.rep"))
+      .select(least(col("ma.vec_id"), col("mb.vec_id")).as("va"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("vb"), col("cos"))
+    // intra-group pairs carry the representative's self-cosine (exactly
+    // 1.0 after round-4 for any nonzero vector; NaN-excluded for zero)
+    val selfCos = reps
+      .select(col("rep").as("srep"),
+        round(expr("cosine_sim(embedding, embedding)"), 4).as("cos"))
+      .filter(col("cos") >= 0.40)
+    val intraG = mapping.as("x").join(mapping.as("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .join(selfCos, col("x.rep") === col("srep"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"), col("cos"))
+    interG.unionByName(intraG).orderBy(col("va"), col("vb"))
   }
 
   /** The 64×64 fract-sin plane matrix, MATERIALIZED ONCE driver-side —

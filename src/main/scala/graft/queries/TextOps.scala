@@ -420,9 +420,54 @@ object TextOps {
     * same positive-mod arithmetic. */
   val minhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val cand = minhashCandidates(docs).localCheckpoint(true)
-    // exact verify on candidates ONLY (shared candidate-restricted path)
-    verifyJaccardPairs(docs, cand)
+    // EXACT-DUP COLLAPSE before the fuzzy stage (r11) — the step every
+    // production dedup pipeline (C4/Dolma/RefinedWeb) runs first, and
+    // the one that makes the operator survive duplicate-heavy corpora:
+    // on a corpus where a text has k verbatim copies, the k copies have
+    // IDENTICAL signatures, so they collide in every band and the
+    // candidate set grows as C(k,2) per group — the sf10 artifact
+    // (100 verbatim copies per doc) put ~30 M intra-group pairs through
+    // the per-pair shingle-intersection join and killed the run. The
+    // collapse verifies ONE representative per distinct text (md5
+    // grouping key) and expands pairs back through the duplicate
+    // groups. Equivalence is exact, not approximate: Jaccard and the
+    // LSH signature are functions of the text alone, so (a, b) is a
+    // candidate iff (rep(a), rep(b)) is, jaccard(a, b) =
+    // jaccard(rep(a), rep(b)), and an intra-group pair (identical
+    // text, ≥ 1 shingle) has jaccard exactly 1.0 = n/(2n − n). Work on
+    // the quadratic stages drops from corpus² to distinct-texts²; the
+    // expansion joins are linear in the OUTPUT (which is itself the
+    // pair list the contract demands). The oracle stays the naive
+    // corpus-wide spec — at gate scale both forms agree row-for-row.
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+    val mapping = keyed.join(reps, Seq("h")).select(col("doc_id"), col("rep"))
+    val repDocs = docs.join(reps.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val cand = minhashCandidates(repDocs).localCheckpoint(true)
+    // exact verify on candidates ONLY (shared candidate-restricted path),
+    // representatives only — the quadratic stage runs on distinct texts
+    val verified = verifyJaccardPairs(repDocs, cand)
+    // inter-group expansion: every (member-of-da, member-of-db) pair
+    // inherits the verified rep pair's jaccard; least/greatest restores
+    // the da < db contract (group members interleave arbitrarily)
+    val interG = verified
+      .join(mapping.as("ma"), col("da") === col("ma.rep"))
+      .join(mapping.as("mb"), col("db") === col("mb.rep"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("da"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("db"), col("jaccard"))
+    // intra-group pairs: identical text with ≥ 1 shingle ⇒ jaccard 1.0
+    // exactly (c = n on both sides; docs under 3 tokens produce no
+    // shingle rows and never reach the verify joins — excluded here by
+    // the same size(toks) ≥ 3 condition)
+    val eligibleReps = repDocs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3).select(col("doc_id").as("erep"))
+    val intraG = mapping.as("x").join(mapping.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(eligibleReps, col("x.rep") === col("erep"), "left_semi")
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(1.0).as("jaccard"))
+    interG.unionByName(intraG).orderBy(col("da"), col("db"))
   }
 
   /** MinHash LSH candidate pairs (da, db) — factored out un-checkpointed

@@ -60,6 +60,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup on a duplicated corpus equals the all-pairs twin (exact-dup collapse expansion)") {
+    // the r11 collapse path: 3 verbatim copies of every sf0.001 vector
+    // (the sf10 generator's shape) — the representative pipeline must
+    // reconstruct every intra-group (self-cosine) and inter-group
+    // expanded pair the naive within-label all-pairs join produces
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val shift = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        e.withColumn("vec_id", col("vec_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupvecs").toFile
+    dir.deleteOnExit()
+    dup.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val naive = Similarity.embeddingNearDupAllPairs(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.embeddingNearDup(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == naive, s"missing=${naive -- lsh} extra=${lsh -- naive}")
+    assert(lsh.exists { case (a, b, c) => (b - a) % shift == 0L && c == 1.0 },
+      "intra-group copy pairs must appear with cos exactly 1.0")
+    assert(lsh.exists { case (a, b, _) => (b - a) % shift != 0L },
+      "inter-group expanded pairs must appear")
+  }
+
   test("hoisted plane matrix yields bit-identical signatures to the inline-sin form") {
     // the literal 64x64 plane column replaced per-row sin() recomputation;
     // both derive from java.lang.Math.sin with the same op order, so every

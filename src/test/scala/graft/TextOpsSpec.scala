@@ -32,6 +32,31 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH=$lsh exact=$exact")
   }
 
+  test("minhash on a duplicated corpus equals the naive join (exact-dup collapse expansion)") {
+    // the r11 collapse path: 3 verbatim copies of every sf0.001 doc (the
+    // sf10 generator's shape) — pairs must match the naive all-pairs
+    // exact-jaccard join INCLUDING the intra-group (j = 1.0) and
+    // inter-group expanded pairs the representative pipeline reconstructs
+    val docs = Tables.t(spark, sf0001, "documents")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupdocs").toFile
+    dir.deleteOnExit()
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val naive = TextOps.ngramJaccardPairsAllPairs(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextOps.minhashNearDup(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == naive,
+      s"missing=${naive -- lsh} extra=${lsh -- naive}")
+    assert(lsh.exists { case (a, b, j) => (b - a) % shift == 0L && j == 1.0 },
+      "intra-group copy pairs must appear with jaccard exactly 1.0")
+    assert(lsh.exists { case (a, b, _) => (b - a) % shift != 0L },
+      "inter-group expanded pairs must appear")
+  }
+
   test("prefix-filtered jaccard join equals the naive all-pairs join") {
     // prefix filtering is LOSSLESS (SSJoin/AllPairs lemma) — full result
     // equality, jaccard values included, at both test scales
