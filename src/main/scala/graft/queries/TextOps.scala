@@ -329,14 +329,12 @@ object TextOps {
     *
     * The unfiltered all-pairs twin lives in [[ngramJaccardPairsAllPairs]]
     * (spec-only equivalence check at test scale). */
-  val ngramJaccardPairs: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // cand is tiny (one row per prefix collision) and seeds both sides of
-    // the verify — materialize once, eagerly (checkpoint blocks are GC-
-    // reclaimed with the DataFrame, unlike persist)
-    val cand = prefixJaccardCandidates(docs).localCheckpoint(true)
-    verifyJaccardPairs(docs, cand)
-  }
+  val ngramJaccardPairs: Q = (s, dir) =>
+    // r11: wrapped in the exact-dup collapse (see collapsedPairVerify —
+    // losslessness makes the verified output transfer to member pairs);
+    // cand stays tiny (one row per rep-level prefix collision) and is
+    // localCheckpoint-materialized inside the shared path
+    collapsedPairVerify(t(s, dir, "documents"))(prefixJaccardCandidates)
 
   /** Lossless prefix-filter candidate pairs (da, db) — factored out
     * un-checkpointed so TextOpsSpec can assert the plan shape. */
@@ -418,33 +416,47 @@ object TextOps {
     * oracle-checkable: DuckDB derives the identical integers via
     * ('0x' || substr(md5(s), …))::BIGINT — same lowercase md5 text,
     * same positive-mod arithmetic. */
-  val minhashNearDup: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // EXACT-DUP COLLAPSE before the fuzzy stage (r11) — the step every
-    // production dedup pipeline (C4/Dolma/RefinedWeb) runs first, and
-    // the one that makes the operator survive duplicate-heavy corpora:
-    // on a corpus where a text has k verbatim copies, the k copies have
-    // IDENTICAL signatures, so they collide in every band and the
-    // candidate set grows as C(k,2) per group — the sf10 artifact
-    // (100 verbatim copies per doc) put ~30 M intra-group pairs through
-    // the per-pair shingle-intersection join and killed the run. The
-    // collapse verifies ONE representative per distinct text (md5
-    // grouping key) and expands pairs back through the duplicate
-    // groups. Equivalence is exact, not approximate: Jaccard and the
-    // LSH signature are functions of the text alone, so (a, b) is a
-    // candidate iff (rep(a), rep(b)) is, jaccard(a, b) =
-    // jaccard(rep(a), rep(b)), and an intra-group pair (identical
-    // text, ≥ 1 shingle) has jaccard exactly 1.0 = n/(2n − n). Work on
-    // the quadratic stages drops from corpus² to distinct-texts²; the
-    // expansion joins are linear in the OUTPUT (which is itself the
-    // pair list the contract demands). The oracle stays the naive
-    // corpus-wide spec — at gate scale both forms agree row-for-row.
+  val minhashNearDup: Q = (s, dir) =>
+    collapsedPairVerify(t(s, dir, "documents"))(minhashCandidates)
+
+  /** EXACT-DUP COLLAPSE around a candidate-generate + Jaccard-verify
+    * pipeline (r11) — the step every production dedup pipeline
+    * (C4/Dolma/RefinedWeb) runs first, and the one that makes the
+    * near-dup operators survive duplicate-heavy corpora: on a corpus
+    * where a text has k verbatim copies, the copies have IDENTICAL
+    * signatures/shingle sets, so every candidate generator pairs them
+    * all and the candidate set grows as C(k,2) per group — the sf10
+    * artifact (100 verbatim copies per doc) put ~30 M intra-group pairs
+    * through the per-pair shingle-intersection join and killed the run.
+    * The collapse verifies ONE representative per distinct text (md5
+    * grouping key) and expands pairs back through the duplicate groups.
+    *
+    * Equivalence is exact, not approximate — by two different
+    * arguments, one per caller:
+    *  - `minhash_near_dup` (output = LSH candidates ∩ jaccard ≥ 0.8):
+    *    the signature is a function of the text alone, so (a, b) is a
+    *    candidate iff (rep(a), rep(b)) is, and jaccard(a, b) =
+    *    jaccard(rep(a), rep(b)) — the candidate SET itself transfers.
+    *  - `ngram_jaccard_pairs` (output = ALL jaccard ≥ 0.8 pairs; prefix
+    *    filtering is lossless): the rep-level candidate set differs
+    *    (document frequencies shift when copies collapse), but the
+    *    lossless lemma holds under ANY canonical order, so the VERIFIED
+    *    output — every ≥-threshold rep pair — transfers.
+    * In both, an intra-group pair (identical text, ≥ 1 shingle) has
+    * jaccard exactly 1.0 = n/(2n − n). Work on the quadratic stages
+    * drops from corpus² to distinct-texts²; the expansion joins are
+    * linear in the OUTPUT (itself the pair list the contract demands).
+    * The oracles stay the naive corpus-wide spec — at gate scale both
+    * forms agree row-for-row, and the duplicated-corpus specs in
+    * TextOpsSpec pin full pair-set equality vs the all-pairs twin. */
+  private def collapsedPairVerify(docs: DataFrame)(
+      candGen: DataFrame => DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
     val mapping = keyed.join(reps, Seq("h")).select(col("doc_id"), col("rep"))
     val repDocs = docs.join(reps.select(col("rep").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    val cand = minhashCandidates(repDocs).localCheckpoint(true)
+    val cand = candGen(repDocs).localCheckpoint(true)
     // exact verify on candidates ONLY (shared candidate-restricted path),
     // representatives only — the quadratic stage runs on distinct texts
     val verified = verifyJaccardPairs(repDocs, cand)

@@ -55,6 +55,12 @@ class TextOpsSpec extends SparkSpec {
       "intra-group copy pairs must appear with jaccard exactly 1.0")
     assert(lsh.exists { case (a, b, _) => (b - a) % shift != 0L },
       "inter-group expanded pairs must appear")
+    // the prefix-filter path under the same collapse: rep-level document
+    // frequencies differ from the full corpus', but losslessness holds
+    // under any canonical order, so the verified output must still match
+    val pf = TextOps.ngramJaccardPairs(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf == naive, s"missing=${naive -- pf} extra=${pf -- naive}")
   }
 
   test("prefix-filtered jaccard join equals the naive all-pairs join") {
