@@ -367,27 +367,43 @@ object Bench {
     val annOn = sys.env.getOrElse("SPARK_GRAFT_ANN", "1") == "1"
     var annJson = ""
     if (annOn && annHeadline.forall { case (n, _) => qs.contains(n) }) {
-      val truth = qs("cosine_topk")(spark, sfDir)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val annRaw = annHeadline.map { case (name, _) =>
+      // recall collects are guarded like every other measurement path: a
+      // crashing ANN query must cost its own row (null recall + a failed
+      // entry), never the whole artifact
+      def topIds(name: String): Option[Set[Long]] =
+        try Some(qs(name)(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet)
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
+      val truth = topIds("cosine_topk")
+      val ann = annHeadline.map { case (name, _) =>
         (1 to warmups).foreach(_ => queryOnce(name))
         name -> queryMedian3(name)
       }
-      val ann = reprobeSpikes(annRaw)
-      val recalls = annHeadline.map { case (name, floor) =>
-        val ids = qs(name)(spark, sfDir)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val r = ids.intersect(truth).size / math.max(truth.size, 1).toDouble
-        if (r < floor) {
-          failed += s"${name}_recall"
-          System.err.println(f"[bench] $name recall $r%.2f below floor $floor%.2f")
+      // NO spike re-probe for this group: its walls are bimodal BY DESIGN
+      // (ivf's centroid pass is ~15× hyperplane's probe), so the
+      // group-median 5× test would fire on every healthy run and the
+      // detector would carry no signal. Per-key regressions are guarded
+      // by the BASELINE.md ann band (and the recall floors) instead.
+      val recalls: Seq[(String, Option[Double])] =
+        annHeadline.map { case (name, floor) =>
+          val r = for (t <- truth; ids <- topIds(name))
+            yield ids.intersect(t).size / math.max(t.size, 1).toDouble
+          r.filter(_ < floor).foreach { rv =>
+            failed += s"${name}_recall"
+            System.err.println(f"[bench] $name recall $rv%.2f below floor $floor%.2f")
+          }
+          name -> r
         }
-        name -> r
-      }
       val aj = ann.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val rj = recalls.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+      val rj = recalls.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
       annJson = s""","ann":$aj,"ann_total":${ann.map(_._2).sum},"ann_recall":$rj"""
     }
 
@@ -429,16 +445,6 @@ object Bench {
       try {
         val persistLvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
         def binarize(ds: org.apache.spark.sql.Dataset[Block]) = binarizeB(ds)
-        // a crashing kernel must not discard the whole pass: record the
-        // failure (same contract as queryOnce); its slot reports null in
-        // the JSON maps (a fast-failure elapsed is not kernel performance)
-        def guarded(key: String)(f: => Unit): Unit = {
-          try f catch {
-            case e: Throwable =>
-              failed += key
-              System.err.println(s"[bench] $key FAILED: ${e.getMessage}")
-          }
-        }
         // Both layouts' inputs stay persisted for the whole group (≈25 MiB
         // total) so a ratio-breach re-probe can re-run either side without
         // rebuilding state.
@@ -476,29 +482,47 @@ object Bench {
                 order = 1, outDtype = DType.F32))
           }
         }
-        def measure(kname: String, vname: String): Option[Double] = {
+        // a crashing kernel must not discard the whole pass: record the
+        // failure into the CALLER's sink (same contract as queryOnce) and
+        // report None — a fast-failure elapsed is not kernel performance.
+        // The sink is per-pass, not the global `failed`, so a transient
+        // failure in a DISCARDED contended attempt doesn't permanently
+        // null the kernel in the kept pass; only the kept pass's sink
+        // (and the breach re-probes') merges into the artifact.
+        def measure(kname: String, vname: String,
+            sink: scala.collection.mutable.Set[String]): Option[Double] = {
           val key = s"tensor_${kname}_$vname"
-          val t = tMed(guarded(key)(runKernel(kname, vname)))
-          if (failed.contains(key)) None else Some(t)
+          var ok = true
+          def once(): Unit = try runKernel(kname, vname) catch {
+            case e: Throwable =>
+              ok = false
+              System.err.println(s"[bench] $key FAILED: ${e.getMessage}")
+          }
+          val t = tMed(once())
+          if (ok) Some(t) else { sink += key; None }
         }
         // One guarded pass over the group: floor probes bracket each
         // kernel pair so a load spike that inflates the kernels inflates
         // the floor too (same rationale as runPass); whole-group retry on
         // a contended floor, bounded by the shared attempt budget.
-        def tensorPass(): (Map[String, Option[Double]], Map[String, Option[Double]], Seq[Double]) = {
+        def tensorPass(): (Map[String, Option[Double]], Map[String, Option[Double]],
+            Seq[Double], Set[String]) = {
           val floors = scala.collection.mutable.ArrayBuffer(floorOnce())
+          val passFailed = scala.collection.mutable.LinkedHashSet.empty[String]
           val multi = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
           val single = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
           for (kname <- kernelNames) {
-            multi(kname) = measure(kname, "multi")
-            single(kname) = measure(kname, "single")
+            multi(kname) = measure(kname, "multi", passFailed)
+            single(kname) = measure(kname, "single", passFailed)
             floors += floorOnce()
           }
           (scala.collection.immutable.ListMap(multi.toSeq: _*),
-            scala.collection.immutable.ListMap(single.toSeq: _*), floors.toSeq)
+            scala.collection.immutable.ListMap(single.toSeq: _*), floors.toSeq,
+            passFailed.toSet)
         }
         var tAttempt = 0
-        var tBest: (Map[String, Option[Double]], Map[String, Option[Double]], Seq[Double]) = null
+        var tBest: (Map[String, Option[Double]], Map[String, Option[Double]],
+          Seq[Double], Set[String]) = null
         var tBestFloor = Double.MaxValue
         var tContended = true
         while (tAttempt < maxAttempts && tContended) {
@@ -512,6 +536,7 @@ object Bench {
               f"[bench] tensor attempt $tAttempt contended: floor median $fm%.3f s > 3×$floorRef%.2f s")
         }
         var (tMulti, tSingle, tFloors) = (tBest._1, tBest._2, tBest._3)
+        failed ++= tBest._4
         // Ratio-breach re-probe: BASELINE.md's band says multi/single ≤ 2
         // for every kernel. A breach gets ONE fresh median-of-3 of BOTH
         // layouts, kept unconditionally — mirrors reprobeSpikes' contract
@@ -519,8 +544,8 @@ object Bench {
         for (kname <- kernelNames) {
           (tMulti(kname), tSingle(kname)) match {
             case (Some(mt), Some(st)) if mt > 2 * math.max(st, 1e-9) =>
-              val m2 = measure(kname, "multi")
-              val s2 = measure(kname, "single")
+              val m2 = measure(kname, "multi", failed)
+              val s2 = measure(kname, "single", failed)
               System.err.println(
                 f"[bench] tensor $kname ratio ${mt / st}%.2f breach -> re-measured " +
                   f"multi ${m2.getOrElse(-1.0)}%.3f s single ${s2.getOrElse(-1.0)}%.3f s (kept)")

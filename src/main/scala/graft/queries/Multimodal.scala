@@ -54,26 +54,40 @@ object Multimodal {
       payload: Array[Byte], h: Int, w: Int, n_frames: Int)
 
   /** The asset table: one PNG image + one multi-page TIFF video per doc,
-    * payloads encoded distributedly (per-row map, no shuffle). */
-  def assets(s: SparkSession, dir: String): DataFrame = {
+    * payloads encoded distributedly (per-row map, no shuffle).
+    *
+    * `only` prunes at the SOURCE: a modality filter placed after the
+    * flatMap cannot reach inside it, so without this parameter the
+    * image-only query would still pay every doc's multi-frame TIFF
+    * rasterize+LZW encode (the dominant per-doc cost) just to drop the
+    * rows — encode only what the caller will keep. */
+  def assets(s: SparkSession, dir: String,
+      only: Option[String] = None): DataFrame = {
     import s.implicits._
+    val wantImage = only.forall(_ == "image")
+    val wantVideo = only.forall(_ == "video")
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
     docs.flatMap { case (docId, nChars) =>
       val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
-      val rgb = new Array[Byte](h * w * 3)
-      for (i <- 0 until h; j <- 0 until w; c <- 0 until 3)
-        rgb((i * w + j) * 3 + c) = imgPx(nChars, docId, i, j, c).toByte
-      val png = ImageSource.encodeRgb(h, w, rgb, "png")
-      val pages = (0 until nf).map { f =>
-        val px = new Array[Double](h * w)
-        for (i <- 0 until h; j <- 0 until w)
-          px(i * w + j) = vidPx(nChars, docId, f, i, j).toDouble
-        (h, w, px)
+      val img = if (!wantImage) None else {
+        val rgb = new Array[Byte](h * w * 3)
+        for (i <- 0 until h; j <- 0 until w; c <- 0 until 3)
+          rgb((i * w + j) * 3 + c) = imgPx(nChars, docId, i, j, c).toByte
+        Some(Asset(docId, "image", ImageSource.encodeRgb(h, w, rgb, "png"),
+          h, w, 1))
       }
-      val tiff = ImageSource.encodeTiffPages(pages, lzw = true)
-      Seq(Asset(docId, "image", png, h, w, 1),
-        Asset(docId, "video", tiff, h, w, nf))
+      val vid = if (!wantVideo) None else {
+        val pages = (0 until nf).map { f =>
+          val px = new Array[Double](h * w)
+          for (i <- 0 until h; j <- 0 until w)
+            px(i * w + j) = vidPx(nChars, docId, f, i, j).toDouble
+          (h, w, px)
+        }
+        Some(Asset(docId, "video", ImageSource.encodeTiffPages(pages, lzw = true),
+          h, w, nf))
+      }
+      img.toSeq ++ vid.toSeq
     }.toDF()
       .select(col("asset_id"), col("modality"), col("payload"),
         struct(col("h"), col("w"), col("n_frames"),
@@ -86,8 +100,7 @@ object Multimodal {
     * from the pixel formula. */
   val multimodalFeatures: Q = (s, dir) => {
     import s.implicits._
-    assets(s, dir)
-      .filter(col("modality") === "image")
+    assets(s, dir, only = Some("image"))
       .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .map { case (assetId, payload) =>
         val (h, w, px) = ImageSource.decodeRgb(payload)
@@ -127,8 +140,7 @@ object Multimodal {
     * decoder in the hot path. */
   val multimodalFrameSample: Q = (s, dir) => {
     import s.implicits._
-    assets(s, dir)
-      .filter(col("modality") === "video")
+    assets(s, dir, only = Some("video"))
       .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .flatMap { case (assetId, payload) =>
         ImageSource.decodeTiff(payload).zipWithIndex.collect {

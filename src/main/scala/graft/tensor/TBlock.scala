@@ -171,7 +171,12 @@ object DType {
       var k = 7
       while (k >= 0) { bits = (bits << 8) | (d(8 * i + k) & 0xffL); k -= 1 }
       if (bits >= 0L) bits.toDouble
-      else (bits & Long.MaxValue).toDouble + 9.223372036854775808e18
+      // ≥ 2^63: halve with the dropped LSB OR-ed back as a sticky bit,
+      // convert, double — ONE rounding step, matching NumPy's
+      // astype(float64) exactly. The additive form ((bits & MaxValue)
+      // .toDouble + 2^63) rounds TWICE and can land one ulp off on
+      // values that tie at the coarser 2^63-range grid.
+      else ((bits >>> 1) | (bits & 1L)).toDouble * 2.0
     }
     def write(d: Array[Byte], i: Int, v: Double): Unit = {
       // [2^63, 2^64) doesn't fit a signed round: shift down by 2^63,

@@ -188,6 +188,13 @@ class TensorSpec extends SparkSpec {
       p63 - 2048, p63, p63 + 4096, 1.8446744073709550e19).map(u64)
     assert(u64ordered == u64ordered.sorted,
       s"u64 decode must be monotone across the sign seam: $u64ordered")
+    // single-rounding regression: 0xC000000000000BFF ties at the 2^63-range
+    // grid after the naive (low63 + 2^63) split — the additive form lands
+    // 2048 high; NumPy's astype(float64) (and the sticky-bit idiom) gives
+    // 13835058055282165760
+    val tieBytes = Array[Int](255, 11, 0, 0, 0, 0, 0, 192).map(_.toByte)
+    assert(DType.U64.read(tieBytes, 0) == 1.383505805528216576e19,
+      s"u64 must round once like NumPy: ${DType.U64.read(tieBytes, 0)}")
     // byte-domain u8 min/max == float64 kernels on the same quantized image
     val q = Nd.zeros(Array(20, 27))
     for (i <- q.data.indices) q.data(i) = ((i * 7919 + 13) % 256).toDouble
