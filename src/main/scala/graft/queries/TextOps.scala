@@ -1006,6 +1006,99 @@ object TextOps {
       |FROM batch WHERE h NOT IN (SELECT h FROM existing)
       |GROUP BY h ORDER BY keep_id""".stripMargin
 
+  // ------------------------------------- incremental dedup, Bloom-gated
+  /** The 100 TB shape of [[incrementalDedup]]: a Bloom-style prefilter
+    * in front of the exact anti-join. The probe is the corpus digests'
+    * 24-bit PREFIX set — bounded at ≤ 2²⁴ rows (≈ 2 MB broadcast)
+    * regardless of corpus size, i.e. a one-hash Bloom filter
+    * materialized as a broadcastable set. Batch rows whose prefix
+    * misses the set are DEFINITELY new (a Bloom negative is exact) and
+    * skip the full-digest join entirely; only prefix hits pay the exact
+    * anti-join, which resolves the false positives. The filter changes
+    * the PLAN, not the answer — output is row-identical to
+    * incremental_dedup (spec-pinned). At real scale the corpus digest
+    * index is PARTITIONED by the same prefix, so the verify join reads
+    * only the partitions the surviving batch prefixes name — the
+    * dedup-index twin of dynamic partition pruning. */
+  val incrementalDedupBloom: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("h")).distinct()
+    val prefixes = existing.select(substring(col("h"), 1, 6).as("p")).distinct()
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("p", substring(col("h"), 1, 6))
+    val definiteNew = batch.join(broadcast(prefixes), Seq("p"), "left_anti")
+    val maybeDup = batch.join(broadcast(prefixes), Seq("p"), "left_semi")
+    val verifiedNew = maybeDup.join(existing, Seq("h"), "left_anti")
+    definiteNew.select("doc_id", "h").unionByName(verifiedNew.select("doc_id", "h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .select(col("keep_id"), col("n_batch_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Oracle = the naive incremental-dedup spec: the Bloom stage is a
+    * plan-level optimization with an exactness proof, so the SQL twin is
+    * the same anti-join the un-gated operator oracles against. */
+  val incrementalDedupBloomSql: String = incrementalDedupSql
+
+  // ------------------------------------------------------ PII redaction
+  /** PII scrubbing (the Dolma/RefinedWeb redaction stage): emails,
+    * NANP-style phone numbers and IPv4 addresses are replaced with typed
+    * sentinels and counted per doc. The synthetic corpus is PII-free, so
+    * the gate AUGMENTS each doc deterministically from doc_id — both
+    * engines build the identical string, and presence varies by residue
+    * (3 | 4 | 5) so zero-count rows gate too. Pure per-row expression
+    * work (regexp_count + chained regexp_replace, all codegen'd): no
+    * shuffle, no UDF — at 100 TB this is a map-only pass that fuses into
+    * whatever scan feeds it. Patterns stay inside the RE2 ∩
+    * java.util.regex common subset (no lookaround, no backrefs) so the
+    * DuckDB oracle runs them VERBATIM; redaction order (email → phone →
+    * IP) is part of the contract since sentinels change later matches. */
+  val piiRedact: Q = (s, dir) => {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b\\d{3}-\\d{4}\\b"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" reach user"), col("doc_id"),
+        lit("@ex"), col("doc_id") % 5, lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" from 10."), col("doc_id") % 256,
+        lit(".0."), (col("doc_id") * 7) % 256)).otherwise(lit(""))).as("aug"))
+    aug.select(col("doc_id"),
+      regexp_count(col("aug"), lit(emailPat)).as("n_email"),
+      regexp_count(col("aug"), lit(phonePat)).as("n_phone"),
+      regexp_count(col("aug"), lit(ipPat)).as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(col("aug"),
+        emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id
+      |         || '@ex' || (doc_id % 5) || '.org' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)
+      |         || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      |  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{4}\b')) AS INT) AS n_phone,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+      |  regexp_replace(regexp_replace(regexp_replace(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------ n-gram-overlap doc filter
   /** Bulk near-duplicate DOC filter by shingle overlap (the Dolma/C4-
     * style prefilter that runs BEFORE MinHash: a doc whose shingles
@@ -1112,6 +1205,8 @@ object TextOps {
     "contamination_check" -> contaminationCheck,
     "repetition_stats" -> repetitionStats,
     "incremental_dedup" -> incrementalDedup,
+    "incremental_dedup_bloom" -> incrementalDedupBloom,
+    "pii_redact" -> piiRedact,
     "repeated_ngram_spans" -> repeatedNgramSpans,
     "dup_ngram_doc_filter" -> dupNgramDocFilter,
   )
@@ -1140,6 +1235,8 @@ object TextOps {
     "contamination_check" -> contaminationCheckSql,
     "repetition_stats" -> repetitionStatsSql,
     "incremental_dedup" -> incrementalDedupSql,
+    "incremental_dedup_bloom" -> incrementalDedupBloomSql,
+    "pii_redact" -> piiRedactSql,
     "repeated_ngram_spans" -> repeatedNgramSpansSql,
     "dup_ngram_doc_filter" -> dupNgramDocFilterSql,
   )

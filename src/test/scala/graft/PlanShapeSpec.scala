@@ -92,4 +92,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("label") && p.contains("bucket"),
       s"banded join keys missing:\n$p")
   }
+
+  test("incremental_dedup_bloom: the bounded prefix set broadcasts into both probes") {
+    // The Bloom stage only pays off if the ≤2^24-row prefix set ships as
+    // a broadcast (anti + semi probes); a shuffle here would cost more
+    // than the exact join it prefilters.
+    val p = plan("incremental_dedup_bloom")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"prefix anti+semi probes must both broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix probe degenerated:\n$p")
+  }
 }

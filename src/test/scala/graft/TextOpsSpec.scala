@@ -63,6 +63,53 @@ class TextOpsSpec extends SparkSpec {
     assert(pf == naive, s"missing=${naive -- pf} extra=${pf -- naive}")
   }
 
+  test("bloom-gated incremental dedup equals the exact path and drops cross-boundary copies") {
+    val s = spark
+    import s.implicits._
+    // corpus = sf0.001 docs kept strictly below the 400 batch boundary
+    // (the table's ids run 0..499); synthesize a batch where even slots
+    // re-ingest an existing text VERBATIM (exercises the prefix-hit →
+    // exact-verify → drop path, which random md5 prefixes almost never
+    // do) and odd slots carry new text
+    val corpus = Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val batch = corpus.orderBy(col("doc_id")).limit(40).collect().zipWithIndex
+      .map { case (r, i) =>
+        (400L + i, if (i % 2 == 0) r.getString(1) else r.getString(1) + " fresh" + i)
+      }.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdocs").toFile
+    dir.deleteOnExit()
+    corpus.unionByName(batch.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows(TextOps.incrementalDedup(spark, dir.toString))
+    val bloom = rows(TextOps.incrementalDedupBloom(spark, dir.toString))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(bloom.map(_._1).toSet == (0 until 40).filter(_ % 2 == 1)
+      .map(400L + _).toSet, s"verbatim re-ingests must drop: $bloom")
+  }
+
+  test("pii_redact: sentinels replace every match; counts follow the residue schedule") {
+    val rows = TextOps.piiRedact(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"n_email doc $id")
+      assert(r.getInt(2) == (if (id % 4 == 0) 1 else 0), s"n_phone doc $id")
+      assert(r.getInt(3) == (if (id % 5 == 0) 1 else 0), s"n_ip doc $id")
+      val red = r.getString(4)
+      assert(!red.contains("@"), s"doc $id leaks an email: $red")
+      assert(!red.matches("(?s).*\\d{3}-\\d{4}.*"), s"doc $id leaks a phone: $red")
+      assert(!red.matches("(?s).*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"),
+        s"doc $id leaks an IP: $red")
+      if (id % 3 == 0) assert(red.contains("[EMAIL]"), s"doc $id missing sentinel")
+      if (id % 4 == 0) assert(red.contains("[PHONE]"), s"doc $id missing sentinel")
+      if (id % 5 == 0) assert(red.contains("[IP]"), s"doc $id missing sentinel")
+    }
+  }
+
   test("prefix-filtered jaccard join equals the naive all-pairs join") {
     // prefix filtering is LOSSLESS (SSJoin/AllPairs lemma) — full result
     // equality, jaccard values included, at both test scales
