@@ -11,14 +11,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Sessions must set this: Spark has no nanosecond timestamp type, so the
-    * events table's TIMESTAMP(NANOS) parquet column is read as a raw
-    * nanosecond BIGINT and re-derived below. DuckDB 1.0 (the oracle)
-    * truncates ns→µs on read, so `timestamp_micros(ts_ns div 1000)` is
-    * bit-identical to what the oracle sees.
+  /** Sessions must set this: Spark has no nanosecond timestamp type, so a
+    * TIMESTAMP(NANOS) events parquet column is read as a raw nanosecond
+    * BIGINT and re-derived below. DuckDB 1.0 (the oracle) truncates ns→µs
+    * on read, so `timestamp_micros(ts_ns div 1000)` is bit-identical to
+    * what the oracle sees. Harmless when the file is µs-precision (the
+    * conf only affects NANOS columns).
     */
   val nanosAsLongConf: (String, String) =
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
+  /** Normalize an events frame to the one shape every downstream query
+    * assumes: `ts_ns` BIGINT epoch-nanoseconds in the original column slot
+    * plus `ts` TIMESTAMP (µs, session-UTC) appended — derived as
+    * `timestamp_micros(ts_ns div 1000)` in both branches so the µs
+    * truncation matches what the DuckDB oracle reads.
+    *
+    * The driver has shipped two physical encodings of `events.ts`:
+    * TIMESTAMP(NANOS), which `nanosAsLong` surfaces as a raw LongType; and
+    * plain µs TIMESTAMP / TIMESTAMP_NTZ (the NANOS conf is a no-op there).
+    * For the µs shapes, ts_ns = unix_micros × 1000 — value-preserving
+    * under the UTC session timezone and far from Long overflow. */
+  def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val tsNs: org.apache.spark.sql.Column = df.schema("ts").dataType match {
+      case LongType => df("ts")
+      case _ => unix_micros(df("ts").cast(TimestampType)) * 1000L
+    }
+    df.select(df.columns.map {
+        case "ts" => tsNs.as("ts_ns")
+        case c => df(c)
+      }.toSeq: _*)
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
 
   /** Plan cache: re-reading the same table re-lists files and re-reads
     * parquet footers on every call; reusing the analyzed DataFrame keeps
@@ -37,10 +63,7 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { _ =>
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      val df = if (name == "events")
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
-      else raw
+      val df = if (name == "events") normalizeEvents(raw) else raw
       if (benchParts > 0) df.repartition(benchParts) else df
     })
 }

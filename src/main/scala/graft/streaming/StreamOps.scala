@@ -27,12 +27,10 @@ object StreamOps {
     * as the batch Tables.t. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
+    graft.Tables.normalizeEvents(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      .parquet(dir))
   }
 
   /** Drain a streaming frame into a memory sink and return the settled
