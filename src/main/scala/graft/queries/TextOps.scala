@@ -1148,6 +1148,70 @@ object TextOps {
        |  coalesce(d.n_dup, 0) * 5 <= t.n_grams * 4 AS keep
        |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------- line-level dedup
+  /** Cross-document segment ("line") dedup, RefinedWeb/Dolma-style: drop
+    * every occurrence of a segment that appears in ≥ 4 distinct documents
+    * (boilerplate headers/footers/navigation), then reassemble each doc
+    * from its surviving segments in order.
+    *
+    * Segmentation seam: real corpora split on '\n'; the synthetic corpus
+    * is newline-free, so consecutive non-overlapping 3-token windows stand
+    * in — the dedup machinery downstream of the splitter is identical.
+    * Calibrated on the testdata: ~3% of segments cross the ≥4-doc bar at
+    * both gate scales, so the oracle exercises both the drop and the keep
+    * path.
+    *
+    * 100 TB design: inverted-index shape — segments explode linearly, ONE
+    * group-by on the segment text counts distinct docs (a boilerplate
+    * segment costs one reducer row), and the shared set (tiny: it is the
+    * corpus's boilerplate vocabulary) comes back as a BROADCAST left-outer
+    * probe, the same de-skewed idiom as [[dupNgramDocFilter]] — a segment
+    * shared by millions of docs costs a hash-probe per row, never one hot
+    * reducer partition. Reassembly groups by doc_id: one shuffle of
+    * (doc_id, seg) rows, bounded by corpus token count. */
+  val lineDedupDocs: Q = (s, dir) => lineDedupOver(t(s, dir, "documents"))
+
+  /** [[lineDedupDocs]] over an arbitrary (doc_id, text) frame — the spec
+    * runs it on a hand-built boilerplate corpus to pin reassembly order. */
+  private[graft] def lineDedupOver(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(t) / 3.0) AS INT) - 1)," +
+          " i -> array_join(slice(t, i * 3 + 1, 3), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val shared = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 4)
+      .select(col("seg"), lit(1).as("is_dup"))
+    segs.join(broadcast(shared), Seq("seg"), "left_outer")
+      // kept: NULL for dropped segments (collect_list skips nulls),
+      // (seg_idx, seg) struct otherwise — array_sort restores doc order
+      .withColumn("kept",
+        when(col("is_dup").isNull, struct(col("seg_idx"), col("seg"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_dup").cast("long"), lit(0L))).as("n_removed"),
+        array_join(expr("transform(array_sort(collect_list(kept)), p -> p.seg)"), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupDocsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 3)) AS i FROM toks),
+      |seg AS (SELECT doc_id, (i - 1) // 3 AS seg_idx,
+      |  array_to_string(t[i:i+2], ' ') AS seg FROM idx),
+      |shared AS (SELECT seg FROM seg GROUP BY seg
+      |  HAVING count(DISTINCT doc_id) >= 4),
+      |flagged AS (SELECT s.doc_id, s.seg_idx, s.seg,
+      |  s.seg IN (SELECT seg FROM shared) AS is_dup FROM seg s)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END, ' '
+      |    ORDER BY seg_idx), '') AS clean_text
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- repeated n-gram spans
   /** Substring-level duplication mining: word 5-grams that occur in ≥ 2
     * distinct documents, with how many docs share them (the signal
@@ -1209,6 +1273,7 @@ object TextOps {
     "pii_redact" -> piiRedact,
     "repeated_ngram_spans" -> repeatedNgramSpans,
     "dup_ngram_doc_filter" -> dupNgramDocFilter,
+    "line_dedup_docs" -> lineDedupDocs,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1239,5 +1304,6 @@ object TextOps {
     "pii_redact" -> piiRedactSql,
     "repeated_ngram_spans" -> repeatedNgramSpansSql,
     "dup_ngram_doc_filter" -> dupNgramDocFilterSql,
+    "line_dedup_docs" -> lineDedupDocsSql,
   )
 }

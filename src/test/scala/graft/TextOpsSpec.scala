@@ -185,6 +185,47 @@ class TextOpsSpec extends SparkSpec {
       "every doc with >=1 shingle must get a verdict row")
   }
 
+  test("line_dedup_docs matches a naive per-doc recount (sf0.001)") {
+    val rows = TextOps.lineDedupDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def segments(t: String): Seq[String] =
+      t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val segsByDoc = docs.map { case (id, t) => id -> segments(t) }
+    val docCount = segsByDoc.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (sg, v) => sg -> v.size }
+    val shared = docCount.filter(_._2 >= 4).keySet
+    for ((id, nSegs, nRemoved, clean) <- rows) {
+      val mine = segsByDoc(id)
+      assert(nSegs == mine.size, s"doc $id n_segs $nSegs vs ${mine.size}")
+      val keptSegs = mine.filterNot(shared)
+      assert(nRemoved == (mine.size - keptSegs.size).toLong, s"doc $id n_removed")
+      assert(clean == keptSegs.mkString(" "),
+        s"doc $id reassembly order/content mismatch")
+    }
+    assert(rows.map(_._1).toSet == docs.keySet, "one verdict row per doc")
+    // non-vacuous at the gate scale: both the drop and the keep path run
+    assert(rows.exists(_._3 > 0), "no segment crossed the >=4-doc bar")
+    assert(rows.exists(r => r._3 == 0 && r._2 > 0), "no fully-kept doc")
+  }
+
+  test("line_dedup reassembles surviving segments in document order") {
+    val boiler = "subscribe to our newsletter"
+    val docs = docsDf((1L to 5L).map(i =>
+      i -> s"unique lead $i $boiler tail words $i"))
+    // 3-token segments: [unique lead N] [subscribe to our] [newsletter tail words] [N]
+    // middle segments appear in all 5 docs -> dropped; per-doc segments survive
+    val out = graft.queries.TextOps.lineDedupOver(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    for (i <- 1L to 5L) {
+      val (nRemoved, clean) = out(i)
+      assert(nRemoved == 2L, s"doc $i removed $nRemoved segments")
+      assert(clean == s"unique lead $i $i", s"doc $i clean='$clean'")
+    }
+  }
+
   test("exact dedup accounting is idempotent: re-deduping kept docs removes nothing") {
     val docs = Tables.t(spark, sf001, "documents")
     val kept = docs.groupBy(md5(col("text")).as("h"))
