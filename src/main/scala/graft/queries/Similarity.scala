@@ -544,8 +544,88 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus with the IVF k-means coarse quantizer, then within each
+    * cluster drop every vector that has an earlier (lower vec_id)
+    * cluster-mate with cosine ≥ 0.40 — the parallel anti-join form of
+    * "keep one representative per semantic ε-ball". Output = survivors
+    * with their cluster.
+    *
+    * 100 TB design: the quadratic stage is CLUSTER-BOUNDED — SemDeDup's
+    * whole point — and production scales K with the corpus so cluster
+    * sizes stay fixed (K=10 here only to share the spec'd deterministic
+    * k-means with the IVF oracle). On top, the r11 exact-dup collapse:
+    * verbatim copies are collapsed to one representative per distinct
+    * vector BEFORE the pairwise stage (quadratic in distinct content,
+    * not corpus size), then group members are resolved through the
+    * rep-level verdicts. The expansion is exact: cos is a function of
+    * the vectors alone, a group's rep is its minimum vec_id, so
+    * (a) a non-rep member always has its own rep as an earlier ≥-τ
+    * mate (self-cos rounds to 1.0 for any finite nonzero vector; under
+    * Spark's NaN-is-greatest comparison a zero vector's NaN self-cos
+    * also passes ≥ τ, exactly as it would in the naive pair filter) and
+    * is dropped, and (b) a rep's remover set is exactly the earlier
+    * reps (any earlier member's cos equals its rep's cos). So survivors
+    * are precisely the un-removed reps. Zero/overflowing vectors are
+    * out of scope for the CROSS-ENGINE gate, as in every cosine path
+    * here (Spark's NaN compares ≥ τ where DuckDB's zero-division NULL
+    * does not); the in-engine collapse≡naive equivalence above holds
+    * for them regardless, and SimilaritySpec pins it. */
+  val semanticDedup: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val e = t(s, dir, "embeddings")
+    val vecs = normed(e)
+    val assigned = assignCells(vecs, kmeans(vecs))
+      .select(col("vec_id"), col("cluster"))
+    val keyed = e.select(col("vec_id"), col("embedding"))
+    val reps = keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val repRows = keyed.join(reps.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
+      .join(assigned, Seq("vec_id"))
+    val removedReps = repRows.as("a").join(repRows.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 4) >= 0.40)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    repRows.select(col("vec_id"), col("cluster"))
+      .join(removedReps, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Naive within-cluster anti-join twin — SimilaritySpec asserts
+    * survivor-set equality with [[semanticDedup]] (incl. on a duplicated
+    * corpus); never registered as a gated key. */
+  private[graft] val semanticDedupNaive: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val e = t(s, dir, "embeddings")
+    val vecs = normed(e)
+    val av = assignCells(vecs, kmeans(vecs))
+      .select(col("vec_id"), col("cluster"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val dropped = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 4) >= 0.40)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    av.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String = kmeansCte +
+    """,
+      |ec AS (SELECT af.vec_id, af.cluster, e.embedding
+      |       FROM af JOIN embeddings e USING (vec_id))
+      |SELECT v.vec_id, v.cluster FROM ec v
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM ec u
+      |  WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id
+      |    AND round(list_dot_product(u.embedding::DOUBLE[], v.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(u.embedding::DOUBLE[], u.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 4) >= 0.40)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_quantize_topk" -> embeddingQuantTopk,
+    "semantic_dedup" -> semanticDedup,
     "cosine_topk" -> cosineTopkNative,
     "cosine_topk_hof" -> cosineTopk,
     "ann_hyperplane_topk" -> annHyperplaneTopk,
@@ -556,6 +636,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "embedding_quantize_topk" -> embeddingQuantTopkSql,
+    "semantic_dedup" -> semanticDedupSql,
     "cosine_topk" -> cosineTopkSql,
     "cosine_topk_hof" -> cosineTopkSql,
     "ann_hyperplane_topk" -> annHyperplaneTopkSql,

@@ -85,6 +85,43 @@ class SimilaritySpec extends SparkSpec {
       "inter-group expanded pairs must appear")
   }
 
+  test("semantic_dedup equals the naive within-cluster anti-join, non-vacuously (sf0.001)") {
+    val fast = Similarity.semanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Similarity.semanticDedupNaive(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+    val total = Tables.t(spark, sf0001, "embeddings").count()
+    assert(fast.size < total, "must drop at least one semantic duplicate")
+    assert(fast.size * 2 > total, "must keep most of the corpus")
+  }
+
+  test("semantic_dedup on a duplicated corpus keeps exactly the original survivors") {
+    // verbatim copies collapse onto their representative: the rep-level
+    // similarity graph is unchanged, so the survivor set must be exactly
+    // the single-copy corpus's (copies are dropped via their rep's 1.0
+    // self-cosine); the naive twin run on the same tripled corpus pins
+    // the collapse≡naive equivalence under duplication too
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val shift = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        e.withColumn("vec_id", col("vec_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdup").toFile
+    dir.deleteOnExit()
+    dup.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val orig = Similarity.semanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onDup = Similarity.semanticDedup(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onDup == orig, s"missing=${orig -- onDup} extra=${onDup -- orig}")
+    val naiveDup = Similarity.semanticDedupNaive(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onDup == naiveDup,
+      s"missing=${naiveDup -- onDup} extra=${onDup -- naiveDup}")
+  }
+
   test("hoisted plane matrix yields bit-identical signatures to the inline-sin form") {
     // the literal 64x64 plane column replaced per-row sin() recomputation;
     // both derive from java.lang.Math.sin with the same op order, so every
