@@ -170,13 +170,123 @@ object Multimodal {
       |  count(*) AS n_px
       |FROM cells GROUP BY doc_id, f ORDER BY asset_id, frame""".stripMargin
 
+  // ------------------------------------------------------------- audio
+  /** Deterministic per-doc audio geometry + int16 sample formula —
+    * pseudo-random enough that sign flips (zero crossings) are frequent
+    * and a dropped/reordered sample breaks the hash. */
+  private def audN(docId: Long): Int = 300 + (docId % 7).toInt * 50
+  private def audSr(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+  private def audS(nChars: Long, docId: Long, i: Int): Short =
+    ((nChars * 31 + docId * 7 + i.toLong * 17 + (i.toLong * i) % 97) % 4001 - 2000).toShort
+
+  private case class AudioAsset(asset_id: Long, payload: Array[Byte],
+      sample_rate: Int, n_samples: Int)
+
+  /** The audio asset table: one mono PCM16 WAV per doc, encoded
+    * distributedly by [[graft.sources.AudioSource]] (per-row map, no
+    * shuffle) — the audio twin of [[assets]]. */
+  private[graft] def audioAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val n = audN(docId)
+        val samples = Array.tabulate(n)(i => audS(nChars, docId, i))
+        AudioAsset(docId, graft.sources.AudioSource.encodeWavPcm16(
+          audSr(docId), 1, samples), audSr(docId), n)
+      }.toDF()
+  }
+
+  /** Audio features through the REAL WAV decode: stream geometry plus the
+    * integer QC stats an audio pipeline computes right after decode —
+    * amplitude sum/extrema and the zero-crossing count (the classic
+    * voiced/unvoiced signal). Integer-exact, so the oracle recomputes
+    * every value from the sample formula. */
+  val multimodalAudioFeatures: Q = (s, dir) => {
+    import s.implicits._
+    audioAssets(s, dir)
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (assetId, payload) =>
+        val (sr, ch, smp) = graft.sources.AudioSource.decodeWav(payload)
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var zx = 0L
+        var i = 0
+        while (i < smp.length) {
+          val v = smp(i).toInt
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zx += 1
+          i += 1
+        }
+        (assetId, sr, ch, smp.length.toLong, sum, mn, mx, zx)
+      }.toDF("asset_id", "sample_rate", "n_channels", "n_samples",
+        "sum_s", "min_s", "max_s", "zero_crossings")
+      .orderBy(col("asset_id"))
+  }
+
+  private val audSampleCte: String =
+    """geo AS (
+      |  SELECT doc_id, n_chars,
+      |    300 + (doc_id % 7) * 50 AS n, 8000 + (doc_id % 3) * 4000 AS sr
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, n, sr, i,
+      |    (n_chars * 31 + doc_id * 7 + i * 17 + (i * i) % 97) % 4001 - 2000 AS s
+      |  FROM (SELECT *, unnest(range(0, n)) AS i FROM geo))""".stripMargin
+
+  val multimodalAudioFeaturesSql: String =
+    s"""WITH $audSampleCte,
+       |zx AS (
+       |  SELECT doc_id, s, i,
+       |    CASE WHEN (s < 0) != (lag(s) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+       |         THEN 1 ELSE 0 END AS z
+       |  FROM samp)
+       |SELECT doc_id AS asset_id, CAST(max(sr) AS INT) AS sample_rate,
+       |  1 AS n_channels, count(*) AS n_samples,
+       |  CAST(sum(s) AS BIGINT) AS sum_s, CAST(min(s) AS INT) AS min_s,
+       |  CAST(max(s) AS INT) AS max_s, CAST(sum(z) AS BIGINT) AS zero_crossings
+       |FROM zx JOIN geo USING (doc_id) GROUP BY doc_id ORDER BY asset_id""".stripMargin
+
+  /** Windowed audio energy through the REAL WAV decode: non-overlapping
+    * 128-sample frames, one (count, Σs²) row each — the framing plumbing
+    * under any spectral/VAD feature, with the chunk-walking decoder in
+    * the hot path. Integer-exact (Σs² ≤ 600·2000² fits easily). */
+  val multimodalAudioWindows: Q = (s, dir) => {
+    import s.implicits._
+    audioAssets(s, dir)
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (assetId, payload) =>
+        val (_, _, smp) = graft.sources.AudioSource.decodeWav(payload)
+        smp.grouped(128).zipWithIndex.map { case (w, wi) =>
+          var ss = 0L
+          var i = 0
+          while (i < w.length) { ss += w(i).toLong * w(i); i += 1 }
+          (assetId, wi, w.length.toLong, ss)
+        }
+      }.toDF("asset_id", "win", "n", "sum_sq")
+      .orderBy(col("asset_id"), col("win"))
+  }
+
+  val multimodalAudioWindowsSql: String =
+    s"""WITH $audSampleCte
+       |SELECT doc_id AS asset_id, CAST(i // 128 AS INT) AS win,
+       |  count(*) AS n, CAST(sum(s * s) AS BIGINT) AS sum_sq
+       |FROM samp GROUP BY doc_id, i // 128 ORDER BY asset_id, win""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frame_sample" -> multimodalFrameSample,
+    "multimodal_audio_features" -> multimodalAudioFeatures,
+    "multimodal_audio_windows" -> multimodalAudioWindows,
   )
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frame_sample" -> multimodalFrameSampleSql,
+    "multimodal_audio_features" -> multimodalAudioFeaturesSql,
+    "multimodal_audio_windows" -> multimodalAudioWindowsSql,
   )
 }

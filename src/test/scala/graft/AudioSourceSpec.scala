@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.AudioSource
+
+class AudioSourceSpec extends SparkSpec {
+
+  test("WAV PCM16 round-trips exactly across rates, channels, and edge amplitudes") {
+    val rnd = new scala.util.Random(7)
+    for (ch <- Seq(1, 2, 6); sr <- Seq(8000, 44100, 96000)) {
+      val n = (1 + rnd.nextInt(500)) * ch
+      val samples = Array.tabulate(n)(_ => (rnd.nextInt(65536) - 32768).toShort)
+      samples(0) = Short.MinValue // edge amplitudes must survive the wire
+      samples(n - 1) = Short.MaxValue
+      val (dsr, dch, ds) = AudioSource.decodeWav(
+        AudioSource.encodeWavPcm16(sr, ch, samples))
+      assert(dsr == sr && dch == ch, s"geometry $dsr x $dch vs $sr x $ch")
+      assert(ds.sameElements(samples), s"sample mismatch at sr=$sr ch=$ch")
+    }
+  }
+
+  test("decode walks unknown chunks (LIST before data, odd-length, fmt extension)") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val base = AudioSource.encodeWavPcm16(16000, 1, samples)
+    // splice a 5-byte (odd -> 1 pad byte) LIST chunk between fmt and data,
+    // and grow the fmt chunk by a 2-byte extension, as real encoders do
+    val buf = java.nio.ByteBuffer.allocate(base.length + 8 + 5 + 1 + 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(base, 0, 12) // RIFF + len + WAVE
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    buf.put(base, 20, 16) // original fmt body
+    buf.putShort(0) // cbSize = 0 extension
+    buf.put("LIST".getBytes("US-ASCII")).putInt(5)
+    buf.put("INFOx".getBytes("US-ASCII")).put(0.toByte) // odd body + pad
+    buf.put(base, 36, base.length - 36) // data chunk onward
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val (sr, ch, ds) = AudioSource.decodeWav(bytes)
+    assert(sr == 16000 && ch == 1 && ds.sameElements(samples))
+  }
+
+  test("encoded header fields match the RIFF spec byte-for-byte") {
+    val b = AudioSource.encodeWavPcm16(8000, 2, Array[Short](1, 2))
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str(n: Int) = { val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII") }
+    assert(str(4) == "RIFF"); assert(buf.getInt == 36 + 4)
+    assert(str(4) == "WAVE"); assert(str(4) == "fmt "); assert(buf.getInt == 16)
+    assert(buf.getShort == 1, "PCM tag")
+    assert(buf.getShort == 2, "channels")
+    assert(buf.getInt == 8000, "sample rate")
+    assert(buf.getInt == 8000 * 2 * 2, "byte rate")
+    assert(buf.getShort == 4, "block align")
+    assert(buf.getShort == 16, "bit depth")
+    assert(str(4) == "data"); assert(buf.getInt == 4)
+    assert(buf.getShort == 1 && buf.getShort == 2, "little-endian samples")
+  }
+
+  test("malformed streams fail loudly, not with garbage audio") {
+    val ok = AudioSource.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3, 4))
+    intercept[IllegalArgumentException](AudioSource.decodeWav("nope".getBytes))
+    // truncated data chunk: declared length overruns the stream
+    intercept[IllegalArgumentException](
+      AudioSource.decodeWav(java.util.Arrays.copyOf(ok, ok.length - 3)))
+    // non-PCM format tag
+    val bad = ok.clone(); bad(20) = 2 // fmt tag lives at offset 20
+    intercept[IllegalArgumentException](AudioSource.decodeWav(bad))
+  }
+
+  test("multimodal_audio_features matches a direct formula recompute (sf0.001)") {
+    val rows = graft.queries.Multimodal.multimodalAudioFeatures(spark, sf0001)
+      .collect()
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == docs.size, "one feature row per doc")
+    def s(nc: Long, id: Long, i: Int): Int =
+      ((nc * 31 + id * 7 + i.toLong * 17 + (i.toLong * i) % 97) % 4001 - 2000).toInt
+    for (r <- rows) {
+      val id = r.getLong(0); val nc = docs(id)
+      val n = 300 + (id % 7).toInt * 50
+      val smp = Array.tabulate(n)(i => s(nc, id, i))
+      assert(r.getInt(1) == 8000 + (id % 3).toInt * 4000, s"doc $id rate")
+      assert(r.getLong(3) == n.toLong, s"doc $id n_samples")
+      assert(r.getLong(4) == smp.map(_.toLong).sum, s"doc $id sum")
+      assert(r.getInt(5) == smp.min && r.getInt(6) == smp.max, s"doc $id extrema")
+      val zx = (1 until n).count(i => (smp(i - 1) < 0) != (smp(i) < 0)).toLong
+      assert(r.getLong(7) == zx, s"doc $id zero crossings")
+    }
+    // the signal must actually oscillate or the zero-crossing gate is vacuous
+    assert(rows.exists(_.getLong(7) > 10), "formula produced a one-sided signal")
+  }
+
+  test("multimodal_audio_windows: full partition of each stream, energy conserved") {
+    val feats = graft.queries.Multimodal.multimodalAudioFeatures(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wins = graft.queries.Multimodal.multimodalAudioWindows(spark, sf0001)
+      .collect()
+    val byAsset = wins.groupBy(_.getLong(0))
+    assert(byAsset.keySet == feats.keySet)
+    for ((id, ws) <- byAsset) {
+      assert(ws.map(_.getLong(2)).sum == feats(id), s"doc $id window sizes")
+      val idxs = ws.map(_.getInt(1)).sorted.toSeq
+      assert(idxs == idxs.indices.toSeq, s"doc $id window indices")
+      assert(ws.filter(_.getInt(1) < idxs.last).forall(_.getLong(2) == 128L),
+        s"doc $id non-final windows must be full")
+    }
+  }
+}
