@@ -54,6 +54,25 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle join on the raw ngram key (skew-exposed at corpus scale):\n$p")
   }
 
+  test("line_dedup_docs: shared-segment probe broadcasts, never a shuffle join on the raw segment") {
+    // same skew story as dup_ngram_doc_filter: a boilerplate segment in
+    // millions of docs must cost a hash-probe per row, not one hot reducer
+    val p = plan("line_dedup_docs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shared (nd>=4) segment set must broadcast into the segment stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join on the raw segment key (skew-exposed at corpus scale):\n$p")
+  }
+
+  test("semantic_dedup: pairwise stage is cluster-keyed, no cartesian product") {
+    // SemDeDup's scale contract: the quadratic stage must stay bounded by
+    // the cluster equi-join — a CartesianProduct means the cluster key was
+    // lost and the join degenerated to corpus all-pairs
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairwise degenerated to corpus all-pairs:\n$p")
+  }
+
   test("minhash_near_dup candidates: ONE md5 pass, banded bucket join, no cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf001, "documents")
