@@ -25,7 +25,7 @@ object Bench {
     * runs the same keys' oracle SQL (tools/bench_duckdb.py --llm). */
   val llmHeadline: Seq[String] = Seq(
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
-    "pack_sequences", "shuffle_shards")
+    "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup")
 
   /** The ANN headliners (round 11): the three approximate top-k paths,
     * benched with RECALL against the exact brute-force top-10 — an ANN

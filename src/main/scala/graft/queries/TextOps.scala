@@ -811,6 +811,55 @@ object TextOps {
       |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80' ELSE '40' END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- mixture weighting
+  /** Data mixing with per-domain EPOCH weights — the "repeat wikipedia
+    * 2.5×" stage of published LLM data recipes (mixture tables à la
+    * GPT-3/Llama): weight w emits ⌊w⌋ full copies of every doc plus the
+    * fractional remainder as a deterministic md5-membership sample, so
+    * a 2.5× domain yields 2 copies of every doc and a third copy of a
+    * hash-selected half. Downstream packing/shuffling treats copies as
+    * independent docs (the copy index is carried for seed-style
+    * variation). Weights here: src0→2.5, odd sources→1.0, other even
+    * sources→0.5 — exercising the up-sample, identity, and down-sample
+    * paths at once. The membership test is the same hex-threshold
+    * idiom as [[stratifiedSample]] ('80' = exactly half the 256 2-hex
+    * space), salted with '#mix' so the two samples are independent.
+    *
+    * 100 TB design: map-only — a weight lookup, one md5, and a bounded
+    * explode per row; no shuffle at all (the output order-by is the
+    * gate's, not the operator's). Fractional sampling by content hash
+    * keeps reruns and incremental batches consistent without any RNG
+    * state. */
+  val mixtureWeightedRepeat: Q = (s, dir) => {
+    val srcN = expr("CAST(substring(source, 4) AS INT)")
+    val extra = (substring(md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 2)
+      < "80").cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("copies",
+        when(srcN === 0, lit(2) + extra)
+          .when(srcN % 2 === 1, lit(1))
+          .otherwise(extra))
+      .filter(col("copies") > 0) // sequence(0, -1) DESCENDS — never build it
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("sequence(0, copies - 1)")).as(Seq("copy", "unused")))
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  val mixtureWeightedRepeatSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) = 0 THEN 2 + x
+      |         WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 1
+      |         ELSE x END AS copies
+      |  FROM (SELECT doc_id, source,
+      |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 2)
+      |                    < '80' THEN 1 ELSE 0 END AS x
+      |        FROM documents))
+      |SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS copy
+      |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin
+
   // ------------------------------------------------- relative quality gate
   /** Per-stratum relative quality gate: keep each source's TOP HALF by
     * length (percent_rank ≥ 0.5 over (source, n_chars, doc_id)) — the
@@ -1274,6 +1323,7 @@ object TextOps {
     "repeated_ngram_spans" -> repeatedNgramSpans,
     "dup_ngram_doc_filter" -> dupNgramDocFilter,
     "line_dedup_docs" -> lineDedupDocs,
+    "mixture_weighted_repeat" -> mixtureWeightedRepeat,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1305,5 +1355,6 @@ object TextOps {
     "repeated_ngram_spans" -> repeatedNgramSpansSql,
     "dup_ngram_doc_filter" -> dupNgramDocFilterSql,
     "line_dedup_docs" -> lineDedupDocsSql,
+    "mixture_weighted_repeat" -> mixtureWeightedRepeatSql,
   )
 }

@@ -226,6 +226,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture_weighted_repeat: per-source copy counts follow the weight table") {
+    val rows = TextOps.mixtureWeightedRepeat(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def extra(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#mix".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) < 8) 1 else 0 // first hex char < '8'
+    }
+    val byDoc = rows.groupBy(_._1)
+    for ((id, src) <- docs) {
+      val sn = src.drop(3).toInt
+      val want = if (sn == 0) 2 + extra(id)
+        else if (sn % 2 == 1) 1
+        else extra(id)
+      val got = byDoc.get(id).map(_.length).getOrElse(0)
+      assert(got == want, s"doc $id ($src): $got copies, want $want")
+      if (want > 0)
+        assert(byDoc(id).map(_._3).sorted.toSeq == (0 until want),
+          s"doc $id copy indices")
+    }
+    // all three paths must fire: up-sampled, identity, down-sampled
+    assert(rows.exists { case (id, s, c) => s == "src0" && c == 2 },
+      "no third copy in the 2.5x domain")
+    assert(docs.exists { case (id, s) =>
+      s.drop(3).toInt % 2 == 0 && s != "src0" && !byDoc.contains(id) },
+      "no doc dropped from a 0.5x domain")
+  }
+
   test("exact dedup accounting is idempotent: re-deduping kept docs removes nothing") {
     val docs = Tables.t(spark, sf001, "documents")
     val kept = docs.groupBy(md5(col("text")).as("h"))

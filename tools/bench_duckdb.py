@@ -33,7 +33,7 @@ HEADLINE = [
 # comparable across rounds. Enabled with --llm (anywhere in argv).
 LLM = [
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
-    "pack_sequences", "shuffle_shards",
+    "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup",
 ]
 
 # The ANN headliners (graft.Bench.annHeadline twin) — wall only; recall

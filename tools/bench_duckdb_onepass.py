@@ -24,7 +24,7 @@ HEADLINE = [
 ]
 LLM = [
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
-    "pack_sequences", "shuffle_shards",
+    "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup",
 ]
 
 WORKER = r"""
