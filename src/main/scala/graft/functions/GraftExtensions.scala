@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.signLshSig)
+    ext.injectFunction(GraftExtensions.argmaxDot)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
@@ -39,6 +40,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
     (es: Seq[Expression]) => SignLshSig(es.head))
 
+  val argmaxDot: FnDesc = (
+    FunctionIdentifier("argmax_dot"),
+    new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
+    (es: Seq[Expression]) => ArgmaxDot(es(0), es(1)))
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -51,7 +57,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, argmaxDot, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -220,6 +220,28 @@ object Similarity {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("v"))
 
+  /** [[normed]] SPREAD and PINNED for the iterative k-means paths (r11
+    * s3): the repartition decouples the CPU-heavy Lloyd/assignment passes
+    * from the input's split count — a single-row-group parquet otherwise
+    * pins every corpus pass to ONE task, which the sf10 one-pass artifact
+    * surfaced as semantic_dedup's ~190 s wall — and the eager
+    * localCheckpoint materializes the normalization once instead of once
+    * per Lloyd job (kmeans alone re-executes the scan+norm lineage 2×,
+    * each consumer once more). ~0.6 KB/row: at 100 TB you checkpoint this
+    * narrow (id, v) projection, never the raw table. Values are
+    * unchanged; only the partial-aggregation grouping of the Lloyd means
+    * moves, which the 6-dp centroid rounding was already chosen to
+    * absorb (the DuckDB oracle sums in a different order regardless —
+    * the gate stays the arbiter). */
+  private def normedPinned(e0: DataFrame): DataFrame = {
+    // repartition the RAW rows, then normalize: the other order evaluates
+    // the normalization projection on the input's (possibly single) split
+    // before the exchange — the shuffle must come first for the CPU to
+    // spread
+    val par = e0.sparkSession.sparkContext.defaultParallelism
+    normed(e0.repartition(par)).localCheckpoint(true)
+  }
+
   /** Seed centroids: the first K vectors, components rounded to 6 dp. */
   private def seedCents(vecs: DataFrame): DataFrame =
     vecs.filter(col("vec_id") < K)
@@ -227,14 +249,27 @@ object Similarity {
 
   /** Nearest-centroid (max cosine, tie → lowest c) assignment with ZERO
     * shuffle: centroids collapse to one array-of-struct row, broadcast,
-    * and the argmax runs as a strict-`>` fold (keeps the first/lowest c on
-    * ties — mirrors the oracle's ORDER BY dp DESC, c). */
+    * and the argmax runs as the NATIVE codegen `argmax_dot` expression
+    * (r11 s3 — the interpreted nested-HOF fold it replaced cost ~1 ms/row
+    * at K=10×64; the sf10 LLM artifact caught it as semantic_dedup's
+    * 192 s wall, and every ivf_* key paid it latently). Bit-identical to
+    * the HOF form — same left-to-right dp accumulation, same nan-safe
+    * strict `>` keeping the earliest (lowest c) on ties, mirroring the
+    * oracle's ORDER BY dp DESC, c; FunctionsSpec pins native == HOF. */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.install(vecs.sparkSession)
     val carr = cents.agg(array_sort(collect_list(struct(col("c"), col("cv")))).as("cs"))
-    // transform-then-fold computes each centroid dot product exactly once
-    // (a CASE that recomputes the dot in its THEN arm would double the
-    // scan's FLOPs); strict > keeps the earliest (lowest c) on ties,
-    // mirroring the oracle's ORDER BY dp DESC, c
+    vecs.crossJoin(broadcast(carr))
+      .withColumn("cluster", expr("argmax_dot(v, cs)"))
+      .drop("cs")
+  }
+
+  /** The interpreted-HOF assignment fold `argmax_dot` replaced — kept as
+    * the bit-fidelity twin FunctionsSpec compares against; never in a
+    * gated path. transform-then-fold computes each centroid dot product
+    * exactly once; strict > keeps the earliest (lowest c) on ties. */
+  private[graft] def assignCellsHof(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents.agg(array_sort(collect_list(struct(col("c"), col("cv")))).as("cs"))
     vecs.crossJoin(broadcast(carr))
       .withColumn("cluster", expr(
         """aggregate(
@@ -258,6 +293,20 @@ object Similarity {
       .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
       .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
 
+  // FunctionsSpec seams: the private assignment forms, and the full
+  // corpus assignment under real k-means centroids in both forms.
+  private[graft] val assignCellsForTest: (DataFrame, DataFrame) => DataFrame =
+    (v, c) => assignCells(v, c)
+  private[graft] val assignCellsHofForTest: (DataFrame, DataFrame) => DataFrame =
+    (v, c) => assignCellsHof(v, c)
+  private[graft] def assignedForTest(s: SparkSession, dir: String,
+      hof: Boolean): DataFrame = {
+    val vecs = normedPinned(t(s, dir, "embeddings"))
+    val cents = kmeans(vecs)
+    (if (hof) assignCellsHof(vecs, cents) else assignCells(vecs, cents))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Two Lloyd passes from the deterministic seeds. Each iteration's
     * centroid table (K rows) is eagerly truncated with localCheckpoint:
     * without it the final query tree re-executes the whole Lloyd prefix
@@ -274,7 +323,7 @@ object Similarity {
     * distance-to-own-centroid stats (computed as sqrt(v·v − 2 v·c + c·c)
     * so the oracle's arithmetic order matches exactly). */
   val ivfCentroidStats: Q = (s, dir) => {
-    val vecs = normed(t(s, dir, "embeddings"))
+    val vecs = normedPinned(t(s, dir, "embeddings"))
     val cents = kmeans(vecs)
     assignCells(vecs, cents)
       .join(broadcast(cents), col("cluster") === col("c"))
@@ -352,7 +401,7 @@ object Similarity {
     * scan the NPROBE nearest cells (~30% of the corpus at K=10), exact
     * cosine inside. Recall ≥0.9 vs brute force asserted in SimilaritySpec. */
   val ivfCosineTopk: Q = (s, dir) => {
-    val vecs = normed(t(s, dir, "embeddings"))
+    val vecs = normedPinned(t(s, dir, "embeddings"))
     val cents = kmeans(vecs)
     val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(q))
@@ -575,13 +624,22 @@ object Similarity {
   val semanticDedup: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     val e = t(s, dir, "embeddings")
-    val vecs = normed(e)
-    val assigned = assignCells(vecs, kmeans(vecs))
-      .select(col("vec_id"), col("cluster"))
+    val vecs = normedPinned(e)
     val keyed = e.select(col("vec_id"), col("embedding"))
     val reps = keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
-    val repRows = keyed.join(reps.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
-      .join(assigned, Seq("vec_id"))
+    // assignment is pointwise in the vector, so only the collapsed reps
+    // pay it (k-means itself still runs over the FULL corpus — Lloyd
+    // means weight by multiplicity, so collapsing there would change the
+    // centroids); the localCheckpoint makes the tiny rep table a leaf so
+    // the pairwise self-join and the anti-join below don't re-execute
+    // the corpus pipeline once per use (r11 s3 — the sf10 artifact
+    // showed 3 re-executions of the whole scan+assign tree)
+    val repRows = assignCells(
+        vecs.join(reps.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi"),
+        kmeans(vecs))
+      .select(col("vec_id"), col("cluster"))
+      .join(keyed, Seq("vec_id"))
+      .localCheckpoint(true)
     val removedReps = repRows.as("a").join(repRows.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 4) >= 0.40)
@@ -597,7 +655,7 @@ object Similarity {
   private[graft] val semanticDedupNaive: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     val e = t(s, dir, "embeddings")
-    val vecs = normed(e)
+    val vecs = normedPinned(e)
     val av = assignCells(vecs, kmeans(vecs))
       .select(col("vec_id"), col("cluster"))
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))

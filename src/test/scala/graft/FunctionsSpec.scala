@@ -23,6 +23,42 @@ class FunctionsSpec extends SparkSpec {
       s"cosine_sim fell out of whole-stage codegen:\n$plan")
   }
 
+  test("argmax_dot native assignment is bit-identical to the HOF fold, incl. NaN/tie edges") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    // real corpus: every sf0.01 vector against the real k-means
+    // centroids — native assignment vs the interpreted fold it replaced
+    val native = graft.queries.Similarity.assignedForTest(spark, sf001, hof = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hofFull = graft.queries.Similarity.assignedForTest(spark, sf001, hof = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hofFull, "corpus assignment diverged between native and HOF")
+    assert(native.values.toSet.size > 1, "degenerate single-cluster assignment")
+    // synthetic edges the corpus can't produce: NaN vector (assigns to the
+    // FIRST centroid under nan-safe >), exact tie (earliest c wins),
+    // empty centroid table (-1)
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("c", "cv")
+    val vecs = Seq(
+      (10L, Seq(3.0, 1.0)),            // clear winner c=0 (tie with c=1 -> earliest)
+      (11L, Seq(0.0, 2.0)),            // winner c=2
+      (12L, Seq(Double.NaN, 1.0)),     // NaN dp everywhere -> first centroid
+      (13L, Seq(-5.0, -7.0)))          // all dp negative, still > -2.0 seed? no: picks max
+      .toDF("vec_id", "v")
+    def run(assign: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      assign(vecs, cents).select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = run(graft.queries.Similarity.assignCellsForTest)
+    val hof = run(graft.queries.Similarity.assignCellsHofForTest)
+    assert(nat == hof, s"native=$nat hof=$hof")
+    assert(nat(10L) == 0L && nat(11L) == 2L && nat(12L) == 0L)
+    val empty = run((v, c) => graft.queries.Similarity.assignCellsForTest(v, c.filter(lit(false))))
+    assert(empty.values.forall(_ == -1L), s"empty centroid table must assign -1: $empty")
+  }
+
   test("cosine_sim rejects wrong argument types with a clear error") {
     graft.functions.GraftExtensions.install(spark)
     val err = intercept[Exception] {
