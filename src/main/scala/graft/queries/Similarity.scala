@@ -233,14 +233,20 @@ object Similarity {
     * moves, which the 6-dp centroid rounding was already chosen to
     * absorb (the DuckDB oracle sums in a different order regardless —
     * the gate stays the arbiter). */
-  private def normedPinned(e0: DataFrame): DataFrame = {
+  // Fixed spread width: repartitioning by defaultParallelism would make
+  // the Lloyd avg()'s partial-sum grouping (and thus the 6-dp-rounded
+  // centroids, at ulp-level boundaries) depend on the machine's core
+  // count. A constant keeps the float regrouping reproducible everywhere
+  // (sortBeforeRepartition makes round-robin deterministic per input);
+  // at real scale this is a config, raised with the cluster.
+  private val KMEANS_PARTS = 32
+
+  private def normedPinned(e0: DataFrame): DataFrame =
     // repartition the RAW rows, then normalize: the other order evaluates
     // the normalization projection on the input's (possibly single) split
     // before the exchange — the shuffle must come first for the CPU to
     // spread
-    val par = e0.sparkSession.sparkContext.defaultParallelism
-    normed(e0.repartition(par)).localCheckpoint(true)
-  }
+    normed(e0.repartition(KMEANS_PARTS)).localCheckpoint(true)
 
   /** Seed centroids: the first K vectors, components rounded to 6 dp. */
   private def seedCents(vecs: DataFrame): DataFrame =
@@ -256,7 +262,7 @@ object Similarity {
     * the HOF form — same left-to-right dp accumulation, same nan-safe
     * strict `>` keeping the earliest (lowest c) on ties, mirroring the
     * oracle's ORDER BY dp DESC, c; FunctionsSpec pins native == HOF. */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftExtensions.install(vecs.sparkSession)
     val carr = cents.agg(array_sort(collect_list(struct(col("c"), col("cv")))).as("cs"))
     vecs.crossJoin(broadcast(carr))
@@ -293,12 +299,8 @@ object Similarity {
       .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
       .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
 
-  // FunctionsSpec seams: the private assignment forms, and the full
-  // corpus assignment under real k-means centroids in both forms.
-  private[graft] val assignCellsForTest: (DataFrame, DataFrame) => DataFrame =
-    (v, c) => assignCells(v, c)
-  private[graft] val assignCellsHofForTest: (DataFrame, DataFrame) => DataFrame =
-    (v, c) => assignCellsHof(v, c)
+  /** FunctionsSpec seam: the full corpus assignment under real k-means
+    * centroids, in either form. */
   private[graft] def assignedForTest(s: SparkSession, dir: String,
       hof: Boolean): DataFrame = {
     val vecs = normedPinned(t(s, dir, "embeddings"))

@@ -842,8 +842,7 @@ object TextOps {
           .otherwise(extra))
       .filter(col("copies") > 0) // sequence(0, -1) DESCENDS — never build it
       .select(col("doc_id"), col("source"),
-        posexplode(expr("sequence(0, copies - 1)")).as(Seq("copy", "unused")))
-      .select(col("doc_id"), col("source"), col("copy"))
+        explode(expr("sequence(0, copies - 1)")).as("copy"))
       .orderBy(col("doc_id"), col("copy"))
   }
 

@@ -45,18 +45,27 @@ class FunctionsSpec extends SparkSpec {
       (10L, Seq(3.0, 1.0)),            // clear winner c=0 (tie with c=1 -> earliest)
       (11L, Seq(0.0, 2.0)),            // winner c=2
       (12L, Seq(Double.NaN, 1.0)),     // NaN dp everywhere -> first centroid
-      (13L, Seq(-5.0, -7.0)))          // all dp negative, still > -2.0 seed? no: picks max
+      (13L, Seq(-5.0, -7.0)))          // every dp < the -2.0 seed -> -1, like the HOF
       .toDF("vec_id", "v")
     def run(assign: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame): Map[Long, Long] =
       assign(vecs, cents).select("vec_id", "cluster").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val nat = run(graft.queries.Similarity.assignCellsForTest)
-    val hof = run(graft.queries.Similarity.assignCellsHofForTest)
+    val nat = run(graft.queries.Similarity.assignCells)
+    val hof = run(graft.queries.Similarity.assignCellsHof)
     assert(nat == hof, s"native=$nat hof=$hof")
     assert(nat(10L) == 0L && nat(11L) == 2L && nat(12L) == 0L)
-    val empty = run((v, c) => graft.queries.Similarity.assignCellsForTest(v, c.filter(lit(false))))
+    assert(nat(13L) == -1L, "all-below-seed vector must assign -1 in both forms")
+    val empty = run((v, c) => graft.queries.Similarity.assignCells(v, c.filter(lit(false))))
     assert(empty.values.forall(_ == -1L), s"empty centroid table must assign -1: $empty")
+    // degenerate-input null algebra: a length-mismatched centroid is
+    // skipped (its HOF dp is null), and a winning centroid with null c
+    // nulls the result -- both matching the interpreted fold
+    val ragged = Seq((0L, Seq(9.0, 9.0, 9.0)), (2L, Seq(0.0, 1.0))).toDF("c", "cv")
+    val nr = run((v, c) => graft.queries.Similarity.assignCells(v, ragged))
+    val hr = run((v, c) => graft.queries.Similarity.assignCellsHof(v, ragged))
+    assert(nr == hr && nr(10L) == 2L,
+      s"length-mismatched centroid must be skipped: native=$nr hof=$hr")
   }
 
   test("cosine_sim rejects wrong argument types with a clear error") {
