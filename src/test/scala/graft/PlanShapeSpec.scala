@@ -73,6 +73,18 @@ class PlanShapeSpec extends SparkSpec {
       s"within-cluster pairwise degenerated to corpus all-pairs:\n$p")
   }
 
+  test("ivf assignment runs the native argmax_dot, not the interpreted fold") {
+    // BASELINE.md's ann band names "lost argmax_dot" as THE ivf
+    // regression (the interpreted HOF fold costs ~1 ms/row — the r11 s3
+    // sf10 scale bug); pin the expression node in the executed plan the
+    // same way sign_lsh_sig is pinned for embedding_near_dup.
+    // semantic_dedup's assignment runs inside its eager localCheckpoint,
+    // so its executed plan can't show the node — ivf_cosine_topk's can.
+    val p = plan("ivf_cosine_topk")
+    assert(p.contains("argmax_dot"),
+      s"ivf assignment fell off the native argmax_dot expression:\n$p")
+  }
+
   test("minhash_near_dup candidates: ONE md5 pass, banded bucket join, no cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf001, "documents")
