@@ -202,29 +202,56 @@ object Multimodal {
     * amplitude sum/extrema and the zero-crossing count (the classic
     * voiced/unvoiced signal). Integer-exact, so the oracle recomputes
     * every value from the sample formula. */
+  /** The per-payload feature kernel shared by the synthesized-asset query
+    * and the binaryFile lake path: decode + one pass for sum/extrema/
+    * zero crossings. */
+  private def audioFeatureRow(payload: Array[Byte]): (Int, Int, Long, Long, Int, Int, Long) = {
+    val (sr, ch, smp) = graft.sources.AudioSource.decodeWav(payload)
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var zx = 0L
+    var i = 0
+    while (i < smp.length) {
+      val v = smp(i).toInt
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zx += 1
+      i += 1
+    }
+    (sr, ch, smp.length.toLong, sum, mn, mx, zx)
+  }
+
   val multimodalAudioFeatures: Q = (s, dir) => {
     import s.implicits._
     audioAssets(s, dir)
       .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .map { case (assetId, payload) =>
-        val (sr, ch, smp) = graft.sources.AudioSource.decodeWav(payload)
-        var sum = 0L
-        var mn = Int.MaxValue
-        var mx = Int.MinValue
-        var zx = 0L
-        var i = 0
-        while (i < smp.length) {
-          val v = smp(i).toInt
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zx += 1
-          i += 1
-        }
-        (assetId, sr, ch, smp.length.toLong, sum, mn, mx, zx)
+        val (sr, ch, n, sum, mn, mx, zx) = audioFeatureRow(payload)
+        (assetId, sr, ch, n, sum, mn, mx, zx)
       }.toDF("asset_id", "sample_rate", "n_channels", "n_samples",
         "sum_s", "min_s", "max_s", "zero_crossings")
       .orderBy(col("asset_id"))
+  }
+
+  /** Audio features over a REAL file lake: `binaryFile` scan → WAV decode
+    * → the same feature kernel as [[multimodalAudioFeatures]] — the
+    * ingest entry a user points at their own `*.wav` glob (the seam the
+    * synthesized asset table stands in for; AudioSourceSpec pins the two
+    * paths equal through an actual write-read round trip). Per-file map
+    * work after the listing — no shuffle; at 100 TB the glob is a
+    * partitioned lake prefix and parallelism comes from the file count. */
+  def audioFeaturesFromLake(s: SparkSession, glob: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val (sr, ch, n, sum, mn, mx, zx) = audioFeatureRow(bytes)
+        (path.substring(path.lastIndexOf('/') + 1), sr, ch, n, sum, mn, mx, zx)
+      }.toDF("file", "sample_rate", "n_channels", "n_samples",
+        "sum_s", "min_s", "max_s", "zero_crossings")
+      .orderBy(col("file"))
   }
 
   private val audSampleCte: String =

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.AudioSource
+import org.apache.spark.sql.functions._
 
 class AudioSourceSpec extends SparkSpec {
 
@@ -86,6 +87,35 @@ class AudioSourceSpec extends SparkSpec {
     }
     // the signal must actually oscillate or the zero-crossing gate is vacuous
     assert(rows.exists(_.getLong(7) > 10), "formula produced a one-sided signal")
+  }
+
+  test("binaryFile lake ingest equals the in-memory audio feature path") {
+    // the seam the synthesized asset table stands in for: write every
+    // sf0.001 payload as a real .wav file, re-ingest through Spark's
+    // binaryFile source, and require feature-row equality with the
+    // in-memory query (keyed by asset id carried in the file name)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wavlake")
+    dir.toFile.deleteOnExit()
+    graft.queries.Multimodal.audioAssets(spark, sf0001)
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect() // test-side materialization of 500 tiny payloads
+      .foreach { case (id, bytes) =>
+        java.nio.file.Files.write(dir.resolve(f"a$id%06d.wav"), bytes)
+      }
+    val lake = graft.queries.Multimodal
+      .audioFeaturesFromLake(spark, s"$dir/*.wav").collect()
+      .map(r => r.getString(0).stripPrefix("a").stripSuffix(".wav").toLong ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getInt(5), r.getInt(6), r.getLong(7))).toMap
+    val mem = graft.queries.Multimodal
+      .multimodalAudioFeatures(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getInt(5), r.getInt(6), r.getLong(7))).toMap
+    assert(lake.keySet == mem.keySet, "one lake file per asset")
+    assert(lake == mem, "lake-ingested features diverged from the in-memory path")
   }
 
   test("multimodal_audio_windows: full partition of each stream, energy conserved") {
