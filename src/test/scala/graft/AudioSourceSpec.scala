@@ -65,6 +65,34 @@ class AudioSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](AudioSource.decodeWav(bad))
   }
 
+  test("decoder terminates with a clean failure on arbitrary garbage (fuzz)") {
+    // a corrupt lake object must throw, never hang, loop, or return
+    // fabricated audio — 500 random payloads plus bit-flipped valid ones
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 500) {
+      val bytes = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(bytes)
+      try { AudioSource.decodeWav(bytes); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case _: java.nio.BufferUnderflowException => ()
+      }
+    }
+    val ok = AudioSource.encodeWavPcm16(8000, 1, Array.tabulate(64)(_.toShort))
+    for (_ <- 1 to 500) {
+      val mut = ok.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try {
+        val (sr, ch, smp) = AudioSource.decodeWav(mut)
+        // a surviving decode must still be structurally sane
+        assert(sr > 0 && ch > 0 && smp.length % ch == 0)
+      } catch {
+        case _: IllegalArgumentException => ()
+        case _: java.nio.BufferUnderflowException => ()
+      }
+    }
+  }
+
   test("multimodal_audio_features matches a direct formula recompute (sf0.001)") {
     val rows = graft.queries.Multimodal.multimodalAudioFeatures(spark, sf0001)
       .collect()
