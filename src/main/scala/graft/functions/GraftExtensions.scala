@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.signLshSig)
     ext.injectFunction(GraftExtensions.argmaxDot)
+    ext.injectFunction(GraftExtensions.vecMean)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
@@ -45,6 +46,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
     (es: Seq[Expression]) => ArgmaxDot(es(0), es(1)))
 
+  val vecMean: FnDesc = (
+    FunctionIdentifier("vec_mean"),
+    new ExpressionInfo(classOf[VecMeanAgg].getName, "vec_mean"),
+    (es: Seq[Expression]) => VecMeanAgg(es.head).toAggregateExpression())
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -57,7 +63,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, argmaxDot, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, argmaxDot, vecMean, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -288,9 +288,23 @@ object Similarity {
       .drop("cs")
   }
 
-  /** Lloyd update: per-(cluster, dim) mean in one shuffle, re-normalized
-    * and rounded to 6 dp (the cross-engine determinism anchor). */
-  private def updateCents(assigned: DataFrame): DataFrame =
+  /** Lloyd update: element-wise cluster mean in ONE narrow aggregate via
+    * the typed `vec_mean` buffer (r11 s3 — the posexplode form it
+    * replaced pushed 64× the corpus row count through the shuffle per
+    * iteration; kept below as the spec twin), re-normalized and rounded
+    * to 6 dp (the cross-engine determinism anchor — it also absorbs the
+    * partial-sum regrouping between the two forms, which
+    * SimilaritySpec pins equal on real data). */
+  private def updateCents(assigned: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.install(assigned.sparkSession)
+    assigned.groupBy(col("cluster").as("c"))
+      .agg(expr("vec_mean(v)").as("mv"))
+      .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
+      .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
+  }
+
+  /** The posexplode Lloyd update `vec_mean` replaced — spec twin only. */
+  private[graft] def updateCentsExplode(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster").as("c"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("c"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("c"))
@@ -298,6 +312,10 @@ object Similarity {
       .select(col("c"), expr("transform(dm, p -> p.m)").as("mv"))
       .withColumn("cnrm", sqrt(dot(col("mv"), col("mv"))))
       .select(col("c"), expr("transform(mv, x -> round(x / cnrm, 6))").as("cv"))
+
+  /** Spec seam: the pinned normalized corpus for a test dir. */
+  private[graft] def normedForTest(s: SparkSession, dir: String): DataFrame =
+    normedPinned(t(s, dir, "embeddings"))
 
   /** FunctionsSpec seam: the full corpus assignment under real k-means
     * centroids, in either form. */
@@ -314,10 +332,18 @@ object Similarity {
     * without it the final query tree re-executes the whole Lloyd prefix
     * once per consumer (assignment + probe ranking), i.e. extra full
     * scans of the corpus at 100 TB for a 10-row intermediate. */
-  private def kmeans(vecs: DataFrame): DataFrame = {
+  private def kmeans(vecs: DataFrame): DataFrame =
+    kmeansWith(vecs, explodeForm = false)
+
+  /** kmeans with either Lloyd-update form — the spec runs both and pins
+    * identical (6-dp-rounded) centroids on real data. */
+  private[graft] def kmeansWith(vecs: DataFrame, explodeForm: Boolean): DataFrame = {
     var cents = seedCents(vecs)
-    for (_ <- 1 to 2)
-      cents = updateCents(assignCells(vecs, cents)).localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val assigned = assignCells(vecs, cents)
+      cents = (if (explodeForm) updateCentsExplode(assigned)
+               else updateCents(assigned)).localCheckpoint(true)
+    }
     cents
   }
 

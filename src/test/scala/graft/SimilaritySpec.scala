@@ -122,6 +122,21 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${naiveDup -- onDup} extra=${onDup -- naiveDup}")
   }
 
+  test("vec_mean Lloyd update yields the same rounded centroids as the explode form") {
+    // the typed aggregate replaced a 64x row explosion per iteration; the
+    // 6-dp round must absorb the partial-sum regrouping on real data at
+    // both gate scales (the DuckDB oracle remains the cross-engine pin)
+    for (dir <- Seq(sf0001, sf001)) {
+      def cents(explode: Boolean): Map[Long, Seq[Double]] =
+        Similarity.kmeansWith(Similarity.normedForTest(spark, dir), explode)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      val fast = cents(explode = false)
+      val twin = cents(explode = true)
+      assert(fast == twin, s"centroids diverged at $dir")
+      assert(fast.size == 10 && fast.values.forall(_.length == 64))
+    }
+  }
+
   test("hoisted plane matrix yields bit-identical signatures to the inline-sin form") {
     // the literal 64x64 plane column replaced per-row sin() recomputation;
     // both derive from java.lang.Math.sin with the same op order, so every
