@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.signLshSig)
+    ext.injectFunction(GraftExtensions.hyperplaneSig)
     ext.injectFunction(GraftExtensions.argmaxDot)
     ext.injectFunction(GraftExtensions.vecMean)
     ext.injectFunction(GraftExtensions.topkRows)
@@ -41,6 +42,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
     (es: Seq[Expression]) => SignLshSig(es.head))
 
+  val hyperplaneSig: FnDesc = (
+    FunctionIdentifier("hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+    (es: Seq[Expression]) => HyperplaneSig(es.head))
+
   val argmaxDot: FnDesc = (
     FunctionIdentifier("argmax_dot"),
     new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
@@ -63,7 +69,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, argmaxDot, vecMean, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -466,19 +466,14 @@ object Similarity {
     * partition key and each probe is a pruned partition scan. */
   val annHyperplaneTopk: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
-    // 6×64 sin(p·64+d) plane matrix hoisted to a plan constant (same
-    // java.lang.Math.sin values the inline SQL form produced; the DuckDB
-    // oracle still derives them from sin() directly)
-    val annPlanes: Seq[Seq[Double]] =
-      (0 until 6).map(p => (0 until 64).map(d => math.sin((p * 64 + d).toDouble)))
-    val bucketExpr = expr(
-      """aggregate(sequence(0, 5), 0L, (acc, p) -> acc +
-        |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
-        |                               (x, y) -> CAST(x AS DOUBLE) * y),
-        |                      0D, (a, x) -> a + x) > 0D
-        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
-    val e = t(s, dir, "embeddings").withColumn("planes", typedLit(annPlanes))
-      .withColumn("bucket", bucketExpr).drop("planes")
+    // 6-bit sign bucket via the native codegen expression
+    // (graft.functions.HyperplaneSig) — the interpreted
+    // aggregate(sequence(0,5), … aggregate(zip_with(…))) twin it replaced
+    // cost ~1 ms/row (the scale-trap class from round 11); SimilaritySpec
+    // pins bit-identity against that HOF form, incl. NaN/length edges,
+    // and the DuckDB oracle still derives the planes from sin() directly.
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", expr("hyperplane_sig(embedding)"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qb"))
     val probes = spark_masks(s)

@@ -176,6 +176,53 @@ class SimilaritySpec extends SparkSpec {
     assert(native == inlineSig, "native sign_lsh_sig diverges from the HOF forms")
   }
 
+  test("native hyperplane_sig is bit-identical to the interpreted HOF fold, incl. edges") {
+    // the ann_hyperplane_topk bucket moved to the codegen HyperplaneSig
+    // expression in r12; the displaced HOF twin stays here as the
+    // semantics oracle. Edge rows exercise the divergence-prone corners:
+    // NaN element (Spark's > orders NaN above 0 → bit SET), null element /
+    // wrong length / empty (all-null dots → bucket 0, not null).
+    import org.apache.spark.sql.functions.{col, expr, typedLit}
+    graft.functions.GraftExtensions.install(spark)
+    val planes: Seq[Seq[Double]] = graft.functions.HyperplaneSig.planes.map(_.toSeq).toSeq
+    val hof =
+      """aggregate(sequence(0, 5), 0L, (acc, p) -> acc +
+        |  CASE WHEN aggregate(zip_with(embedding, element_at(planes, p + 1),
+        |                               (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      0D, (a, x) -> a + x) > 0D
+        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin
+    def sigs(df: org.apache.spark.sql.DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+      val withPlanes = df.withColumn("planes", typedLit(planes))
+      val h = withPlanes.select(col("vec_id"), expr(hof).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = df.select(col("vec_id"), expr("hyperplane_sig(embedding)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (h, n)
+    }
+    val (h1, n1) = sigs(Tables.t(spark, sf0001, "embeddings"))
+    assert(n1 == h1, "native hyperplane_sig diverges from the HOF fold on real data")
+    assert(n1.values.exists(_ != 0L), "degenerate: every bucket zero")
+    // adversarial rows
+    val base = Array.fill(64)(0.5f)
+    val nanV = base.clone(); nanV(7) = Float.NaN
+    val edge = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, base.toSeq),
+      org.apache.spark.sql.Row(2L, nanV.toSeq),
+      org.apache.spark.sql.Row(3L, Seq.empty[Float]),
+      org.apache.spark.sql.Row(4L, base.take(10).toSeq),
+      org.apache.spark.sql.Row(5L, (base.toSeq :+ 1.0f)),
+      org.apache.spark.sql.Row(6L, base.toSeq.updated(3, null))
+    )), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))))
+    val (h2, n2) = sigs(edge)
+    assert(n2 == h2, s"edge-row divergence: native $n2 vs HOF $h2")
+    assert(n2(3) == 0L && n2(4) == 0L && n2(5) == 0L && n2(6) == 0L,
+      s"degenerate rows must bucket to 0: $n2")
+    assert(n2(2) != 0L, s"NaN dot must SET bits (Spark > orders NaN high): ${n2(2)}")
+  }
+
   test("embedding_near_dup candidates come from banded buckets, not label all-pairs") {
     val plan = Similarity.embeddingLshCandidates(
         Tables.t(spark, sf0001, "embeddings"))
