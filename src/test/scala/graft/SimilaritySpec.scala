@@ -122,6 +122,62 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${naiveDup -- onDup} extra=${onDup -- naiveDup}")
   }
 
+  test("kmeansK scales with the corpus: floor 10, ~N/5000, broadcast-safe cap") {
+    assert(Similarity.kmeansK(0) == 10 && Similarity.kmeansK(500) == 10
+      && Similarity.kmeansK(50000) == 10, "toy scales keep the oracle K")
+    assert(Similarity.kmeansK(500000) == 100, "K tracks ceil(N/5000)")
+    assert(Similarity.kmeansK(5000000) == 1000)
+    // 10x the distinct corpus -> 10x K (above the floor): the cluster-size
+    // bound is scale-invariant
+    assert(Similarity.kmeansK(5000000) == 10 * Similarity.kmeansK(500000))
+    assert(Similarity.kmeansK(Long.MaxValue) == 4096, "broadcast-safe cap")
+  }
+
+  test("semantic_dedup collapse equals the naive twin at a non-oracle K") {
+    // the collapse≡naive argument (rep self-cos 1.0, remover sets equal
+    // at rep level) is K-independent — pin it off the oracle constant so
+    // the scaled-K production path inherits the same correctness proof
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val fast = Similarity.semanticDedupWith(e, 17).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Similarity.semanticDedupNaiveWith(e, 17).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+    assert(fast.nonEmpty && fast.size < e.count(), "non-vacuous at K=17")
+  }
+
+  test("scaling K bounds the largest cluster when distinct content grows 10x") {
+    // the 100 TB SemDeDup argument: the quadratic stage is bounded by the
+    // largest cluster, so K must grow with DISTINCT content. Build a
+    // corpus whose distinct vectors grow 10x (deterministically perturbed
+    // copies — NOT verbatim, so the exact-dup collapse can't absorb them)
+    // and compare the largest cluster at the fixed oracle K=10 vs a
+    // TARGET_CLUSTER-style scaled K=100.
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max}
+    val e = Tables.t(spark, sf0001, "embeddings")
+    val shift = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val grown = (0 until 10).map(k =>
+        e.withColumn("vec_id", col("vec_id") + lit(k * shift))
+          .withColumn("embedding",
+            expr(s"transform(embedding, (x, i) -> x + CAST($k AS FLOAT) * 0.003F * CAST(i % 7 AS FLOAT))")))
+      .reduce(_ unionByName _)
+    val n = grown.count()
+    assert(grown.select(col("embedding")).distinct().count() == n,
+      "perturbed copies must be distinct vectors")
+    def maxCluster(k: Int): Long =
+      Similarity.assignedForTestOn(grown, k)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+    val atOracleK = maxCluster(10)
+    val atScaledK = maxCluster(100)
+    assert(atScaledK < atOracleK,
+      s"scaled K must shrink the largest cluster: K=10 -> $atOracleK, K=100 -> $atScaledK")
+    // the quadratic bound: the largest cluster stays within a small
+    // multiple of the N/K ideal (k-means is unbalanced, not degenerate)
+    assert(atScaledK <= 8 * n / 100,
+      s"largest cluster $atScaledK exceeds 8x the N/K ideal (${n / 100})")
+  }
+
   test("vec_mean Lloyd update yields the same rounded centroids as the explode form") {
     // the typed aggregate replaced a 64x row explosion per iteration; the
     // 6-dp round must absorb the partial-sum regrouping on real data at
