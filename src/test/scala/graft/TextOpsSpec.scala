@@ -185,15 +185,22 @@ class TextOpsSpec extends SparkSpec {
       "every doc with >=1 shingle must get a verdict row")
   }
 
-  test("line_dedup_docs matches a naive per-doc recount (sf0.001)") {
+  test("line_dedup_docs matches a naive per-doc recount of the augmented corpus (sf0.001)") {
     val rows = TextOps.lineDedupDocs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val docs = Tables.t(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def segments(t: String): Seq[String] =
-      t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
-    val segsByDoc = docs.map { case (id, t) => id -> segments(t) }
+    // replay the augmentation: 3-token lines + residue-class boilerplate
+    def lines(id: Long, t: String): Seq[String] = {
+      val base = t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+      val b3 = if (id % 3 == 0)
+        Seq("subscribe to our newsletter", "follow us on social media") else Nil
+      val b4 = if (id % 4 == 0)
+        Seq("all rights reserved", "terms of service apply") else Nil
+      base ++ b3 ++ b4
+    }
+    val segsByDoc = docs.map { case (id, t) => id -> lines(id, t) }
     val docCount = segsByDoc.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
       .groupBy(_._1).map { case (sg, v) => sg -> v.size }
     val shared = docCount.filter(_._2 >= 4).keySet
@@ -202,28 +209,57 @@ class TextOpsSpec extends SparkSpec {
       assert(nSegs == mine.size, s"doc $id n_segs $nSegs vs ${mine.size}")
       val keptSegs = mine.filterNot(shared)
       assert(nRemoved == (mine.size - keptSegs.size).toLong, s"doc $id n_removed")
-      assert(clean == keptSegs.mkString(" "),
+      assert(clean == keptSegs.mkString("\n"),
         s"doc $id reassembly order/content mismatch")
     }
     assert(rows.map(_._1).toSet == docs.keySet, "one verdict row per doc")
-    // non-vacuous at the gate scale: both the drop and the keep path run
+    // non-vacuous at the gate scale: both the drop and the keep path run,
+    // and BOTH boilerplate classes cross the >=4-doc bar
     assert(rows.exists(_._3 > 0), "no segment crossed the >=4-doc bar")
     assert(rows.exists(r => r._3 == 0 && r._2 > 0), "no fully-kept doc")
+    assert(shared.contains("subscribe to our newsletter")
+      && shared.contains("terms of service apply"),
+      "injected multi-line boilerplate must be in the shared set")
+    // the original corpus's own 3-token lines still cross the bar too
+    // (the pre-r12 calibration survives the newline-ization)
+    val injected = Set("subscribe to our newsletter", "follow us on social media",
+      "all rights reserved", "terms of service apply")
+    assert((shared -- injected).nonEmpty,
+      "corpus-native shared segments disappeared under augmentation")
   }
 
-  test("line_dedup reassembles surviving segments in document order") {
-    val boiler = "subscribe to our newsletter"
+  test("line_dedup drops multi-line boilerplate spanning docs, reassembles in order") {
+    // REAL '\n' segments: each doc is a unique lead line, a 2-line
+    // boilerplate block shared by all 5 docs, and a unique tail line —
+    // the block must vanish from every doc, the lead/tail must survive
+    // in document order
     val docs = docsDf((1L to 5L).map(i =>
-      i -> s"unique lead $i $boiler tail words $i"))
-    // 3-token segments: [unique lead N] [subscribe to our] [newsletter tail words] [N]
-    // middle segments appear in all 5 docs -> dropped; per-doc segments survive
+      i -> s"unique lead $i\nsubscribe to our newsletter\nfollow us on social media\nunique tail $i"))
     val out = graft.queries.TextOps.lineDedupOver(docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     for (i <- 1L to 5L) {
-      val (nRemoved, clean) = out(i)
-      assert(nRemoved == 2L, s"doc $i removed $nRemoved segments")
-      assert(clean == s"unique lead $i $i", s"doc $i clean='$clean'")
+      val (nSegs, nRemoved, clean) = out(i)
+      assert(nSegs == 4L, s"doc $i segmented into $nSegs lines")
+      assert(nRemoved == 2L, s"doc $i removed $nRemoved lines")
+      assert(clean == s"unique lead $i\nunique tail $i", s"doc $i clean='$clean'")
     }
+  }
+
+  test("shared-set probes are row-identical under a forced-low broadcast budget (salted fallback)") {
+    // r12 (judge item #3): when the nd>=2 vocabulary outgrows the
+    // broadcast budget, sharedSetProbe must switch to the salted replica
+    // join and produce EXACTLY the broadcast path's rows — for both
+    // riders of the idiom.
+    def collectRows(name: String): Set[Vector[Any]] =
+      SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq.toVector).toSet
+    val keys = Seq("dup_ngram_doc_filter", "line_dedup_docs")
+    val viaBroadcast = keys.map(k => k -> collectRows(k)).toMap
+    spark.conf.set(graft.queries.TextOps.SHARED_BROADCAST_MAX_ROWS, "0")
+    try {
+      for (k <- keys)
+        assert(collectRows(k) == viaBroadcast(k),
+          s"$k diverged between broadcast and salted fallback")
+    } finally spark.conf.unset(graft.queries.TextOps.SHARED_BROADCAST_MAX_ROWS)
   }
 
   test("mixture_weighted_repeat: per-source copy counts follow the weight table") {
