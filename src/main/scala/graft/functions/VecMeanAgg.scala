@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * regrouping exactly as it does the Spark-vs-DuckDB order difference,
   * and SimilaritySpec pins this form against the explode twin on real
   * data. Null/ragged elements: null vectors are skipped; a length
-  * mismatch within a group throws rather than mis-sums (upstream
-  * guarantees fixed-width embeddings).
+  * mismatch OR a null element within a group throws rather than
+  * mis-sums (the explode twin's avg() would skip a null per-dimension,
+  * silently shifting that dimension's mean — degenerate inputs must
+  * fail loudly, upstream guarantees dense fixed-width embeddings).
   */
 case class VecMeanAgg(
     child: Expression,
@@ -45,7 +47,11 @@ case class VecMeanAgg(
       require(buf.sums.length == n,
         s"vec_mean over ragged vectors: ${buf.sums.length} vs $n")
       var i = 0
-      while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"vec_mean over a null element at dim $i")
+        buf.sums(i) += arr.getDouble(i)
+        i += 1
+      }
       buf.n += 1
     }
     buf

@@ -207,6 +207,11 @@ object Multimodal {
     * zero crossings. */
   private def audioFeatureRow(payload: Array[Byte]): (Int, Int, Long, Long, Int, Int, Long) = {
     val (sr, ch, smp) = graft.sources.AudioSource.decodeWav(payload)
+    // a structurally valid WAV with an EMPTY data chunk is reachable from
+    // the public lake entry point on real user files — without this guard
+    // the extrema fold would emit its Int.MaxValue/MinValue sentinels as
+    // feature values (r12, advisor item)
+    require(smp.length > 0, "WAV has an empty data chunk: no samples to featurize")
     var sum = 0L
     var mn = Int.MaxValue
     var mx = Int.MinValue

@@ -46,6 +46,10 @@ object AudioSource {
   /** Decode a WAV payload to (sampleRate, channels, interleaved samples).
     * Requires 16-bit PCM; walks and skips unknown chunks (word-aligned). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    // uniform malformed-input contract: every bad payload fails with
+    // IllegalArgumentException — a header shorter than the 12-byte
+    // RIFF//WAVE preamble must not surface as BufferUnderflowException
+    require(bytes.length >= 12, s"truncated WAV header: ${bytes.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {

@@ -72,11 +72,10 @@ class AudioSourceSpec extends SparkSpec {
     for (_ <- 1 to 500) {
       val bytes = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(bytes)
+      // the ONLY admissible failure is the IllegalArgumentException
+      // contract (r12: the header-truncation underflow is guarded)
       try { AudioSource.decodeWav(bytes); () }
-      catch {
-        case _: IllegalArgumentException => ()
-        case _: java.nio.BufferUnderflowException => ()
-      }
+      catch { case _: IllegalArgumentException => () }
     }
     val ok = AudioSource.encodeWavPcm16(8000, 1, Array.tabulate(64)(_.toShort))
     for (_ <- 1 to 500) {
@@ -86,11 +85,14 @@ class AudioSourceSpec extends SparkSpec {
         val (sr, ch, smp) = AudioSource.decodeWav(mut)
         // a surviving decode must still be structurally sane
         assert(sr > 0 && ch > 0 && smp.length % ch == 0)
-      } catch {
-        case _: IllegalArgumentException => ()
-        case _: java.nio.BufferUnderflowException => ()
-      }
+      } catch { case _: IllegalArgumentException => () }
     }
+    // the header-truncation class specifically: every prefix of a valid
+    // stream shorter than the 12-byte preamble fails with the contract
+    // exception, not BufferUnderflowException
+    for (n <- 0 until 12)
+      intercept[IllegalArgumentException](
+        AudioSource.decodeWav(java.util.Arrays.copyOf(ok, n)))
   }
 
   test("multimodal_audio_features matches a direct formula recompute (sf0.001)") {
@@ -144,6 +146,25 @@ class AudioSourceSpec extends SparkSpec {
           r.getInt(5), r.getInt(6), r.getLong(7))).toMap
     assert(lake.keySet == mem.keySet, "one lake file per asset")
     assert(lake == mem, "lake-ingested features diverged from the in-memory path")
+  }
+
+  test("empty-data-chunk WAV is rejected by the lake feature path, not featurized") {
+    // a valid RIFF stream with 0 samples must not produce a feature row
+    // carrying the extrema fold's Int.MaxValue/MinValue sentinels (r12
+    // advisor item — reachable from the public entry point on user files)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptywav")
+    dir.toFile.deleteOnExit()
+    val empty = AudioSource.encodeWavPcm16(8000, 1, Array.empty[Short])
+    // sanity: the codec itself round-trips the degenerate stream fine
+    val (sr, ch, smp) = AudioSource.decodeWav(empty)
+    assert(sr == 8000 && ch == 1 && smp.isEmpty)
+    java.nio.file.Files.write(dir.resolve("empty.wav"), empty)
+    val e = intercept[Exception](graft.queries.Multimodal
+      .audioFeaturesFromLake(spark, s"$dir/*.wav").collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("empty data chunk")),
+      s"expected the empty-data-chunk rejection, got: ${chain(e)}")
   }
 
   test("multimodal_audio_windows: full partition of each stream, energy conserved") {

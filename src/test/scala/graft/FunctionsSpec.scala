@@ -68,6 +68,35 @@ class FunctionsSpec extends SparkSpec {
       s"length-mismatched centroid must be skipped: native=$nr hof=$hr")
   }
 
+  test("vec_mean fails loudly on ragged AND null-element vectors") {
+    // degenerate inputs must not mis-sum (r12 advisor item: a null
+    // element previously contributed 0.0 silently, diverging from the
+    // explode twin's per-dimension null-skipping avg)
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val ragged = Seq((1L, Seq[java.lang.Double](1.0, 2.0)),
+      (1L, Seq[java.lang.Double](3.0))).toDF("g", "v")
+    val re = intercept[Exception](
+      ragged.groupBy("g").agg(expr("vec_mean(v)")).collect())
+    assert(re.getMessage.contains("ragged")
+      || Option(re.getCause).exists(_.getMessage.contains("ragged")))
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, 2.0)),
+      (1L, Seq[java.lang.Double](3.0, null))).toDF("g", "v")
+    val ne = intercept[Exception](
+      withNull.groupBy("g").agg(expr("vec_mean(v)")).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ne).exists(_.contains("null element")),
+      s"null element must fail loudly, got: ${chain(ne)}")
+    // null VECTORS (whole rows) stay skipped, not fatal
+    val withNullVec = Seq((1L, Seq[java.lang.Double](2.0, 4.0)), (1L, null))
+      .toDF("g", "v")
+    val ok = withNullVec.groupBy("g").agg(expr("vec_mean(v)").as("m"))
+      .collect().head.getSeq[Double](1)
+    assert(ok == Seq(2.0, 4.0))
+  }
+
   test("cosine_sim rejects wrong argument types with a clear error") {
     graft.functions.GraftExtensions.install(spark)
     val err = intercept[Exception] {
