@@ -167,6 +167,41 @@ class AudioSourceSpec extends SparkSpec {
       s"expected the empty-data-chunk rejection, got: ${chain(e)}")
   }
 
+  test("multimodal_av_sync: both codecs per joint row, frame-aligned windows partition the stream, formula-exact") {
+    val rows = graft.queries.Multimodal.multimodalAvSync(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nf(id: Long) = 3 + (id % 4).toInt
+    def h(id: Long) = 16 + (id % 3).toInt * 8
+    def w(id: Long) = 16 + (id % 5).toInt * 8
+    def n(id: Long) = 300 + (id % 7).toInt * 50
+    def px(nc: Long, id: Long, f: Int, i: Int, j: Int): Long =
+      (nc + 7 * id + 11 * f + 3 * i + 5 * j) % 256
+    def smp(nc: Long, id: Long, i: Int): Long =
+      (nc * 31 + id * 7 + i.toLong * 17 + (i.toLong * i) % 97) % 4001 - 2000
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "one frame group per doc")
+    for ((id, rs) <- byDoc) {
+      val nc = docs(id)
+      assert(rs.map(_._2).sorted.toSeq == (0 until nf(id)), s"doc $id frames")
+      // the audio windows must partition the decoded stream exactly
+      assert(rs.map(_._5).sum == n(id).toLong, s"doc $id window coverage")
+      for ((_, f, sumP, nPx, nSamps, energy) <- rs) {
+        assert(nPx == h(id).toLong * w(id), s"doc $id frame $f n_px")
+        val expP = (for (i <- 0 until h(id); j <- 0 until w(id))
+          yield px(nc, id, f, i, j)).sum
+        assert(sumP == expP, s"doc $id frame $f pixel sum (TIFF decode)")
+        val lo = f * n(id) / nf(id); val hi = (f + 1) * n(id) / nf(id)
+        assert(nSamps == (hi - lo).toLong, s"doc $id frame $f span")
+        val expE = (lo until hi).map(i => math.abs(smp(nc, id, i))).sum
+        assert(energy == expE, s"doc $id frame $f energy (WAV decode)")
+      }
+    }
+  }
+
   test("multimodal_audio_windows: full partition of each stream, energy conserved") {
     val feats = graft.queries.Multimodal.multimodalAudioFeatures(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
