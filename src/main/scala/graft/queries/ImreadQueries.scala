@@ -342,6 +342,48 @@ object ImreadQueries {
       .orderBy(col("f"))
   }
 
+  /** Animated-GIF imread through the clean-room GIF codec
+    * (SURVEY §2A.1 — the pims source-breadth shape: one file is a whole
+    * multi-frame clip). The fixture exercises the honest decode paths in
+    * one gate: frames 0–1 live in ONE animated file with frame 1
+    * INTERLACED (4-pass row order must deinterlace), frame 2 in a second
+    * file with a REVERSED local palette over inverted indices — the
+    * decoded value is right only if the LCT actually overrides the
+    * global table. All three frames carry the gray value
+    * (base + 23·f) mod 256 on every channel, so the oracle replays the
+    * shared formula; LZW (with dictionary growth), palette lookup,
+    * interlace, LCT, and cross-file frame numbering all sit under the
+    * hash. */
+  val imreadGif: Q = (s, dir) => {
+    import graft.sources.GifSource
+    import graft.sources.GifSource.GifFrame
+    val base = fixtureBase(s, dir)
+    val out = fixtureDir(s, dir, "gif")
+    val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    def idx(f: Int): Array[Byte] =
+      base.map(p => ((p.toInt + 23 * f) % 256).toByte)
+    java.nio.file.Files.write(out.resolve("frames_000_001.gif"),
+      GifSource.encodeGif(W, H, grayPal, Seq(
+        GifFrame(0, 0, W, H, idx(0)),
+        GifFrame(0, 0, W, H, idx(1), interlace = true))))
+    val revPal = Array.tabulate(256 * 3)(i => (255 - i / 3).toByte)
+    java.nio.file.Files.write(out.resolve("frames_002.gif"),
+      GifSource.encodeGif(W, H, grayPal, Seq(
+        GifFrame(0, 0, W, H, idx(2).map(b => (255 - (b & 0xff)).toByte),
+          localPalette = Some(revPal)))))
+    rgbToDf(GifSource.readGif(s, s"$out/*.gif")).orderBy("f", "i", "j", "c")
+  }
+
+  private val gifSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f),
+       |chans AS (SELECT unnest([0, 1, 2]) AS c)
+       |SELECT f.f AS f, g.i, g.j, c.c AS c,
+       |  CAST(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |        + 23 * f.f) % 256 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
+       |ORDER BY f, g.i, g.j, c""".stripMargin
+
   /** Color image → relational reduction: per-(frame, channel) pixel sum
     * and count over the decoded RGB planes — the image-QC shape (channel
     * balance / dead-plane checks) a vision-data pipeline runs right
@@ -406,6 +448,7 @@ object ImreadQueries {
     "imread_rgb" -> imreadRgb,
     "imread_jpeg" -> imreadJpeg,
     "imread_rgb_channel_stats" -> imreadRgbChannelStats,
+    "imread_gif" -> imreadGif,
   )
 
   val oracle: Map[String, String] = Map(
@@ -419,6 +462,7 @@ object ImreadQueries {
     "imread_v2_pushdown" -> roundtripSql(7, minF = 1),
     "imread_rgb" -> rgbRoundtripSql(17),
     "imread_rgb_channel_stats" -> rgbChannelStatsSql,
+    "imread_gif" -> gifSql,
     // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->

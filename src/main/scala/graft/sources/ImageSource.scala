@@ -139,20 +139,33 @@ object ImageSource {
   def readTiffTyped(spark: SparkSession, glob: String, imageId: String = "imread",
       nframes: Int = 1): Dataset[TBlock] = {
     import spark.implicits._
+    val (paged, total) = pagedFiles(spark, glob, b => tiffPageCount(b))
+    val frames = paged.flatMap { case (base, bytes) =>
+      decodeTiffTyped(bytes).zipWithIndex.map { case ((h, w, dt, px), pg) =>
+        ((base + pg).toInt, h, w, dt, px)
+      }
+    }
+    stackFramesTyped(frames, imageId, total, nframes)
+  }
+
+  /** Distributed frame numbering for MULTI-PAGE formats (TIFF, animated
+    * GIF): a metadata-only pass counts pages per file — one tiny
+    * (path, np) row each, eagerly materialized so the prefix-sum sort,
+    * the `total` action and the decode join don't each re-run the count
+    * pass (i.e. re-read every file's bytes) — then a range-sort +
+    * per-partition prefix sum assigns cumulative frame bases. Driver
+    * state is ONE Long per partition, not per file, and there is no
+    * single-partition global window, so millions of files number in
+    * parallel. Returns the (base, content) rows for the decode pass and
+    * the total frame count. */
+  private[sources] def pagedFiles(spark: SparkSession, glob: String,
+      pageCount: Array[Byte] => Long): (Dataset[(Long, Array[Byte])], Int) = {
+    import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    // one tiny (path, np) row per file, eagerly materialized: without the
-    // truncation the prefix-sum sort, the `total` action and the decode
-    // join would each re-run the page-count pass — i.e. re-read every
-    // file's bytes
     val counts = files.as[(String, Array[Byte])]
-      .map { case (p, b) => (p, tiffPageCount(b).toLong) }.toDF("path", "np")
+      .map { case (p, b) => (p, pageCount(b)) }.toDF("path", "np")
       .localCheckpoint(true)
-    // distributed prefix sum for the frame bases: range-sort the tiny
-    // (path, np) rows by path, collect ONE partial sum per partition
-    // (bounded driver state: one Long per partition, not per file), then
-    // assign cumulative bases partition-locally — no single-partition
-    // global window, so millions of files number in parallel
     val sorted = counts.as[(String, Long)].rdd.sortBy(_._1)
     val partSums = sorted
       .mapPartitionsWithIndex { (i, it) => Iterator((i, it.map(_._2).sum)) }
@@ -163,14 +176,8 @@ object ImageSource {
       it.map { case (p, np) => val b = acc; acc += np; (p, b) }
     }.toDF("path", "base")
     val total = offsets.last.toInt
-    val frames = files.join(based, "path").select(col("base"), col("content"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (base, bytes) =>
-        decodeTiffTyped(bytes).zipWithIndex.map { case ((h, w, dt, px), pg) =>
-          ((base + pg).toInt, h, w, dt, px)
-        }
-      }
-    stackFramesTyped(frames, imageId, total, nframes)
+    (files.join(based, "path").select(col("base"), col("content"))
+      .as[(Long, Array[Byte])], total)
   }
 
   /** Header-only PGM probe: (h, w) without touching pixel bytes — lets a
