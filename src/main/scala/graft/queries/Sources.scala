@@ -149,11 +149,48 @@ object SourceQueries {
     """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
       |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
+  /** documents → Common-Crawl-layout `.warc.wet.gz` shards (one gzip
+    * member per record, a `warcinfo` lead record per file) → streamed
+    * WARC parse → per-record (uri, length, md5). The fixture is 200 docs
+    * across 4 shard files, so multi-member gzip, the header/payload
+    * framing, the record-type filter (warcinfo must NOT surface) and
+    * cross-shard union all sit under the hash; the oracle recomputes
+    * uri/length/md5 straight from the documents table. This is stage
+    * zero of a 100 TB pipeline — at scale the same reader runs one task
+    * per shard file, which is exactly the crawl-dump parallelism grain
+    * (gzip is unsplittable by design there). */
+  val warcWetIngest: Q = (s, dir) => {
+    val out = tmp(s, dir, "wet")
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+    for (shard <- 0 until 4) {
+      val recs = docs.filter(_._1 % 4 == shard).sortBy(_._1)
+        .map { case (id, src, text) => (s"https://example.com/$src/$id", text) }
+      java.nio.file.Files.write(outDir.resolve(f"wet_$shard%02d.warc.wet.gz"),
+        graft.sources.WarcSource.encodeWetGz(recs.toIndexedSeq))
+    }
+    graft.sources.WarcSource.readWet(s, s"$out/*.warc.wet.gz")
+      .filter(col("rec_type") === "conversion")
+      .select(col("uri"),
+        length(col("text")).cast("long").as("n_chars_rt"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("uri"))
+  }
+
+  val warcWetIngestSql: String =
+    """SELECT 'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
+      |  CAST(length(text) AS BIGINT) AS n_chars_rt, md5(text) AS text_md5
+      |FROM documents WHERE doc_id < 200 ORDER BY uri""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "jsonl_source_roundtrip" -> jsonlRoundtrip,
     "csv_source_roundtrip" -> csvRoundtrip,
     "orc_source_roundtrip" -> orcRoundtrip,
     "partitioned_lake_prune" -> partitionedPrune,
+    "warc_wet_ingest" -> warcWetIngest,
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,5 +198,6 @@ object SourceQueries {
     "csv_source_roundtrip" -> csvRoundtripSql,
     "orc_source_roundtrip" -> orcRoundtripSql,
     "partitioned_lake_prune" -> partitionedPruneSql,
+    "warc_wet_ingest" -> warcWetIngestSql,
   )
 }

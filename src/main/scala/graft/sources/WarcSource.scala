@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC/WET source — the container format web-scale LLM corpora actually
+  * arrive in (Common Crawl ships `.warc.wet.gz`: one gzip MEMBER per
+  * record, members concatenated, each record an ASCII header block +
+  * Content-Length-delimited payload). Reading it is stage zero of every
+  * training-data pipeline; everything in queries/TextOps consumes what
+  * this source emits.
+  *
+  * Scale shape: gzip is not splittable, so the parallelism grain is the
+  * FILE — exactly how production crawl pipelines run (a crawl dump is
+  * ~100k files of ~150 MB; one task each). The reader streams records
+  * off a `PortableDataStream` — per-record memory, never a whole
+  * decompressed file in heap — and multi-member gzip decodes
+  * transparently (JDK `GZIPInputStream` chains members). A plain
+  * uncompressed `.wet` passes through the same parser via magic-byte
+  * sniffing.
+  */
+object WarcSource {
+
+  /** Read a glob of WET files (gzipped or plain) as one record table:
+    * (path, rec_idx, uri, rec_type, text). `rec_idx` is the record's
+    * ordinal within its file — with `path` it is the provenance key a
+    * reproducible corpus build carries through the pipeline. Filter
+    * `rec_type = 'conversion'` for the extracted-text records
+    * (`warcinfo` headers and friends ride along untyped). */
+  def readWet(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val in = open(pds.open())
+        closeOnExhaust(parseRecords(in), in).zipWithIndex.map {
+          case ((uri, wtype, text), i) => (path, i.toLong, uri, wtype, text)
+        }
+      }
+      .toDF("path", "rec_idx", "uri", "rec_type", "text")
+  }
+
+  /** Sniff the two-byte gzip magic and wrap accordingly. */
+  private def open(raw: InputStream): InputStream = {
+    val buf = new BufferedInputStream(raw)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
+  }
+
+  private def closeOnExhaust[A](it: Iterator[A], in: InputStream): Iterator[A] =
+    new Iterator[A] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) in.close()
+        h
+      }
+      def next(): A = it.next()
+    }
+
+  /** One header line, CRLF or LF terminated; null at end of stream. */
+  private def readLine(in: InputStream): String = {
+    val bos = new ByteArrayOutputStream(64)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { bos.write(b); b = in.read() }
+    val arr = bos.toByteArray
+    val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+    new String(arr, 0, n, UTF_8)
+  }
+
+  /** Streaming WARC record iterator over an UNCOMPRESSED stream:
+    * version line → header fields → blank line → Content-Length payload
+    * bytes → inter-record blank lines. Header names are case-insensitive
+    * per the WARC spec. Malformed streams fail with
+    * IllegalArgumentException (the codec error contract), never an
+    * index/NumberFormat error. */
+  private[graft] def parseRecords(in: InputStream): Iterator[(String, String, String)] =
+    new Iterator[(String, String, String)] {
+      private var nextRec: (String, String, String) = advance()
+      def hasNext: Boolean = nextRec != null
+      def next(): (String, String, String) = {
+        val r = nextRec
+        nextRec = advance()
+        r
+      }
+      private def advance(): (String, String, String) = {
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) return null
+        require(line.startsWith("WARC/"), s"warc: expected version line, got '$line'")
+        var wtype = ""
+        var uri = ""
+        var len = -1L
+        line = readLine(in)
+        while (line != null && line.nonEmpty) {
+          val i = line.indexOf(':')
+          require(i > 0, s"warc: malformed header line '$line'")
+          val v = line.substring(i + 1).trim
+          line.substring(0, i).trim.toLowerCase match {
+            case "warc-type" => wtype = v
+            case "warc-target-uri" => uri = v
+            case "content-length" =>
+              len = try v.toLong
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(s"warc: bad Content-Length '$v'")
+              }
+            case _ => ()
+          }
+          line = readLine(in)
+        }
+        require(line != null, "warc: truncated header block")
+        require(len >= 0, "warc: record missing Content-Length")
+        require(len <= 64L * 1024 * 1024,
+          s"warc: record payload $len exceeds the 64 MiB record bound")
+        val body = in.readNBytes(len.toInt)
+        require(body.length == len,
+          s"warc: truncated payload (${body.length} of $len bytes)")
+        (uri, wtype, new String(body, UTF_8))
+      }
+    }
+
+  /** Encode records as a multi-member `.warc.wet.gz` byte stream —
+    * fixture/round-trip support with the REAL Common Crawl layout: one
+    * gzip member per record (the random-access property crawl indexes
+    * rely on), a `warcinfo` lead record, CRLF headers, and the
+    * double-CRLF record separator inside each member. */
+  private[graft] def encodeWetGz(records: Seq[(String, String)],
+      warcinfo: Boolean = true): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def member(headerLines: Seq[String], body: Array[Byte]): Unit = {
+      val gz = new GZIPOutputStream(bos)
+      val head = (headerLines ++ Seq(s"Content-Length: ${body.length}", "", ""))
+        .mkString("\r\n")
+      gz.write(head.getBytes(UTF_8))
+      gz.write(body)
+      gz.write("\r\n\r\n".getBytes(UTF_8))
+      gz.finish()
+    }
+    if (warcinfo)
+      member(
+        Seq("WARC/1.0", "WARC-Type: warcinfo",
+          "Content-Type: application/warc-fields"),
+        "software: graft\r\n".getBytes(UTF_8))
+    for ((uri, text) <- records)
+      member(
+        Seq("WARC/1.0", "WARC-Type: conversion", s"WARC-Target-URI: $uri",
+          "Content-Type: text/plain"),
+        text.getBytes(UTF_8))
+    bos.toByteArray
+  }
+}
