@@ -1368,6 +1368,109 @@ object TextOps {
       |ORDER BY n_docs DESC, ngram LIMIT 30""".stripMargin
 
   // ---------------------------------------------------------------- maps
+  // -------------------------------------------------------- URL dedup
+  /** Canonical URL normalization: lowercase scheme + host, strip a
+    * `www.` prefix, drop the fragment, drop `utm_*` tracking params
+    * while PRESERVING real params and their order, strip one trailing
+    * slash from the path. Path case is preserved — paths are
+    * case-sensitive; a blanket lower() would be wrong and the gate's
+    * expected values catch it. Pure codegen string expressions: at
+    * 100 TB this runs map-side over the crawl index projection. */
+  private[graft] def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p => !(p.startsWith("utm_") || p === ""))
+    val qn = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qn)
+  }
+
+  /** URL-level dedup — the stage crawl pipelines (C4/RefinedWeb) run
+    * BEFORE any text dedup: re-crawls of one logical page differ only in
+    * URL noise, so normalizing and collapsing on the canonical URL
+    * removes them without touching payloads. The fixture derives FOUR
+    * deterministic messy variants per logical page from doc_id (case
+    * noise in scheme and host, a www. prefix, a trailing slash,
+    * utm_* tracking params — appended, prepended, and standalone — and
+    * a fragment), so 200 raw URLs must collapse to exactly 50 canonical
+    * pages with every real `id=` param surviving. Map-only until ONE
+    * hash-groupBy on the canonical key — the 100 TB plan. */
+  val urlDedupNormalized: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (col("doc_id") % 50).as("bucket"),
+        floor(col("doc_id") / 50).cast("long").as("variant"))
+    val site = concat(lit("site"), (col("bucket") % 7).cast("string"))
+    val pathPart = concat(lit("/Page/"), col("bucket").cast("string"))
+    val idq = concat(lit("id="), col("bucket").cast("string"))
+    val odd = col("bucket") % 2 === 1
+    val uri = when(col("variant") === 0,
+        concat(lit("https://www."), site, lit(".example.com"), pathPart,
+          when(odd, concat(lit("?"), idq)).otherwise(lit(""))))
+      .when(col("variant") === 1,
+        concat(lit("HTTPS://"), upper(site), lit(".EXAMPLE.COM"), pathPart, lit("/"),
+          when(odd, concat(lit("?"), idq)).otherwise(lit(""))))
+      .when(col("variant") === 2,
+        concat(lit("https://"), site, lit(".example.com"), pathPart,
+          when(odd, concat(lit("?utm_source=feed&"), idq))
+            .otherwise(lit("?utm_source=feed&utm_campaign=x"))))
+      .otherwise(
+        concat(lit("https://www."), site, lit(".example.com"), pathPart,
+          when(odd, concat(lit("?"), idq, lit("&utm_medium=y")))
+            .otherwise(lit("?utm_medium=y")),
+          lit("#section-2")))
+    d.select(col("doc_id"), uri.as("uri"))
+      .select(col("doc_id"), col("uri"), normalizeUrl(col("uri")).as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("uri")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc"))
+      .orderBy(col("norm_url"))
+  }
+
+  val urlDedupNormalizedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 50 AS bucket, doc_id // 50 AS variant
+      |  FROM documents WHERE doc_id < 200),
+      |u AS (
+      |  SELECT doc_id,
+      |    CASE variant
+      |      WHEN 0 THEN 'https://www.site' || (bucket % 7) || '.example.com/Page/' || bucket
+      |        || CASE WHEN bucket % 2 = 1 THEN '?id=' || bucket ELSE '' END
+      |      WHEN 1 THEN 'HTTPS://SITE' || (bucket % 7) || '.EXAMPLE.COM/Page/' || bucket || '/'
+      |        || CASE WHEN bucket % 2 = 1 THEN '?id=' || bucket ELSE '' END
+      |      WHEN 2 THEN 'https://site' || (bucket % 7) || '.example.com/Page/' || bucket
+      |        || CASE WHEN bucket % 2 = 1 THEN '?utm_source=feed&id=' || bucket
+      |             ELSE '?utm_source=feed&utm_campaign=x' END
+      |      ELSE 'https://www.site' || (bucket % 7) || '.example.com/Page/' || bucket
+      |        || CASE WHEN bucket % 2 = 1 THEN '?id=' || bucket || '&utm_medium=y'
+      |             ELSE '?utm_medium=y' END || '#section-2'
+      |    END AS uri
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, uri, regexp_replace(uri, '#.*', '') AS nf,
+      |    list_filter(
+      |      string_split(regexp_extract(regexp_replace(uri, '#.*', ''), '\?([^#]*)', 1), '&'),
+      |      x -> NOT starts_with(x, 'utm_') AND x <> '') AS kept
+      |  FROM u),
+      |n AS (
+      |  SELECT doc_id, uri,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+      |    || regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '')
+      |    || regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '')
+      |    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS norm_url
+      |  FROM p)
+      |SELECT norm_url, count(*) AS n_raw, count(DISTINCT uri) AS n_variants,
+      |  min(doc_id) AS keep_doc
+      |FROM n GROUP BY norm_url ORDER BY norm_url""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_training_data" -> pipelineTrainingData,
     "regex_token_stats" -> regexTokenStats,
@@ -1398,6 +1501,7 @@ object TextOps {
     "dup_ngram_doc_filter" -> dupNgramDocFilter,
     "line_dedup_docs" -> lineDedupDocs,
     "mixture_weighted_repeat" -> mixtureWeightedRepeat,
+    "url_dedup_normalized" -> urlDedupNormalized,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1430,5 +1534,6 @@ object TextOps {
     "dup_ngram_doc_filter" -> dupNgramDocFilterSql,
     "line_dedup_docs" -> lineDedupDocsSql,
     "mixture_weighted_repeat" -> mixtureWeightedRepeatSql,
+    "url_dedup_normalized" -> urlDedupNormalizedSql,
   )
 }

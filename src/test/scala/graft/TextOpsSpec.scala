@@ -354,4 +354,38 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$plan")
   }
+
+  test("normalizeUrl: case, www, fragment, utm params, trailing slash, path case kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // (raw, expected canonical)
+      ("HTTPS://WWW.Site.EXAMPLE.com/Page/3/", "https://site.example.com/Page/3"),
+      ("https://site.example.com/Page/3?utm_source=a&id=3&utm_medium=b",
+        "https://site.example.com/Page/3?id=3"),
+      ("https://site.example.com/Page/3?utm_source=a&utm_medium=b",
+        "https://site.example.com/Page/3"),
+      ("https://site.example.com/Page/3?b=2&a=1#frag",
+        "https://site.example.com/Page/3?b=2&a=1"), // param ORDER preserved
+      ("http://site.example.com", "http://site.example.com"),
+      ("http://site.example.com/#frag", "http://site.example.com"),
+      // a path segment that merely STARTS with www must not be stripped
+      ("https://site.example.com/www.deep/X", "https://site.example.com/www.deep/X"),
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.queries.TextOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"normalization mismatch: $got")
+  }
+
+  test("url_dedup_normalized: 200 raw urls collapse to 50 canonical pages, 4 variants each") {
+    val rows = graft.queries.TextOps.urlDedupNormalized(spark, sf001).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(1) == 4L), "every page has 4 raw crawls")
+    assert(rows.forall(_.getLong(2) == 4L), "all 4 raw variants are distinct strings")
+    // odd buckets keep their real id param; even buckets end up query-free
+    val norms = rows.map(_.getString(0))
+    assert(norms.count(_.contains("?id=")) == 25)
+    assert(norms.forall(_.contains("/Page/")), "path case must be preserved")
+  }
 }
