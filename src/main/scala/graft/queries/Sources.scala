@@ -159,8 +159,10 @@ object SourceQueries {
     * zero of a 100 TB pipeline — at scale the same reader runs one task
     * per shard file, which is exactly the crawl-dump parallelism grain
     * (gzip is unsplittable by design there). */
-  val warcWetIngest: Q = (s, dir) => {
-    val out = tmp(s, dir, "wet")
+  /** Write the shared WET fixture (docs 0–199 as 4 Common-Crawl-layout
+    * shards with warcinfo lead records) into `out` — used by both the
+    * batch gate here and the streaming ingest gate. */
+  private[graft] def writeWetShards(s: SparkSession, dir: String, out: String): Unit = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       .select("doc_id", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -172,6 +174,11 @@ object SourceQueries {
       java.nio.file.Files.write(outDir.resolve(f"wet_$shard%02d.warc.wet.gz"),
         graft.sources.WarcSource.encodeWetGz(recs.toIndexedSeq))
     }
+  }
+
+  val warcWetIngest: Q = (s, dir) => {
+    val out = tmp(s, dir, "wet")
+    writeWetShards(s, dir, out)
     graft.sources.WarcSource.readWet(s, s"$out/*.warc.wet.gz")
       .filter(col("rec_type") === "conversion")
       .select(col("uri"),

@@ -42,6 +42,15 @@ object WarcSource {
       .toDF("path", "rec_idx", "uri", "rec_type", "text")
   }
 
+  /** Parse one in-memory WET payload (gzipped or plain) — the
+    * streaming-micro-batch entry point: a file-stream source hands whole
+    * shard bytes per arriving file, and this decodes them with the same
+    * parser as the batch [[readWet]]. */
+  private[graft] def parseWetBytes(bytes: Array[Byte]): Iterator[(String, String, String)] = {
+    val in = open(new java.io.ByteArrayInputStream(bytes))
+    closeOnExhaust(parseRecords(in), in)
+  }
+
   /** Sniff the two-byte gzip magic and wrap accordingly. */
   private def open(raw: InputStream): InputStream = {
     val buf = new BufferedInputStream(raw)

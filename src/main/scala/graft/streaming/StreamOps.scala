@@ -308,6 +308,48 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------ streaming WET ingest
+  /** Streaming crawl-drop ingestion: WET shards land in a directory and
+    * each arriving file decodes into (uri, length, md5) rows — the
+    * continuous version of the batch `warc_wet_ingest` stage zero
+    * (production crawls arrive as rolling shard drops; the file-stream
+    * source checkpoints which shards are done, so a crashed ingest
+    * resumes without re-decoding). The source is `binaryFile` as a
+    * STREAM with per-file micro-batching; the per-shard decode is the
+    * same parser as the batch reader, so the batch oracle applies
+    * verbatim. State is bounded: the query is append-only stateless —
+    * nothing accumulates but the processed-files log. */
+  val streamWetIngest: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val inDir = freshDir(dir, "wet_stream")
+    graft.queries.SourceQueries.writeWetShards(s, dir, inDir)
+    // binaryFile's fixed schema, stated explicitly — streaming sources
+    // refuse to infer
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = s.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc.wet.gz")
+      .option("maxFilesPerTrigger", "1") // one shard per micro-batch
+      .load(inDir)
+    val recs = stream.select(col("content")).as[Array[Byte]]
+      .flatMap(graft.sources.WarcSource.parseWetBytes)
+      .toDF("uri", "rec_type", "text")
+      .filter(col("rec_type") === "conversion")
+      .select(col("uri"),
+        length(col("text")).cast("long").as("n_chars_rt"),
+        md5(col("text")).as("text_md5"))
+    drain(recs, OutputMode.Append()).orderBy(col("uri"))
+  }
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
@@ -319,6 +361,7 @@ object StreamOps {
     "stream_join" -> streamJoin,
     "stream_dedup" -> streamDedup,
     "stream_foreach_batch" -> streamForeachBatch,
+    "stream_wet_ingest" -> streamWetIngest,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -332,6 +375,7 @@ object StreamOps {
     "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_foreach_batch" -> streamForeachBatchSql,
+    "stream_wet_ingest" -> graft.queries.SourceQueries.warcWetIngestSql,
   )
 }
 

@@ -166,4 +166,15 @@ class StreamingSpec extends SparkSpec {
     assert(fast == slow, s"trigger cadence changed the result:\n$fast\nvs\n$slow")
     assert(fast.values.map(_._1).sum == 3000)
   }
+
+  test("streaming WET ingest equals the batch WARC reader row-for-row") {
+    // maxFilesPerTrigger=1 inside the gate forces one shard per
+    // micro-batch, so equality here proves the per-batch decode + append
+    // union reconstructs the whole drop, not just a single-batch path
+    val streamed = graft.streaming.StreamOps.streamWetIngest(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val batch = graft.queries.SourceQueries.warcWetIngest(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
