@@ -245,9 +245,11 @@ object GifSource {
           pos = skipSubBlocks(bytes, pos + 2)
         case 0x2c =>
           n += 1
+          require(pos + 9 < bytes.length, "gif: truncated image descriptor")
           val packed = bytes(pos + 9) & 0xff
           pos += 10
           if ((packed & 0x80) != 0) pos += 3 * (2 << (packed & 7))
+          require(pos < bytes.length, "gif: truncated local palette")
           pos = skipSubBlocks(bytes, pos + 1) // +1: LZW root size byte
         case other =>
           throw new IllegalArgumentException(f"gif: unknown block 0x$other%02x")
@@ -264,6 +266,10 @@ object GifSource {
     val w = u16le(bytes, 6)
     val h = u16le(bytes, 8)
     require(w > 0 && h > 0, "gif: zero canvas")
+    // Long math: 65535² × 3 overflows Int, and a garbage header must not
+    // demand a multi-GB canvas — bound like the WARC record-size guard
+    require(w.toLong * h * 3 <= (1L << 30),
+      s"gif: canvas ${w}x$h exceeds the 1 GiB decode bound")
     val packed = bytes(10) & 0xff
     val bg = bytes(11) & 0xff
     var pos = 13
@@ -324,6 +330,7 @@ object GifSource {
       (bytes(pos) & 0xff) match {
         case 0x3b => done = true
         case 0x21 =>
+          require(pos + 1 < bytes.length, "gif: truncated extension block")
           val label = bytes(pos + 1) & 0xff
           if (label == 0xf9) {
             require(pos + 7 < bytes.length && (bytes(pos + 2) & 0xff) == 4,
@@ -334,6 +341,7 @@ object GifSource {
           }
           pos = skipSubBlocks(bytes, pos + 2)
         case 0x2c =>
+          require(pos + 9 < bytes.length, "gif: truncated image descriptor")
           val x0 = u16le(bytes, pos + 1)
           val y0 = u16le(bytes, pos + 3)
           val iw = u16le(bytes, pos + 5)

@@ -165,6 +165,42 @@ class GifSourceSpec extends SparkSpec {
     assert(GifSource.decodeGif(overIdx).nonEmpty) // in-range control
   }
 
+  test("gif decoder terminates with a clean failure on arbitrary garbage (fuzz)") {
+    // a corrupt lake object must throw, never hang, loop, or index out
+    // of bounds — random payloads (some with a valid signature) plus
+    // bit-flipped valid streams
+    val rnd = new scala.util.Random(29)
+    for (i <- 1 to 500) {
+      val bytes = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(bytes)
+      if (i % 2 == 0 && bytes.length >= 6)
+        System.arraycopy("GIF89a".getBytes, 0, bytes, 0, 6)
+      try { GifSource.decodeGif(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+      try { GifSource.gifFrameCount(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    val ok = GifSource.encodeGif(12, 10, grayPal, Seq(
+      GifFrame(0, 0, 12, 10, pseudo(120, 256, seed = 1)),
+      GifFrame(2, 2, 6, 4, pseudo(24, 256, seed = 2), transparent = 3)))
+    for (_ <- 1 to 1000) {
+      val mut = ok.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try {
+        // a surviving decode must still be structurally sane
+        for ((h, w, rgb) <- GifSource.decodeGif(mut))
+          assert(h > 0 && w > 0 && rgb.length == h * w * 3)
+      } catch { case _: IllegalArgumentException => () }
+      try { GifSource.gifFrameCount(mut); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // every truncation of a valid stream fails with the contract
+    // exception (or decodes the frames that were complete before the cut)
+    for (n <- 0 until ok.length)
+      try { GifSource.decodeGif(java.util.Arrays.copyOf(ok, n)); () }
+      catch { case _: IllegalArgumentException => () }
+  }
+
   test("gifFrameCount matches the decoded frame count without decoding") {
     val idx = pseudo(12 * 10, 256, seed = 13)
     val bytes = GifSource.encodeGif(10, 12, grayPal, Seq(

@@ -179,4 +179,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"prefix probe degenerated:\n$p")
   }
+
+  test("url_dedup_normalized: map-only normalization, one shuffle on the canonical key, no join") {
+    // The 100 TB shape: URL canonicalization is pure codegen string work
+    // over the crawl-index projection; the ONLY wide op is the final
+    // groupBy on the canonical key. A join or second shuffle here means
+    // the normalizer fell off the map side.
+    val p = plan("url_dedup_normalized")
+    // two hash exchanges: the count(DISTINCT uri) expansion aggregates on
+    // (norm_url, uri) first, then norm_url — both keyed on the canonical
+    // url, both with map-side partials; anything beyond that means the
+    // normalizer fell off the map side
+    assert(hashExchanges(p) <= 2,
+      s"url dedup must shuffle at most twice (the distinct-expanded agg):\n$p")
+    assert(!p.contains("Join"), s"url dedup must not join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"fixture scan must prune to doc_id alone:\n$p")
+  }
 }
