@@ -451,6 +451,62 @@ object Bench {
       annJson = s""","ann":$aj,"ann_total":${ann.map(_._2).sum},"ann_recall":$rj"""
     }
 
+    // ---------------------------------------------- ingest (stage zero)
+    // WET decode throughput: the sf documents re-encoded ONCE (untimed
+    // fixture prep) as Common-Crawl-layout per-record-gzip shards, then
+    // the streamed WARC parse decodes every record — count + length-sum
+    // forces the full payload path. No DuckDB twin; the artifact rows
+    // are wall + raw MB + MB/s, band-tracked in BASELINE.md. At 100 TB
+    // this is the job's first stage, so its per-core throughput bounds
+    // the whole pipeline's admission rate.
+    val ingestOn = sys.env.getOrElse("SPARK_GRAFT_INGEST", "1") == "1"
+    var ingestJson = ""
+    if (ingestOn) {
+      try {
+        val docs = Tables.t(spark, sfDir, "documents")
+          .select("doc_id", "source", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val nShards = 8
+        val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_bench_wet_${math.abs(sfDir.hashCode)}")
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(dir)
+        var rawBytes = 0L
+        for (sh <- 0 until nShards) {
+          val recs = docs.filter(_._1 % nShards == sh).sortBy(_._1)
+            .map { case (id, src, text) => (s"https://example.com/$src/$id", text) }
+          rawBytes += recs.map(_._2.getBytes("UTF-8").length.toLong).sum
+          java.nio.file.Files.write(dir.resolve(f"wet_$sh%02d.warc.wet.gz"),
+            graft.sources.WarcSource.encodeWetGz(recs.toIndexedSeq))
+        }
+        def ingestOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.sources.WarcSource.readWet(spark, s"$dir/*.warc.wet.gz")
+            .filter(org.apache.spark.sql.functions.col("rec_type") === "conversion")
+            .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.length(
+                  org.apache.spark.sql.functions.col("text"))))
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ingestOnce() // warm-up
+        val med = Seq(ingestOnce(), ingestOnce(), ingestOnce()).sorted.apply(1)
+        val mb = rawBytes / 1e6
+        ingestJson = s""","ingest":{"wet_decode_s":$med,"wet_raw_mb":$mb,""" +
+          s""""wet_mb_per_s":${mb / math.max(med, 1e-9)}}"""
+      } catch {
+        case e: Throwable =>
+          failed += "wet_ingest_bench"
+          System.err.println(s"[bench] wet ingest FAILED: ${e.getMessage}")
+      }
+    }
+
     // ---------------------------------------------- tensor headline group
     // (BASELINE.md "Tensor kernels"): four kernels over a deterministic
     // 1024×1024 synthetic in 8 chunks (256×512) vs the SAME kernel over
@@ -630,7 +686,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$llmJson$annJson$tensorJson,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$llmJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
