@@ -384,6 +384,41 @@ object ImreadQueries {
        |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
        |ORDER BY f, g.i, g.j, c""".stripMargin
 
+  /** FITS imread through the clean-room FITS codec (SURVEY §2A.1 — the
+    * pims astronomy/microscopy container): frames 0–1 live in ONE
+    * 3-axis cube file at BITPIX 16 with the BZERO=32768 unsigned
+    * convention (big-endian sign-flip must land exactly for the ×1000
+    * quantized values to survive), frame 2 in a second BITPIX 8 file —
+    * cube plane indexing, the unsigned-16 offset, byte-order
+    * normalization and cross-file frame numbering all under one hash. */
+  val imreadFits: Q = (s, dir) => {
+    import graft.sources.FitsSource
+    val base16 = fixtureBase16(s, dir)
+    val base8 = fixtureBase(s, dir)
+    val out = fixtureDir(s, dir, "fits")
+    java.nio.file.Files.write(out.resolve("cube_000_001.fits"),
+      FitsSource.encodeFits(H, W,
+        (0 until 2).map(f => base16.map(p => (p + 700 * f) % 65536)),
+        bitpix = 16))
+    java.nio.file.Files.write(out.resolve("frame_002.fits"),
+      FitsSource.encodeFits(H, W,
+        Seq(base8.map(p => (p + 29) % 256)), bitpix = 8))
+    typedFramesToDf(FitsSource.readFits(s, s"$out/*.fits"))
+      .orderBy("f", "i", "j")
+  }
+
+  private val fitsSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(CASE WHEN f.f < 2
+       |    THEN ((CAST(round(g.v * 1000) AS BIGINT) % 65536 + 65536) % 65536
+       |          + 700 * f.f) % 65536
+       |    ELSE ((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256 + 29) % 256
+       |  END AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
   /** Color image → relational reduction: per-(frame, channel) pixel sum
     * and count over the decoded RGB planes — the image-QC shape (channel
     * balance / dead-plane checks) a vision-data pipeline runs right
@@ -449,6 +484,7 @@ object ImreadQueries {
     "imread_jpeg" -> imreadJpeg,
     "imread_rgb_channel_stats" -> imreadRgbChannelStats,
     "imread_gif" -> imreadGif,
+    "imread_fits" -> imreadFits,
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,6 +499,7 @@ object ImreadQueries {
     "imread_rgb" -> rgbRoundtripSql(17),
     "imread_rgb_channel_stats" -> rgbChannelStatsSql,
     "imread_gif" -> gifSql,
+    "imread_fits" -> fitsSql,
     // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->

@@ -1335,6 +1335,92 @@ object TextOps {
       |    ORDER BY seg_idx), '') AS clean_text
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- exact-substring span removal
+  /** Exact-substring dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" removal semantics, shingle-approximated):
+    * any token RUN of length ≥ k shared verbatim across ≥ 2 distinct
+    * docs is removed from every doc, keeping the surrounding text. The
+    * k-gram form is exactly equivalent to the paper's suffix-array
+    * criterion at k granularity: a shared run of length L ≥ k
+    * contributes L−k+1 shared gram starts whose k-windows cover
+    * precisely the L run positions — no suffix array needed, and every
+    * stage is a bounded scan/groupBy (the suffix array's global sort
+    * would be the one structure that does NOT map to a shuffle-friendly
+    * plan at 100 TB; k-gram coverage is the standard distributed
+    * substitute). k = 8 here (the corpus texts are ~40–80 tokens; the
+    * paper's 50-token threshold scales with k only).
+    *
+    * Plan shape: grams are md5 fingerprints (16 B fixed-width on the
+    * shuffle), the shared (nd ≥ 2) set probes back through
+    * [[sharedSetProbe]] — broadcast within budget, salted replica join
+    * past it — start indices expand to covered positions map-side
+    * (explode of an 8-element sequence), and reassembly is the
+    * line-dedup collect_list/array_sort idiom keyed by doc. Exact-dup
+    * docs come out with empty clean_text (every position covered).
+    *
+    * The synthetic corpus is token soup with few verbatim cross-doc
+    * runs, so the gate feeds it the deterministic boilerplate
+    * augmentation (doc_id residue classes, the pii_redact trick): %3
+    * docs get a 12-token tail, %5 docs a 9-token tail, %15 both — the
+    * oracle replays the augmentation; grams spanning the original-text
+    * boundary stay unique per doc, pinning that removal clips at the
+    * run edge. */
+  val exactSubstringDedup: Q = (s, dir) => {
+    val k = 8
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" all rights reserved unauthorized reproduction strictly prohibited by law"))
+          .otherwise(lit(""))).as("text"))
+    val withT = aug.select(col("doc_id"), toks.as("t"))
+    val grams = withT.filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t)-$k), i -> md5(concat_ws(' ', slice(t, i+1, $k))))"))
+        .as(Seq("s", "gram")))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1).as("is_dup"))
+    val covered = sharedSetProbe(grams, shared, "gram")
+      .filter(col("is_dup").isNotNull)
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${k - 1})")).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    withT.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_outer")
+      .withColumn("kept", when(col("cov").isNull, struct(col("p"), col("tok"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr("transform(array_sort(collect_list(kept)), q -> q.tok)"), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactSubstringDedupSql: String =
+    """WITH aug AS (SELECT doc_id, text
+      |  || CASE WHEN doc_id % 3 = 0 THEN ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor' ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0 THEN ' all rights reserved unauthorized reproduction strictly prohibited by law' ELSE '' END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |pos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |g AS (SELECT doc_id, i - 1 AS s, md5(array_to_string(t[i:i+7], ' ')) AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8)),
+      |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, g.s + o.o AS p
+      |  FROM g, (SELECT unnest(range(0, 8)) AS o) o
+      |  WHERE g.gram IN (SELECT gram FROM shared)),
+      |fl AS (SELECT pos.doc_id, pos.p, pos.tok, cov.p IS NOT NULL AS is_cov
+      |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT is_cov THEN tok END, ' ' ORDER BY p), '') AS clean_text
+      |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- repeated n-gram spans
   /** Substring-level duplication mining: word 5-grams that occur in ≥ 2
     * distinct documents, with how many docs share them (the signal
@@ -1502,6 +1588,7 @@ object TextOps {
     "line_dedup_docs" -> lineDedupDocs,
     "mixture_weighted_repeat" -> mixtureWeightedRepeat,
     "url_dedup_normalized" -> urlDedupNormalized,
+    "exact_substring_dedup" -> exactSubstringDedup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1535,5 +1622,6 @@ object TextOps {
     "line_dedup_docs" -> lineDedupDocsSql,
     "mixture_weighted_repeat" -> mixtureWeightedRepeatSql,
     "url_dedup_normalized" -> urlDedupNormalizedSql,
+    "exact_substring_dedup" -> exactSubstringDedupSql,
   )
 }

@@ -77,7 +77,7 @@ object ImageSource {
     * parameter (chunking knob for tiny-frame stacks). nframes=1 is a
     * narrow map; larger values shuffle each group of frames (as native
     * bytes) to one assembling task. */
-  private def stackFramesTyped(frames: Dataset[(Int, Int, Int, String, Array[Byte])],
+  private[sources] def stackFramesTyped(frames: Dataset[(Int, Int, Int, String, Array[Byte])],
       imageId: String, total: Int, nframes: Int): Dataset[TBlock] = {
     val spark = frames.sparkSession
     import spark.implicits._

@@ -378,6 +378,59 @@ class TextOpsSpec extends SparkSpec {
     assert(got == cases.map(_._2), s"normalization mismatch: $got")
   }
 
+  test("exact_substring_dedup: boilerplate tails removed, originals kept, dup docs emptied") {
+    val k = 8
+    val rows = graft.queries.TextOps.exactSubstringDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one row per doc")
+    val texts = docs.values.toSeq
+    val dupTexts = texts.groupBy(identity).filter(_._2.size >= 2).keySet
+    for ((id, nTok, nRem, clean) <- rows) {
+      val orig = docs(id)
+      val tail3 = id % 3 == 0
+      val tail5 = id % 5 == 0
+      val augLen = orig.split(" ", -1).length +
+        (if (tail3) 12 else 0) + (if (tail5) 9 else 0)
+      assert(nTok == augLen, s"doc $id token count")
+      if (dupTexts.contains(orig))
+        assert(nRem == nTok && clean == "",
+          s"doc $id is an exact duplicate - every position is a shared run")
+      else if (tail3 || tail5) {
+        // the boilerplate tails are shared across their residue class;
+        // removal must clip exactly at the run edge (original text kept
+        // verbatim UNLESS part of it happens to sit in a shared run)
+        assert(nRem >= (if (tail3) 12 else 0) + (if (tail5) 9 else 0),
+          s"doc $id must drop its boilerplate tail(s)")
+        assert(!clean.contains("lorem ipsum") && !clean.contains("rights reserved"),
+          s"doc $id boilerplate survived")
+        if (nRem == (if (tail3) 12 else 0) + (if (tail5) 9 else 0))
+          assert(clean == orig, s"doc $id original text must survive verbatim")
+      } else if (nRem == 0)
+        assert(clean == orig, s"doc $id untouched text must round-trip")
+    }
+    // the run-length guarantee: a shared run shorter than k survives
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j unique one side padding words here"),
+      (2L, "a b c d e f g h i j other tail entirely different text body"),
+      (3L, "a b c d e f g short shared run not removed at all okay")) // 7 shared
+      .toDF("doc_id", "text")
+    val grams = tiny.select($"doc_id",
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.expr(
+          s"transform(sequence(0, size(split(text,' '))-$k), i -> md5(concat_ws(' ', slice(split(text,' '), i+1, $k))))"))
+        .as(Seq("s", "gram")))
+    val sharedN = grams.groupBy("gram")
+      .agg(org.apache.spark.sql.functions.countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).count()
+    // docs 1/2 share exactly the 10-token prefix -> 3 shared 8-gram
+    // starts; doc 3's 7-token overlap contributes none
+    assert(sharedN == 3, s"expected 3 shared grams, got $sharedN")
+  }
+
   test("url_dedup_normalized: 200 raw urls collapse to 50 canonical pages, 4 variants each") {
     val rows = graft.queries.TextOps.urlDedupNormalized(spark, sf001).collect()
     assert(rows.length == 50)
