@@ -1557,6 +1557,220 @@ object TextOps {
       |  min(doc_id) AS keep_doc
       |FROM n GROUP BY norm_url ORDER BY norm_url""".stripMargin
 
+  // -------------------------------------- quality filters (Gopher / C4)
+  /** Deterministic symbol augmentation for [[qualityGopher]]: the
+    * synthetic corpus is letters-only, so docs on the doc_id % 9 == 0
+    * residue class get ⌊n/7⌋ '#' tokens appended (the pii_redact realism
+    * trick). Pure string functions — stays in whole-stage codegen. The
+    * oracle replays the same rule. */
+  private[graft] def augmentSymbols(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          expr("repeat(' #', size(split(text, ' ')) div 7)")).otherwise(lit(""))))
+
+  /** Gopher-rule document quality filter (Rae et al. 2021 §A1.1, public
+    * paper): word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, and a minimum stop-word count —
+    * reported as per-source rule-failure counters plus the all-rules
+    * pass count (the shape a curation dashboard consumes).
+    *
+    * Every threshold is evaluated in INTEGER arithmetic (mean word
+    * length in [3,10]  ⇔  3·n ≤ nonspace_chars ≤ 10·n) so Spark and the
+    * DuckDB oracle agree bit-for-bit with no float-rounding seam.
+    *
+    * Scale: map-only per-doc flags folded into one tiny per-source
+    * aggregate — the canonical 100 TB quality-filter plan; doc text
+    * never shuffles, only 20 counter rows move. */
+  val qualityGopher: Q = (s, dir) =>
+    gopherOver(augmentSymbols(t(s, dir, "documents")))
+
+  private[graft] def gopherOver(docs: DataFrame): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is", "that").map(lit): _*)
+    docs
+      .select(col("source"),
+        size(toks).as("n"),
+        (length(col("text")) - size(toks) + 1).as("nonspace"),
+        expr("length(text) - length(replace(text, '#', ''))").as("sym"),
+        size(filter_cond(toks, x => array_contains(stop, x))).as("n_stop"))
+      .select(col("source"),
+        (col("n") >= 50 && col("n") <= 100000).as("r_wc"),
+        (col("nonspace") >= col("n") * 3 && col("nonspace") <= col("n") * 10).as("r_mwl"),
+        (col("sym") * 10 <= col("n")).as("r_sym"),
+        ((col("n") - col("sym")) * 5 >= col("n") * 4).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1).otherwise(0)).cast("long").as("fail_wordcount"),
+        sum(when(!col("r_mwl"), 1).otherwise(0)).cast("long").as("fail_meanlen"),
+        sum(when(!col("r_sym"), 1).otherwise(0)).cast("long").as("fail_symbol"),
+        sum(when(!col("r_alpha"), 1).otherwise(0)).cast("long").as("fail_alpha"),
+        sum(when(!col("r_stop"), 1).otherwise(0)).cast("long").as("fail_stopword"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") && col("r_stop"),
+          1).otherwise(0)).cast("long").as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  val qualityGopherSql: String =
+    """WITH aug AS (
+      |  SELECT source, text || CASE WHEN doc_id % 9 = 0
+      |    THEN repeat(' #', len(string_split(text, ' ')) // 7) ELSE '' END AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS n,
+      |    length(text) - len(string_split(text, ' ')) + 1 AS nonspace,
+      |    length(text) - length(replace(text, '#', '')) AS sym,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> list_contains(['the','a','of','and','in','to','is','that'], x))) AS n_stop
+      |  FROM aug),
+      |r AS (
+      |  SELECT source,
+      |    (n >= 50 AND n <= 100000) AS r_wc,
+      |    (nonspace >= n * 3 AND nonspace <= n * 10) AS r_mwl,
+      |    (sym * 10 <= n) AS r_sym,
+      |    ((n - sym) * 5 >= n * 4) AS r_alpha,
+      |    (n_stop >= 2) AS r_stop
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+      |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen,
+      |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+      |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+      |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+      |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic line/punctuation augmentation for [[qualityC4]]:
+    * 5-token '\n'-lines, '.'-terminated on the (doc_id + li) % 3 != 0
+    * classes, plus a lorem-ipsum line (doc_id % 53 == 0) and a code
+    * line containing '{' (doc_id % 47 == 0). The oracle replays it. */
+  private[graft] def augmentC4(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"), toks.as("t"))
+      .select(col("source"), col("doc_id"), concat(
+        array_join(expr(
+          "transform(sequence(0, cast(ceil(size(t) / 5.0) AS INT) - 1)," +
+            " i -> concat(array_join(slice(t, i * 5 + 1, 5), ' ')," +
+            " if((doc_id + i) % 3 != 0, '.', '')))"), "\n"),
+        when(col("doc_id") % 53 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 47 === 0, lit("\nfunction() {"))
+          .otherwise(lit(""))).as("text"))
+
+  /** C4-style document filter (Raffel et al. 2020 §2.2, public paper):
+    * drops whole docs containing code markers ('{') or 'lorem ipsum';
+    * retains only lines that end in terminal punctuation AND carry ≥ 5
+    * words; a doc survives if ≥ 3 lines remain. Per-source report of
+    * drop reasons, kept docs and line retention.
+    *
+    * Scale: doc-level flags are two instr() probes on the scan; line
+    * flags are plain codegen string functions on exploded rows — the
+    * work distributes with the lines, no nested lambdas. One explode,
+    * one doc-keyed aggregate (the unavoidable shuffle), one tiny
+    * source-keyed aggregate. */
+  val qualityC4: Q = (s, dir) => c4QualityOver(augmentC4(t(s, dir, "documents")))
+
+  private[graft] def c4QualityOver(docs: DataFrame): DataFrame = {
+    val perLine = docs
+      .select(col("source"), col("doc_id"),
+        (instr(col("text"), "{") > 0).as("has_code"),
+        (instr(col("text"), "lorem ipsum") > 0).as("has_lorem"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("source"), col("doc_id"), col("has_code"), col("has_lorem"),
+        size(col("lines")).as("n_lines"), explode(col("lines")).as("line"))
+      .withColumn("keep_line",
+        expr("right(line, 1)").isin(".", "!", "?") &&
+          size(split(col("line"), " ")) >= 5)
+    perLine
+      .groupBy(col("source"), col("doc_id"), col("has_code"), col("has_lorem"),
+        col("n_lines"))
+      .agg(sum(when(col("keep_line"), 1).otherwise(0)).as("n_keep"))
+      .withColumn("kept", !col("has_code") && !col("has_lorem") && col("n_keep") >= 3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_code"), 1).otherwise(0)).cast("long").as("n_drop_code"),
+        sum(when(col("has_lorem"), 1).otherwise(0)).cast("long").as("n_drop_lorem"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(col("n_lines")).cast("long").as("sum_lines"),
+        sum(when(col("kept"), col("n_keep")).otherwise(0)).cast("long").as("sum_kept_lines"))
+      .orderBy(col("source"))
+  }
+
+  val qualityC4Sql: String =
+    """WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT source, doc_id, t,
+      |        unnest(range(0, CAST(ceil(len(t) / 5.0) AS INT))) AS i FROM toks),
+      |bl AS (SELECT source, doc_id, i,
+      |       array_to_string(t[i*5+1:i*5+5], ' ')
+      |         || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
+      |       FROM idx),
+      |aug AS (SELECT source, doc_id,
+      |        string_agg(line, chr(10) ORDER BY i)
+      |        || CASE WHEN doc_id % 53 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+      |        || CASE WHEN doc_id % 47 = 0 THEN chr(10) || 'function() {' ELSE '' END AS text
+      |        FROM bl GROUP BY source, doc_id),
+      |lns AS (SELECT source, doc_id,
+      |       strpos(text, '{') > 0 AS has_code,
+      |       strpos(text, 'lorem ipsum') > 0 AS has_lorem,
+      |       len(string_split(text, chr(10))) AS n_lines,
+      |       unnest(string_split(text, chr(10))) AS line
+      |       FROM aug),
+      |pd AS (SELECT source, doc_id, has_code, has_lorem, n_lines,
+      |       sum(CASE WHEN right(line, 1) IN ('.', '!', '?')
+      |                AND len(string_split(line, ' ')) >= 5 THEN 1 ELSE 0 END) AS n_keep
+      |       FROM lns GROUP BY source, doc_id, has_code, has_lorem, n_lines),
+      |k AS (SELECT *, (NOT has_code AND NOT has_lorem AND n_keep >= 3) AS kept FROM pd)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN has_code THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_code,
+      |  CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lorem,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+      |  CAST(sum(CASE WHEN kept THEN n_keep ELSE 0 END) AS BIGINT) AS sum_kept_lines
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ unigram LM scoring
+  /** CCNet-style unigram-LM document scoring (Wenzek et al. 2020,
+    * public paper): corpus-wide token frequencies form the LM; each doc
+    * scores the mean negative log-likelihood of its tokens — the cheap
+    * perplexity proxy used to bucket crawl text into quality tiers.
+    *
+    * Scale: the LM is VOCABULARY-sized, not corpus-sized — it rides a
+    * broadcast hash join onto the token stream (a 10M-term LM is
+    * ~200 MB, still broadcastable; past that the [[sharedSetProbe]]
+    * salted idiom applies). The single-partition window computing the
+    * corpus total runs over the LM table — vocab rows, never doc rows.
+    * Per-doc aggregation is the one real shuffle, keyed on doc_id. */
+  val unigramLogprob: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
+    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("tok"), (-log(col("cnt").cast("double") / col("total"))).as("nll"))
+    tok.join(broadcast(lm), "tok")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(avg(col("nll")).as("doc_nll"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_nll")), 4).as("avg_nll"),
+        round(min(col("doc_nll")), 4).as("min_nll"),
+        round(max(col("doc_nll")), 4).as("max_nll"))
+      .orderBy(col("lang"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH tk AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lm AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM lm),
+      |sc AS (SELECT lang, doc_id, avg(-ln(cnt * 1.0 / total)) AS doc_nll
+      |       FROM tk JOIN lm USING (tok) CROSS JOIN tot
+      |       GROUP BY lang, doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(doc_nll), 4) AS avg_nll,
+      |  round(min(doc_nll), 4) AS min_nll,
+      |  round(max(doc_nll), 4) AS max_nll
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_training_data" -> pipelineTrainingData,
     "regex_token_stats" -> regexTokenStats,
@@ -1589,6 +1803,9 @@ object TextOps {
     "mixture_weighted_repeat" -> mixtureWeightedRepeat,
     "url_dedup_normalized" -> urlDedupNormalized,
     "exact_substring_dedup" -> exactSubstringDedup,
+    "quality_gopher" -> qualityGopher,
+    "quality_c4" -> qualityC4,
+    "unigram_logprob" -> unigramLogprob,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1623,5 +1840,8 @@ object TextOps {
     "mixture_weighted_repeat" -> mixtureWeightedRepeatSql,
     "url_dedup_normalized" -> urlDedupNormalizedSql,
     "exact_substring_dedup" -> exactSubstringDedupSql,
+    "quality_gopher" -> qualityGopherSql,
+    "quality_c4" -> qualityC4Sql,
+    "unigram_logprob" -> unigramLogprobSql,
   )
 }

@@ -196,4 +196,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       s"fixture scan must prune to doc_id alone:\n$p")
   }
+
+  test("quality_gopher: map-only flags, one shuffle on source, no join") {
+    // The 100 TB quality-filter shape: every rule is evaluated on the
+    // scan side; only the 20 per-source counter rows ever shuffle.
+    val p = plan("quality_gopher")
+    assert(hashExchanges(p) == 1,
+      s"gopher filter must shuffle once (partial->final source agg):\n$p")
+    assert(!p.contains("Join"), s"gopher filter must not join:\n$p")
+  }
+
+  test("quality_c4: one doc-keyed shuffle + the tiny source agg, no join") {
+    val p = plan("quality_c4")
+    assert(hashExchanges(p) <= 2,
+      s"c4 filter must shuffle at most twice (doc agg + source agg):\n$p")
+    assert(!p.contains("Join"), s"c4 filter must not join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"line flags must ride exploded rows (distributed line work):\n$p")
+  }
+
+  test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
+    // The LM is vocab-sized; shuffling the exploded token stream to meet
+    // it would be the classic 100 TB mistake. The only token-keyed
+    // exchange allowed is the LM count partial-agg itself.
+    val p = plan("unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join on the raw token key:\n$p")
+  }
 }

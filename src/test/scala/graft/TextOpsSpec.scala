@@ -441,4 +441,107 @@ class TextOpsSpec extends SparkSpec {
     assert(norms.count(_.contains("?id=")) == 25)
     assert(norms.forall(_.contains("/Page/")), "path case must be preserved")
   }
+
+  test("gopher rules: each rule fails exactly the doc built to fail it") {
+    val s = spark
+    import s.implicits._
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      // passes all: 60 4-char words incl. 2 stopwords ('that' is 4 chars)
+      (1L, "that that " + words("word", 58)),
+      // fails wordcount only (10 tokens < 50)
+      (2L, "that that " + words("word", 8)),
+      // fails meanlen only (mean word length 2 < 3)
+      (3L, "of of " + words("zz", 58)),
+      // fails symbol + alpha: 20 '#' in 60 tokens (ratio 1/3 > 0.1;
+      // alpha 2/3 < 0.8)
+      (4L, "that that " + words("word", 38) + " " + words("#", 20)),
+      // fails stopword only (zero stopwords)
+      (5L, words("word", 60))
+    ).map { case (id, tx) => (id, tx, "srcA") }.toDF("doc_id", "text", "source")
+    val r = graft.queries.TextOps.gopherOver(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 5L, "n_docs")
+    assert(row.getLong(2) == 1L, s"fail_wordcount: $row")
+    assert(row.getLong(3) == 1L, s"fail_meanlen: $row")
+    assert(row.getLong(4) == 1L, s"fail_symbol: $row")
+    assert(row.getLong(5) == 1L, s"fail_alpha: $row")
+    assert(row.getLong(6) == 1L, s"fail_stopword: $row")
+    assert(row.getLong(7) == 1L, s"n_pass: $row")
+  }
+
+  test("gopher augmentation: doc_id % 9 == 0 gains exactly n div 7 '#' tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((9L, Seq.fill(15)("w").mkString(" "), "srcA"),
+      (10L, Seq.fill(15)("w").mkString(" "), "srcA"))
+      .toDF("doc_id", "text", "source")
+    val aug = graft.queries.TextOps.augmentSymbols(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(aug(9L) == Seq.fill(15)("w").mkString(" ") + " # #",
+      s"15 div 7 = 2 symbols: '${aug(9L)}'")
+    assert(aug(10L) == Seq.fill(15)("w").mkString(" "), "non-residue doc untouched")
+  }
+
+  test("c4 filter: line retention and doc-level drops behave per rule") {
+    val s = spark
+    import s.implicits._
+    val good = "alpha beta gamma delta epsilon."   // 5 words + terminal '.'
+    val docs = Seq(
+      // kept: 3 good lines; the short and unpunctuated lines are dropped
+      (1L, s"$good\n$good\n$good\nshort line.\nalpha beta gamma delta epsilon"),
+      // dropped: code marker, even though lines would qualify
+      (2L, s"$good\n$good\n$good\nvar f = function() {"),
+      // dropped: lorem ipsum marker
+      (3L, s"$good\n$good\n$good\nlorem ipsum dolor sit amet."),
+      // not kept: only 2 retained lines
+      (4L, s"$good\n$good\nshort one.")
+    ).map { case (id, tx) => (id, tx, "srcA") }.toDF("doc_id", "text", "source")
+    val r = graft.queries.TextOps.c4QualityOver(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 4L, "n_docs")
+    assert(row.getLong(2) == 1L, s"n_drop_code: $row")
+    assert(row.getLong(3) == 1L, s"n_drop_lorem: $row")
+    assert(row.getLong(4) == 1L, s"n_kept: $row")
+    assert(row.getLong(5) == 16L, s"sum_lines: $row")
+    // only doc 1 is kept; its 3 good lines are the retained ones
+    assert(row.getLong(6) == 3L, s"sum_kept_lines: $row")
+  }
+
+  test("c4 augmentation: 5-token lines, '.' on the (doc_id+li)%3 != 0 classes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" "), "srcA"))
+      .toDF("doc_id", "text", "source")
+    val tx = graft.queries.TextOps.augmentC4(docs).collect().head.getString(2)
+    // doc 1: li 0 -> (1+0)%3=1 '.', li 1 -> 2 '.', li 2 -> 0 no '.'
+    assert(tx == "w1 w2 w3 w4 w5.\nw6 w7 w8 w9 w10.\nw11 w12", s"'$tx'")
+  }
+
+  test("unigram_logprob matches hand-computed LM on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus: a appears 3x, b 2x, c 1x -> total 6
+    val docs = Seq((1L, "a a b", "en"), (2L, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unigram").toFile
+    tmp.deleteOnExit()
+    docs.select($"doc_id", $"text", $"lang", org.apache.spark.sql.functions.lit("srcA").as("source"),
+        org.apache.spark.sql.functions.length($"text").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TextOps.unigramLogprob(spark, tmp.toString).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def nll(c: Long) = -math.log(c / 6.0)
+    val d1 = (2 * nll(3) + nll(2)) / 3.0          // "a a b"
+    val d2 = (nll(3) + nll(2) + nll(1)) / 3.0     // "a b c"
+    // Spark's round(col, 4) on double is BigDecimal HALF_UP — match it
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 2L, "n_docs")
+    assert(row.getDouble(2) == r4((d1 + d2) / 2), s"avg_nll: $row")
+    assert(row.getDouble(3) == r4(math.min(d1, d2)), s"min_nll: $row")
+    assert(row.getDouble(4) == r4(math.max(d1, d2)), s"max_nll: $row")
+  }
 }
