@@ -471,6 +471,47 @@ object ImreadQueries {
        |FROM grid g CROSS JOIN frames f
        |ORDER BY f, g.i, g.j""".stripMargin
 
+  /** AVI imread through the clean-room RIFF container codec
+    * (SURVEY §2A.1 — the pims VIDEO surface: upstream reads video
+    * containers through pims/ffmpeg; this is the lossless BI_RGB leg,
+    * pixel-exact by construction). The fixture exercises the honest
+    * container paths in one gate: frames 0–1 live in ONE two-frame AVI
+    * that ALSO carries an interleaved PCM16 audio track (the video walk
+    * must step over '01wb' chunks without miscounting frames), frame 2
+    * in a second video-only file. Channel c of frame f is the shared
+    * events-derived base shifted by 23·f + 40·c — a swapped BGR order,
+    * a dropped bottom-up row flip, or a frame mis-index all break the
+    * hash. MJPEG (the lossy leg) is determinism-gated in AviSourceSpec
+    * like imread_jpeg. */
+  val imreadAvi: Q = (s, dir) => {
+    import graft.sources.AviSource
+    val base = fixtureBase(s, dir)
+    val out = fixtureDir(s, dir, "avi")
+    def frame(f: Int): Array[Byte] = {
+      val rgb = new Array[Byte](H * W * 3)
+      for (p <- 0 until H * W; c <- 0 until 3)
+        rgb(p * 3 + c) = ((base(p).toInt + 23 * f + 40 * c) % 256).toByte
+      rgb
+    }
+    val pcm = Array.tabulate[Short](800)(i => (i * 13 - 5200).toShort)
+    java.nio.file.Files.write(out.resolve("clip_000_001.avi"),
+      AviSource.encodeAvi(W, H, 40000L, Seq(frame(0), frame(1)),
+        audio = Some((8000, pcm))))
+    java.nio.file.Files.write(out.resolve("clip_002.avi"),
+      AviSource.encodeAvi(W, H, 40000L, Seq(frame(2))))
+    rgbToDf(AviSource.readAvi(s, s"$out/*.avi")).orderBy("f", "i", "j", "c")
+  }
+
+  private val aviSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f),
+       |chans AS (SELECT unnest([0, 1, 2]) AS c)
+       |SELECT f.f AS f, g.i, g.j, c.c AS c,
+       |  CAST(((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256
+       |        + 23 * f.f + 40 * c.c) % 256 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
+       |ORDER BY f, g.i, g.j, c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "imread_pgm" -> imreadPgm,
     "imread_pgm_typed" -> imreadPgmTyped,
@@ -485,6 +526,7 @@ object ImreadQueries {
     "imread_rgb_channel_stats" -> imreadRgbChannelStats,
     "imread_gif" -> imreadGif,
     "imread_fits" -> imreadFits,
+    "imread_avi" -> imreadAvi,
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,6 +542,7 @@ object ImreadQueries {
     "imread_rgb_channel_stats" -> rgbChannelStatsSql,
     "imread_gif" -> gifSql,
     "imread_fits" -> fitsSql,
+    "imread_avi" -> aviSql,
     // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->

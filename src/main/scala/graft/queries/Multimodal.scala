@@ -412,8 +412,59 @@ object Multimodal {
       |FROM vf v JOIN win w ON v.doc_id = w.doc_id AND v.f = w.f
       |ORDER BY asset_id, frame""".stripMargin
 
+  /** A/V sync from ONE CONTAINER: the same per-frame video feature +
+    * frame-aligned audio-window energy as [[multimodalAvSync]], but the
+    * asset is a single AVI file carrying BOTH tracks (the real lake
+    * shape — crawled video arrives as containers, not paired files).
+    * Decoding once per row yields both streams from one walk, so the
+    * query needs NO join at all: the container co-locates the tracks
+    * and the sync computation is map-only — strictly fewer shuffles
+    * than the paired-payload twin (scale win, pinned in PlanShapeSpec).
+    * Pixels use the same vidPx formula in all three channels (sum taken
+    * over channel 0), audio the same audS samples — so the oracle is
+    * the formula replay [[multimodalAvSyncSql]] already states. */
+  val multimodalAvContainer: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.AviSource
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
+        val frames = (0 until nf).map { f =>
+          val rgb = new Array[Byte](h * w * 3)
+          for (i <- 0 until h; j <- 0 until w) {
+            val v = vidPx(nChars, docId, f, i, j).toByte
+            val o = (i * w + j) * 3
+            rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          }
+          rgb
+        }
+        val samples = Array.tabulate(audN(docId))(i => audS(nChars, docId, i))
+        (docId, AviSource.encodeAvi(w, h, 40000L, frames,
+          audio = Some((audSr(docId), samples))))
+      }.toDF("asset_id", "avi").localCheckpoint(true)
+    assets.as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      val clip = AviSource.decodeAvi(bytes)
+      val nf = clip.frames.size
+      val n = clip.audio.length
+      clip.frames.zipWithIndex.map { case (rgb, f) =>
+        var sum = 0L
+        var p = 0
+        while (p < rgb.length) { sum += (rgb(p) & 0xff).toLong; p += 3 }
+        val lo = f * n / nf
+        val hi = (f + 1) * n / nf
+        var e = 0L
+        var i = lo
+        while (i < hi) { e += math.abs(clip.audio(i).toInt).toLong; i += 1 }
+        (id, f, sum, clip.h.toLong * clip.w, (hi - lo).toLong, e)
+      }
+    }.toDF("asset_id", "frame", "sum_p", "n_px", "n_samps", "energy")
+      .orderBy(col("asset_id"), col("frame"))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_av_sync" -> multimodalAvSync,
+    "multimodal_av_container" -> multimodalAvContainer,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "multimodal_audio_features" -> multimodalAudioFeatures,
@@ -422,6 +473,8 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "multimodal_av_sync" -> multimodalAvSyncSql,
+    // same formula replay: the container carries identical tracks
+    "multimodal_av_container" -> multimodalAvSyncSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frame_sample" -> multimodalFrameSampleSql,
     "multimodal_audio_features" -> multimodalAudioFeaturesSql,

@@ -215,6 +215,17 @@ class PlanShapeSpec extends SparkSpec {
       s"line flags must ride exploded rows (distributed line work):\n$p")
   }
 
+  test("multimodal_av_container: the one-container A/V sync is join-free and shuffle-free") {
+    // The scale argument for container assets: both tracks come out of
+    // ONE decode walk, so sync needs no join and no hash shuffle (the
+    // paired-payload twin pays a co-partitioned join) — only the output
+    // orderBy's range exchange remains.
+    val p = plan("multimodal_av_container")
+    assert(!p.contains("Join"), s"container A/V sync must not join:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"container A/V sync must not hash-shuffle:\n$p")
+  }
+
   test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
     // The LM is vocab-sized; shuffling the exploded token stream to meet
     // it would be the classic 100 TB mistake. The only token-keyed
