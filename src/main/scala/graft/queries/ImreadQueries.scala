@@ -471,6 +471,50 @@ object ImreadQueries {
        |FROM grid g CROSS JOIN frames f
        |ORDER BY f, g.i, g.j""".stripMargin
 
+  /** NumPy imread through the clean-room `.npy`/`.npz` codec
+    * (SURVEY §2A.1 — the array-interchange format the reference's whole
+    * ecosystem saves through `np.save`). The fixture exercises the
+    * honest paths in one gate: frames 0–1 live in ONE 3-d BIG-ENDIAN
+    * `'>u2'` cube (the byte-swap-at-decode path must land exactly for
+    * the ×1000-quantized values to survive), frame 2 in an npz ZIP
+    * container written UNDER a `.npy` NAME — numpy dispatches on
+    * content, not extension, and so must the reader — holding a `'|u1'`
+    * member. Cube plane slicing, endianness normalization, container
+    * sniffing and cross-file frame numbering all under one hash. */
+  val imreadNpy: Q = (s, dir) => {
+    import graft.sources.NpySource
+    import graft.tensor.DType
+    val base16 = fixtureBase16(s, dir)
+    val base8 = fixtureBase(s, dir)
+    val out = fixtureDir(s, dir, "npy")
+    val cube = new Array[Byte](2 * H * W * 2)
+    for (f <- 0 until 2; p <- 0 until H * W) {
+      val v = (base16(p).toInt + 500 * f) % 65536
+      cube((f * H * W + p) * 2) = (v & 0xff).toByte
+      cube((f * H * W + p) * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    java.nio.file.Files.write(out.resolve("cube_000_001.npy"),
+      NpySource.encodeNpy(Seq(2, H, W), DType.U16, cube, bigEndian = true))
+    val flat = Array.tabulate[Byte](H * W)(p => ((base8(p).toInt + 19) % 256).toByte)
+    java.nio.file.Files.write(out.resolve("frame_002.npy"),
+      NpySource.encodeNpz(Seq("arr_0.npy" ->
+        NpySource.encodeNpy(Seq(H, W), DType.U8, flat))))
+    typedFramesToDf(NpySource.readNpy(s, s"$out/*.npy"))
+      .orderBy("f", "i", "j")
+  }
+
+  private val npySql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(CASE WHEN f.f < 2
+       |    THEN ((CAST(round(g.v * 1000) AS BIGINT) % 65536 + 65536) % 65536
+       |          + 500 * f.f) % 65536
+       |    ELSE ((CAST(round(g.v * 100) AS BIGINT) % 256 + 256) % 256 + 19) % 256
+       |  END AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
   /** AVI imread through the clean-room RIFF container codec
     * (SURVEY §2A.1 — the pims VIDEO surface: upstream reads video
     * containers through pims/ffmpeg; this is the lossless BI_RGB leg,
@@ -527,6 +571,7 @@ object ImreadQueries {
     "imread_gif" -> imreadGif,
     "imread_fits" -> imreadFits,
     "imread_avi" -> imreadAvi,
+    "imread_npy" -> imreadNpy,
   )
 
   val oracle: Map[String, String] = Map(
@@ -543,6 +588,7 @@ object ImreadQueries {
     "imread_gif" -> gifSql,
     "imread_fits" -> fitsSql,
     "imread_avi" -> aviSql,
+    "imread_npy" -> npySql,
     // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->

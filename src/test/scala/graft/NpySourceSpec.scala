@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.NpySource
+import graft.tensor.DType
+
+/** NumPy `.npy`/`.npz` codec + distributed reader spec: byte-exact
+  * round trips per dtype (both byte orders and both header versions),
+  * npz member stacking, content-based container dispatch, rejection of
+  * the ambiguous/fortran layouts, and the shared malformed-input fuzz
+  * contract.
+  */
+class NpySourceSpec extends SparkSpec {
+
+  private def pseudo(n: Int, seed: Int): Array[Byte] = {
+    var x = seed
+    Array.fill(n) {
+      x = x * 1103515245 + 12345
+      ((x >>> 16) & 0xff).toByte
+    }
+  }
+
+  test("npy round trip per dtype, both byte orders, both header versions") {
+    for (dt <- Seq(DType.U8, DType.I16, DType.U16, DType.I32, DType.F32, DType.F64);
+         be <- Seq(false, true); ver <- Seq(1, 2)) {
+      val shape = Seq(3, 4)
+      val data = pseudo(12 * dt.bytes, seed = dt.bytes * 7 + (if (be) 1 else 0))
+      val enc = NpySource.encodeNpy(shape, dt, data, bigEndian = be, version = ver)
+      val (s2, d2, out) = NpySource.decodeNpy(enc)
+      assert(s2 == shape && d2 == dt, s"${dt.name} be=$be v$ver meta")
+      assert(out.sameElements(data),
+        s"${dt.name} be=$be v$ver payload must round-trip to little-endian")
+    }
+  }
+
+  test("npy: 3-d array slices into C-order planes; 1-d/4-d rejected by the image surface") {
+    val data = pseudo(2 * 3 * 4, seed = 5)
+    val cube = NpySource.encodeNpy(Seq(2, 3, 4), DType.U8, data)
+    val frames = NpySource.decodeFrames(cube)
+    assert(frames.length == 2)
+    for ((f, k) <- frames.zipWithIndex) {
+      assert(f._1 == 3 && f._2 == 4 && f._3 == DType.U8.name)
+      assert(f._4.sameElements(data.slice(k * 12, (k + 1) * 12)))
+    }
+    assert(NpySource.npyFrameCount(cube) == 2L)
+    val flat = NpySource.encodeNpy(Seq(24), DType.U8, data)
+    intercept[IllegalArgumentException](NpySource.decodeFrames(flat))
+    intercept[IllegalArgumentException](NpySource.npyFrameCount(flat))
+  }
+
+  test("npz: members decode in name order; content dispatch ignores extension") {
+    val a = NpySource.encodeNpy(Seq(2, 2), DType.U16, pseudo(8, 1))
+    val b = NpySource.encodeNpy(Seq(3, 2, 2), DType.U16, pseudo(24, 2))
+    val npz = NpySource.encodeNpz(Seq("z_last.npy" -> b, "a_first.npy" -> a))
+    val frames = NpySource.decodeFrames(npz)
+    assert(frames.length == 4, "1 frame from a_first + 3 from z_last, name-sorted")
+    assert(frames.head._4.sameElements(NpySource.decodeNpy(a)._3))
+    assert(NpySource.npyFrameCount(npz) == 4L)
+  }
+
+  test("npy: fortran_order and native '=' descr are rejected loudly") {
+    val ok = NpySource.encodeNpy(Seq(2, 2), DType.U8, pseudo(4, 3))
+    val hdr = new String(ok, 10, ok.length - 10 - 4, "US-ASCII")
+    def mutate(from: String, to: String): Array[Byte] = {
+      val s = new String(ok.drop(10), "ISO-8859-1").replace(from, to)
+      ok.take(10) ++ s.getBytes("ISO-8859-1")
+    }
+    assert(hdr.contains("False"))
+    intercept[IllegalArgumentException](
+      NpySource.decodeNpy(mutate("False", "True ")))
+    intercept[IllegalArgumentException](
+      NpySource.decodeNpy(mutate("'|u1'", "'=u1'")))
+  }
+
+  test("npy malformed payloads fail with IllegalArgumentException (fuzz)") {
+    val rnd = new scala.util.Random(43)
+    for (i <- 1 to 500) {
+      val bytes = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(bytes)
+      if (i % 2 == 0 && bytes.length >= 6) {
+        bytes(0) = 0x93.toByte
+        System.arraycopy("NUMPY".getBytes, 0, bytes, 1, 5)
+      }
+      try { NpySource.decodeFrames(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+      try { NpySource.npyFrameCount(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    val ok = NpySource.encodeNpy(Seq(2, 5, 4), DType.U16, pseudo(80, 9))
+    for (_ <- 1 to 1000) {
+      val mut = ok.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try {
+        for ((h, w, dt, px) <- NpySource.decodeFrames(mut))
+          assert(h > 0 && w > 0 && px.length == h * w * DType.of(dt).bytes)
+      } catch { case _: IllegalArgumentException => () }
+    }
+    for (n <- 0 until ok.length)
+      try { NpySource.decodeFrames(java.util.Arrays.copyOf(ok, n)); () }
+      catch { case _: IllegalArgumentException => () }
+    // npz leg: truncations and flips of a valid container
+    val z = NpySource.encodeNpz(Seq("a.npy" -> ok))
+    for (n <- 0 until z.length)
+      try { NpySource.decodeFrames(java.util.Arrays.copyOf(z, n)); () }
+      catch { case _: IllegalArgumentException => () }
+  }
+
+  test("readNpy stacks npy and npz files across a glob with typed payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_npy_spec")
+    val h = 5; val w = 7
+    def plane(k: Int): Array[Byte] = {
+      val b = new Array[Byte](h * w * 2)
+      for (i <- 0 until h * w) {
+        val v = (i * 3 + 101 * k) & 0xffff
+        b(2 * i) = (v & 0xff).toByte
+        b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b
+    }
+    // file a: big-endian 2-frame cube; file b: an npz UNDER A .npy NAME
+    // (content dispatch) holding frame 2
+    java.nio.file.Files.write(dir.resolve("a.npy"),
+      NpySource.encodeNpy(Seq(2, h, w), DType.U16,
+        plane(0) ++ plane(1), bigEndian = true))
+    java.nio.file.Files.write(dir.resolve("b.npy"),
+      NpySource.encodeNpz(Seq("only.npy" ->
+        NpySource.encodeNpy(Seq(h, w), DType.U16, plane(2)))))
+    val blocks = NpySource.readNpy(spark, s"$dir/*.npy").collect().sortBy(_.origin.head)
+    assert(blocks.length == 3)
+    for ((b, k) <- blocks.zipWithIndex) {
+      assert(b.origin == Seq(k, 0, 0))
+      assert(b.shape == Seq(1, h, w))
+      assert(b.dtype == DType.U16.name)
+      assert(b.data.sameElements(plane(k)), s"frame $k payload differs")
+    }
+  }
+}
