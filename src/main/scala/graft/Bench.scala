@@ -27,6 +27,13 @@ object Bench {
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
     "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup")
 
+  /** The curation headliners (round 12): the data-curation operators a
+    * crawl→training pipeline runs between ingest and dedup — benched as
+    * their own group (tools/bench_duckdb.py --curation twin). */
+  val curationHeadline: Seq[String] = Seq(
+    "exact_substring_dedup", "url_dedup_normalized",
+    "quality_gopher", "quality_c4", "unigram_logprob")
+
   /** The ANN headliners (round 11): the three approximate top-k paths,
     * benched with RECALL against the exact brute-force top-10 — an ANN
     * operator that got fast by returning the wrong neighbors must fail
@@ -402,6 +409,23 @@ object Bench {
       llmJson = s""","llm":$lj,"llm_total":${llm.map(_._2).sum}"""
     }
 
+    // ------------------------------------------------ curation group
+    // The round-12 data-curation additions (exact-substring dedup, URL
+    // canonicalization, Gopher/C4 quality rules, unigram-LM scoring) —
+    // same protocol as the LLM group, own total so neither band moves.
+    val curOn = sys.env.getOrElse("SPARK_GRAFT_CURATION", "1") == "1"
+    var curJson = ""
+    if (curOn) {
+      val curRaw = curationHeadline.filter(qs.contains).map { name =>
+        (1 to warmups).foreach(_ => queryOnce(name))
+        name -> queryMedian3(name)
+      }
+      val cur = reprobeSpikes(curRaw)
+      val cj = cur.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      curJson = s""","curation":$cj,"curation_total":${cur.map(_._2).sum}"""
+    }
+
     // ------------------------------------------------------ ANN group
     // Wall + recall for the approximate top-k paths. Recall = overlap of
     // the ANN top-10 vec_ids with the exact brute-force top-10 (the
@@ -686,7 +710,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$llmJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$llmJson$curJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

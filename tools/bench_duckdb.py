@@ -43,9 +43,17 @@ ANN = [
     "ivf_cosine_topk", "ann_hyperplane_topk", "embedding_quantize_topk",
 ]
 
-args = [a for a in sys.argv[1:] if a not in ("--llm", "--ann")]
+# The curation headliners (graft.Bench.curationHeadline twin). --curation
+# enables.
+CURATION = [
+    "exact_substring_dedup", "url_dedup_normalized",
+    "quality_gopher", "quality_c4", "unigram_logprob",
+]
+
+args = [a for a in sys.argv[1:] if a not in ("--llm", "--ann", "--curation")]
 run_llm = "--llm" in sys.argv
 run_ann = "--ann" in sys.argv
+run_cur = "--curation" in sys.argv
 sf_dir, oracle_path = args[0], args[1]
 threads = int(args[2]) if len(args) > 2 else 4
 oracle = json.load(open(oracle_path))
@@ -93,5 +101,10 @@ if run_ann:
     ann = bench(ANN)
     aq = ",".join(f'"{k}":{v}' for k, v in ann.items())
     ann_json = f',"ann":{{{aq}}},"ann_total":{sum(ann.values())}'
+cur_json = ""
+if run_cur:
+    cur = bench(CURATION)
+    cq = ",".join(f'"{k}":{v}' for k, v in cur.items())
+    cur_json = f',"curation":{{{cq}}},"curation_total":{sum(cur.values())}'
 print(f'{{"metric":"duckdb_total","value":{total},"unit":"sec",'
-      f'"queries":{{{qjson}}}{llm_json}{ann_json},"threads":{threads},"sf":"{sf_dir}"}}')
+      f'"queries":{{{qjson}}}{llm_json}{ann_json}{cur_json},"threads":{threads},"sf":"{sf_dir}"}}')
