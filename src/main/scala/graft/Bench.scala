@@ -278,6 +278,19 @@ object Bench {
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         llmOnepass = s""","llm":$lj,"llm_wall":$lwall,"scaled_k":$scaledK"""
       }
+      // Curation group in the same pass (r12 session 3): the quality/
+      // scoring scans are linear by construction, but exact_substring_
+      // dedup's shared-gram set grows with distinct content — sf10 is
+      // where a broadcast-budget miscalibration would show.
+      var curOnepass = ""
+      if (sys.env.getOrElse("SPARK_GRAFT_CURATION", "1") == "1") {
+        val ct0 = System.nanoTime()
+        val cres = curationHeadline.filter(qs.contains).map(n => n -> queryOnce(n))
+        val cwall = (System.nanoTime() - ct0) / 1e9
+        val cj = cres.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        curOnepass = s""","curation":$cj,"curation_wall":$cwall"""
+      }
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
       // Tensor smoke in the SAME artifact pass (r12, judge item #6 — one
       // JSON instead of two driver invocations): peaks are re-reset so
@@ -294,7 +307,7 @@ object Bench {
       val qj = res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       println(s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
-        s""""failed":$fj$llmOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
+        s""""failed":$fj$llmOnepass$curOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
       spark.stop()
       return
     }

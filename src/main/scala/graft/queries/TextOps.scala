@@ -1740,7 +1740,14 @@ object TextOps {
     * ~200 MB, still broadcastable; past that the [[sharedSetProbe]]
     * salted idiom applies). The single-partition window computing the
     * corpus total runs over the LM table — vocab rows, never doc rows.
-    * Per-doc aggregation is the one real shuffle, keyed on doc_id. */
+    * Per-doc aggregation is the one real shuffle, keyed on doc_id.
+    *
+    * Oracle seam, accepted: doc_nll averages doubles whose summation
+    * order differs between engines (and ln() may differ by 1 ulp), so
+    * the round(…,4) comparison carries a ~1e-11-per-row flip risk at a
+    * .00005 boundary — the same class as textQuality's avg ratios,
+    * stable across rounds. The integer-exact trick the gopher filter
+    * uses has no analog for a log-likelihood. */
   val unigramLogprob: Q = (s, dir) => {
     val tok = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), explode(toks).as("tok"))

@@ -92,8 +92,15 @@ object AviSource {
   /** Walk the movi payload (including `LIST rec ` groupings), handing
     * each data chunk to `sink(fcc, offset, size)`. Chunks are u32le
     * sized and padded to even offsets. */
+  /** Nesting bound for LIST recursion: real files nest 2-3 deep (rec
+    * inside movi); a crafted 12-bytes-per-level chain would otherwise
+    * walk thousands of frames deep and die with StackOverflowError —
+    * an Error, outside the IllegalArgumentException contract. */
+  private val MaxListDepth = 64
+
   private def walkMovi(bytes: Array[Byte], start: Int, end: Int,
-      sink: (String, Int, Int) => Unit): Unit = {
+      sink: (String, Int, Int) => Unit, depth: Int = 0): Unit = {
+    require(depth <= MaxListDepth, s"avi: LIST nesting deeper than $MaxListDepth")
     var pos = start
     while (pos < end) {
       val fcc = fourcc(bytes, pos)
@@ -103,16 +110,20 @@ object AviSource {
       require(body + size <= end, s"avi: chunk '$fcc' overruns movi list")
       if (fcc == "LIST") {
         require(size >= 4, "avi: LIST too short")
-        walkMovi(bytes, body + 4, body + size.toInt, sink)
+        walkMovi(bytes, body + 4, body + size.toInt, sink, depth + 1)
       } else sink(fcc, body, size.toInt)
       pos = body + size.toInt + (size.toInt & 1)
     }
   }
 
-  /** Parse header lists; returns (w, h, usPerFrame, videoCompression,
-    * audioRate, moviStart, moviEnd). */
-  private def parseHeader(bytes: Array[Byte]):
-      (Int, Int, Long, String, Int, Int, Int) = {
+  /** Parsed container header. `vidIdx`/`audIdx` are the STREAM indices
+    * of the video and (first) audio strl — chunk ids in movi encode the
+    * strl order (`NNdc`), so a file whose audio stream precedes the
+    * video must not be read as if video were stream 0. */
+  private case class AviMeta(w: Int, h: Int, usPerFrame: Long, vcodec: String,
+      audioRate: Int, vidIdx: Int, audIdx: Int, moviStart: Int, moviEnd: Int)
+
+  private def parseHeader(bytes: Array[Byte]): AviMeta = {
     require(bytes.length >= 12, "avi: shorter than the RIFF preamble")
     require(fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ",
       "avi: not a RIFF/AVI stream")
@@ -125,7 +136,10 @@ object AviSource {
     var vcodec: String = null; var audioRate = 0
     var moviStart = -1; var moviEnd = -1
     var strType: String = null
-    def walk(start: Int, end: Int): Unit = {
+    var streamN = 0
+    var vidIdx = -1; var audIdx = -1
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      require(depth <= MaxListDepth, s"avi: LIST nesting deeper than $MaxListDepth")
       var pos = start
       while (pos < end) {
         val fcc = fourcc(bytes, pos)
@@ -138,7 +152,7 @@ object AviSource {
             require(size >= 4, "avi: LIST too short")
             val kind = fourcc(bytes, body)
             if (kind == "movi") { moviStart = body + 4; moviEnd = body + size.toInt }
-            else walk(body + 4, body + size.toInt)
+            else walk(body + 4, body + size.toInt, depth + 1)
           case "avih" =>
             require(size >= 40, "avi: avih too short")
             usPerFrame = u32le(bytes, body)
@@ -147,6 +161,9 @@ object AviSource {
           case "strh" =>
             require(size >= 8, "avi: strh too short")
             strType = fourcc(bytes, body)
+            if (strType == "vids" && vidIdx < 0) vidIdx = streamN
+            if (strType == "auds" && audIdx < 0) audIdx = streamN
+            streamN += 1
           case "strf" =>
             if (strType == "vids") {
               require(size >= 40, "avi: video strf too short")
@@ -168,25 +185,29 @@ object AviSource {
         pos = body + size.toInt + (size.toInt & 1)
       }
     }
-    walk(12, riffEnd)
+    walk(12, riffEnd, 0)
     require(moviStart >= 0, "avi: no movi list")
-    require(vcodec != null, "avi: no video stream header")
+    require(vcodec != null && vidIdx >= 0, "avi: no video stream header")
     require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
       s"avi: implausible geometry ${w}x$h")
-    (w, h, usPerFrame, vcodec, audioRate, moviStart, moviEnd)
+    AviMeta(w, h, usPerFrame, vcodec, audioRate, vidIdx, audIdx, moviStart, moviEnd)
   }
 
   /** Decode a whole container: every video frame to a full (h, w) RGB
     * plane plus the concatenated audio sample stream. */
   private[graft] def decodeAvi(bytes: Array[Byte]): AviClip = {
-    val (w, h, usf, vcodec, audioRate, ms, me) = parseHeader(bytes)
+    val m = parseHeader(bytes)
+    import m.{w, h, vcodec}
     require(vcodec == "DIB " || vcodec == "MJPG",
       s"avi: unsupported video codec '$vcodec'")
+    val vdc = f"${m.vidIdx}%02ddc"
+    val vdb = f"${m.vidIdx}%02ddb"
+    val awb = if (m.audIdx >= 0) f"${m.audIdx}%02dwb" else null
     val frames = Seq.newBuilder[Array[Byte]]
     val audio = new ByteArrayOutputStream()
     var decoded = 0L
-    walkMovi(bytes, ms, me, (fcc, off, size) => fcc match {
-      case "00dc" | "00db" =>
+    walkMovi(bytes, m.moviStart, m.moviEnd, (fcc, off, size) =>
+      if (fcc == vdc || fcc == vdb) {
         decoded += w.toLong * h * 3
         require(decoded <= MaxDecode, s"avi: decoded pixels exceed $MaxDecode B")
         val chunk = java.util.Arrays.copyOfRange(bytes, off, off + size)
@@ -201,11 +222,11 @@ object AviSource {
             s"avi: MJPEG frame ${jw}x$jh disagrees with container ${w}x$h")
           frames += rgb
         }
-      case "01wb" =>
+      } else if (fcc == awb) {
         require(size % 2 == 0, "avi: odd PCM16 audio chunk")
         audio.write(bytes, off, size)
-      case _ => () // other streams / padding chunks
-    })
+      } else () // other streams / padding chunks
+    )
     val ab = audio.toByteArray
     val samples = new Array[Short](ab.length / 2)
     var i = 0
@@ -213,27 +234,36 @@ object AviSource {
       samples(i) = ((ab(2 * i) & 0xff) | (ab(2 * i + 1) << 8)).toShort
       i += 1
     }
-    AviClip(w, h, usf, frames.result(), audioRate, samples)
+    AviClip(w, h, m.usPerFrame, frames.result(), m.audioRate, samples)
   }
 
   /** Metadata-only frame count (for [[ImageSource.pagedFiles]]): walks
     * the chunk headers of the movi list without touching payloads. */
   private[graft] def aviFrameCount(bytes: Array[Byte]): Long = {
-    val (_, _, _, _, _, ms, me) = parseHeader(bytes)
+    val m = parseHeader(bytes)
+    val vdc = f"${m.vidIdx}%02ddc"
+    val vdb = f"${m.vidIdx}%02ddb"
     var n = 0L
-    walkMovi(bytes, ms, me,
-      (fcc, _, _) => if (fcc == "00dc" || fcc == "00db") n += 1)
+    walkMovi(bytes, m.moviStart, m.moviEnd,
+      (fcc, _, _) => if (fcc == vdc || fcc == vdb) n += 1)
     n
   }
 
   // ------------------------------------------------------------ encode
   /** Encode frames (+ an optional PCM16 audio track, interleaved one
     * chunk per frame) as a spec-conformant AVI — fixtures, specs and
-    * round-trip support. `codec` is "DIB " (lossless BI_RGB) or "MJPG". */
+    * round-trip support. `codec` is "DIB " (lossless BI_RGB) or "MJPG".
+    * `audioFirst` writes the audio strl BEFORE the video strl (video
+    * becomes stream 1, chunks '01dc') — the legal stream order a
+    * decoder must not hard-code away. */
   private[graft] def encodeAvi(w: Int, h: Int, usPerFrame: Long,
       frames: Seq[Array[Byte]], codec: String = "DIB ",
-      audio: Option[(Int, Array[Short])] = None): Array[Byte] = {
+      audio: Option[(Int, Array[Short])] = None,
+      audioFirst: Boolean = false): Array[Byte] = {
     require(codec == "DIB " || codec == "MJPG", s"unsupported codec '$codec'")
+    require(!audioFirst || audio.isDefined, "audioFirst needs an audio track")
+    val vidIdx = if (audioFirst) 1 else 0
+    val audIdx = if (audioFirst) 0 else 1
     val out = new ByteArrayOutputStream()
     def wr32(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
@@ -290,12 +320,9 @@ object AviSource {
       val b = out.toByteArray; out.reset(); out.write(save, 0, save.length)
       b
     }
-    def list(kind: String, body: Array[Byte]): Array[Byte] = {
-      val save = out.toByteArray; out.reset()
+    def list(kind: String, body: Array[Byte]): Array[Byte] = sub {
       wrFcc("LIST"); wr32((4 + body.length).toLong); wrFcc(kind); out.write(body)
       if ((body.length & 1) == 1) out.write(0)
-      val b = out.toByteArray; out.reset(); out.write(save, 0, save.length)
-      b
     }
 
     val avih = sub {
@@ -328,10 +355,19 @@ object AviSource {
       list("strl", sub { chunk("strh", strhA); chunk("strf", strfA) })
     }
     val hdrl = list("hdrl", sub {
-      chunk("avih", avih); out.write(strlV)
-      strlA.foreach(b => out.write(b, 0, b.length))
+      chunk("avih", avih)
+      if (audioFirst) {
+        strlA.foreach(b => out.write(b, 0, b.length))
+        out.write(strlV)
+      } else {
+        out.write(strlV)
+        strlA.foreach(b => out.write(b, 0, b.length))
+      }
     })
-    // movi body + idx1 entries (offsets relative to the 'movi' fourcc)
+    // movi body + idx1 entries (offsets relative to the 'movi' fourcc);
+    // chunk ids carry the strl order of each stream
+    val vdc = f"$vidIdx%02ddc"
+    val awb = f"$audIdx%02dwb"
     val idx = Seq.newBuilder[(String, Long, Int)]
     val moviBody = sub {
       var off = 4L
@@ -341,11 +377,11 @@ object AviSource {
         off += 8 + body.length + (body.length & 1)
       }
       for (f <- frames.indices) {
-        put("00dc", payloads(f))
-        if (f < audioChunks.length) put("01wb", audioChunks(f))
+        put(vdc, payloads(f))
+        if (f < audioChunks.length) put(awb, audioChunks(f))
       }
       // grouped() can yield one trailing remainder chunk beyond nframes
-      for (a <- frames.size until audioChunks.length) put("01wb", audioChunks(a))
+      for (a <- frames.size until audioChunks.length) put(awb, audioChunks(a))
     }
     val movi = list("movi", moviBody)
     val idx1 = sub {
@@ -379,9 +415,13 @@ object AviSource {
     }
   }
 
-  /** Per-file A/V rows for lake queries: one row per container with the
-    * frame stack metadata and the full audio track — the joint-asset
-    * seam [[graft.queries.Multimodal]] consumes. */
+  /** Per-file A/V metadata + audio track for lake triage: one row per
+    * container with the frame-stack geometry (from chunk HEADERS — no
+    * pixel decode) and the concatenated PCM16 samples. The cheap first
+    * pass of an ingest pipeline that decides which clips are worth the
+    * full [[readAvi]] pixel decode; proven over a real binaryFile round
+    * trip in AviSourceSpec (the same lake-ingest seam the WAV path
+    * pins). */
   def readAviAv(spark: SparkSession, glob: String):
       Dataset[(String, Int, Int, Int, Long, Int, Array[Short])] = {
     import spark.implicits._
@@ -390,8 +430,26 @@ object AviSource {
         org.apache.spark.sql.functions.col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, b) =>
-        val c = decodeAvi(b)
-        (p, c.frames.size, c.h, c.w, c.usPerFrame, c.audioRate, c.audio)
+        val m = parseHeader(b)
+        val vdc = f"${m.vidIdx}%02ddc"
+        val vdb = f"${m.vidIdx}%02ddb"
+        val awb = if (m.audIdx >= 0) f"${m.audIdx}%02dwb" else null
+        var nf = 0
+        val audio = new ByteArrayOutputStream()
+        walkMovi(b, m.moviStart, m.moviEnd, (fcc, off, size) =>
+          if (fcc == vdc || fcc == vdb) nf += 1
+          else if (fcc == awb) {
+            require(size % 2 == 0, "avi: odd PCM16 audio chunk")
+            audio.write(b, off, size)
+          } else ())
+        val ab = audio.toByteArray
+        val samples = new Array[Short](ab.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((ab(2 * i) & 0xff) | (ab(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        (p, nf, m.h, m.w, m.usPerFrame, m.audioRate, samples)
       }
   }
 }

@@ -28,7 +28,9 @@ import graft.tensor.{DType, TBlock}
   * rejected loudly (silently transposing a 100 TB lake is the bug you
   * find a month later). A 2-d array is one frame; a 3-d array is a
   * C-order frame cube (plane-major — the multi-frame shape shared with
-  * TIFF/FITS); npz members stack in name order.
+  * TIFF/FITS); npz members stack in ZIP order, the insertion order
+  * numpy's NpzFile preserves (name-sorting would permute arr_10 before
+  * arr_2 on an 11-array savez).
   *
   * Distributed read mirrors FITS: [[ImageSource.pagedFiles]] numbers
   * frames with a metadata-only header parse, decode is one task per
@@ -125,7 +127,10 @@ object NpySource {
     bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4
 
-  /** The members of an `.npz` (name-sorted, numpy's own stacking order). */
+  /** The members of an `.npz` in ZIP (= insertion) order — what
+    * numpy's NpzFile.files preserves. NOT name-sorted: `np.savez` with
+    * 11+ arrays writes arr_0..arr_10 in insertion order, and a
+    * lexicographic sort would permute arr_10 before arr_2. */
   private[graft] def npzEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(isZip(bytes), "npz: not a ZIP container")
     val zin = new java.util.zip.ZipInputStream(
@@ -152,7 +157,7 @@ object NpySource {
       case _: java.io.EOFException =>
         throw new IllegalArgumentException("npz: truncated ZIP stream")
     } finally zin.close()
-    val r = out.result().sortBy(_._1)
+    val r = out.result()
     require(r.nonEmpty, "npz: empty container")
     r
   }
@@ -175,16 +180,21 @@ object NpySource {
     }
   }
 
-  /** Metadata-only frame count (npz walks member headers, no data). */
-  private[graft] def npyFrameCount(bytes: Array[Byte]): Long =
-    if (isZip(bytes))
-      npzEntries(bytes).map(e => npyFrameCount(e._2)).sum
-    else npyMeta(bytes) match {
+  private def plainFrameCount(bytes: Array[Byte]): Long =
+    npyMeta(bytes) match {
       case (_, _, _, Seq(_, _)) => 1L
       case (_, _, _, Seq(nf, _, _)) => nf.toLong
       case (_, _, _, s) => throw new IllegalArgumentException(
         s"npy: image surface needs 2-d or 3-d arrays, got ${s.length}-d")
     }
+
+  /** Frame count for the metadata pass. Members must be PLAIN `.npy`
+    * (exactly what [[decodeFrames]] accepts — a nested ZIP member fails
+    * here with the same exception it would fail with at decode, so the
+    * two passes always agree, and a self-referential ZIP cannot recurse). */
+  private[graft] def npyFrameCount(bytes: Array[Byte]): Long =
+    if (isZip(bytes)) npzEntries(bytes).map(e => plainFrameCount(e._2)).sum
+    else plainFrameCount(bytes)
 
   // ------------------------------------------------------------ encode
   /** Encode little-endian C-order data as `.npy` — fixtures, specs and

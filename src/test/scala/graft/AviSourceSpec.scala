@@ -60,6 +60,48 @@ class AviSourceSpec extends SparkSpec {
     assert(AviSource.aviFrameCount(bytes) == 3L)
   }
 
+  test("avi audio-first stream order: video is stream 1 ('01dc') and still decodes") {
+    // chunk ids encode the strl order — a decoder hard-coding video as
+    // stream 0 reads an audio-first file as zero frames
+    val h = 6; val w = 4
+    val frames = (0 until 2).map(k => pseudoRgb(h, w, seed = k + 21))
+    val pcm = Array.tabulate[Short](200)(i => (i * 5).toShort)
+    val bytes = AviSource.encodeAvi(w, h, 40000L, frames,
+      audio = Some((8000, pcm)), audioFirst = true)
+    val clip = AviSource.decodeAvi(bytes)
+    assert(clip.frames.size == 2, "audio-first file must still yield its frames")
+    for ((f, k) <- clip.frames.zipWithIndex)
+      assert(f.sameElements(frames(k)), s"frame $k differs under audio-first order")
+    assert(clip.audio.sameElements(pcm))
+    assert(AviSource.aviFrameCount(bytes) == 2L)
+  }
+
+  test("avi deep LIST nesting fails with IllegalArgumentException, not StackOverflow") {
+    // a 12-bytes-per-level nested LIST chain: thousands of levels in a
+    // small file would otherwise blow the JVM stack (an Error, outside
+    // the fuzz contract)
+    val depth = 20000
+    val bos = new java.io.ByteArrayOutputStream()
+    def wr32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    // innermost body, then wrap outward
+    var body = Array.emptyByteArray
+    for (_ <- 1 to depth) {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("LIST".getBytes); val inner = body
+      val sz = 4L + inner.length
+      b.write((sz & 0xff).toInt); b.write(((sz >> 8) & 0xff).toInt)
+      b.write(((sz >> 16) & 0xff).toInt); b.write(((sz >> 24) & 0xff).toInt)
+      b.write("hdrx".getBytes); b.write(inner)
+      body = b.toByteArray
+    }
+    bos.write("RIFF".getBytes); wr32(4L + body.length)
+    bos.write("AVI ".getBytes); bos.write(body)
+    intercept[IllegalArgumentException](AviSource.decodeAvi(bos.toByteArray))
+  }
+
   test("avi malformed containers fail with IllegalArgumentException (fuzz)") {
     val rnd = new scala.util.Random(41)
     for (i <- 1 to 500) {

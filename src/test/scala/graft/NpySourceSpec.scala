@@ -47,14 +47,35 @@ class NpySourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](NpySource.npyFrameCount(flat))
   }
 
-  test("npz: members decode in name order; content dispatch ignores extension") {
+  test("npz: members decode in ZIP insertion order (numpy's NpzFile order), not name order") {
     val a = NpySource.encodeNpy(Seq(2, 2), DType.U16, pseudo(8, 1))
     val b = NpySource.encodeNpy(Seq(3, 2, 2), DType.U16, pseudo(24, 2))
-    val npz = NpySource.encodeNpz(Seq("z_last.npy" -> b, "a_first.npy" -> a))
+    // written z-name first: insertion order must win over lexicographic
+    val npz = NpySource.encodeNpz(Seq("z_first.npy" -> b, "a_second.npy" -> a))
     val frames = NpySource.decodeFrames(npz)
-    assert(frames.length == 4, "1 frame from a_first + 3 from z_last, name-sorted")
-    assert(frames.head._4.sameElements(NpySource.decodeNpy(a)._3))
+    assert(frames.length == 4, "3 frames from z_first then 1 from a_second")
+    assert(frames.last._4.sameElements(NpySource.decodeNpy(a)._3),
+      "a_second's frame must come LAST despite sorting first by name")
     assert(NpySource.npyFrameCount(npz) == 4L)
+    // the arr_N shape that name-sorting would permute: arr_2 must be
+    // frame index 2 even with arr_10 present
+    val planes = (0 until 12).map(k => NpySource.encodeNpy(Seq(2, 2), DType.U8, pseudo(4, 50 + k)))
+    val big = NpySource.encodeNpz(planes.zipWithIndex.map { case (p, k) => s"arr_$k.npy" -> p })
+    val decoded = NpySource.decodeFrames(big)
+    assert(decoded.length == 12)
+    for (k <- 0 until 12)
+      assert(decoded(k)._4.sameElements(NpySource.decodeNpy(planes(k))._3),
+        s"arr_$k must be frame $k (insertion order)")
+  }
+
+  test("npz: a nested-ZIP member fails identically in the count and decode passes") {
+    val inner = NpySource.encodeNpz(Seq("x.npy" ->
+      NpySource.encodeNpy(Seq(2, 2), DType.U8, pseudo(4, 9))))
+    val outer = NpySource.encodeNpz(Seq("nested.npy" -> inner))
+    // both passes reject — pagedFiles' metadata pass must never accept a
+    // file whose decode tasks would then fail
+    intercept[IllegalArgumentException](NpySource.npyFrameCount(outer))
+    intercept[IllegalArgumentException](NpySource.decodeFrames(outer))
   }
 
   test("npy: fortran_order and native '=' descr are rejected loudly") {
