@@ -8,7 +8,7 @@ gets no scale rewrites here, exactly as Spark's gate queries are the
 shapes Bench times).
 
 Usage: python tools/bench_duckdb_onepass.py <sf_dir> <oracle_sql.json> \
-         [threads] [cap_sec] [--llm|--headline]
+         [threads] [cap_sec] [--llm|--curation|--headline]
 Output: one JSON line; a capped key reports null and lands in "dnf".
 """
 import json
@@ -25,6 +25,10 @@ HEADLINE = [
 LLM = [
     "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
     "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup",
+]
+CURATION = [
+    "exact_substring_dedup", "url_dedup_normalized",
+    "quality_gopher", "quality_c4", "unigram_logprob",
 ]
 
 WORKER = r"""
@@ -56,7 +60,8 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 sf_dir, oracle_path = args[0], args[1]
 threads = int(args[2]) if len(args) > 2 else 4
 cap = float(args[3]) if len(args) > 3 else 900.0
-names = LLM if "--llm" in sys.argv else HEADLINE
+names = (LLM if "--llm" in sys.argv
+         else CURATION if "--curation" in sys.argv else HEADLINE)
 
 out, dnf = {}, []
 for name in names:
