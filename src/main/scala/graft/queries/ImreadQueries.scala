@@ -515,6 +515,43 @@ object ImreadQueries {
        |FROM grid g CROSS JOIN frames f
        |ORDER BY f, g.i, g.j""".stripMargin
 
+  /** NumPy EXPORT round trip — the `np.save` interchange OUT
+    * ([[graft.sources.NpySource.writeNpy]]): typed u16 frame blocks are
+    * written distributedly as one `.npy` per block (no shuffle, each
+    * executor writes its own files), then read back through
+    * [[graft.sources.NpySource.readNpy]] and hashed against the same
+    * formula oracle — so the header encode, the LE payload write, the
+    * zero-padded frame naming and the glob read-back all gate together. */
+  val npyExportRoundtrip: Q = (s, dir) => {
+    import graft.sources.NpySource
+    import graft.tensor.{DType, TBlock}
+    val base16 = fixtureBase16(s, dir)
+    val out = fixtureDir(s, dir, "npyx")
+    val blocks = (0 until FRAMES).map { f =>
+      val data = new Array[Byte](H * W * 2)
+      for (p <- 0 until H * W) {
+        val v = (base16(p).toInt + 123 * f) % 65536
+        data(2 * p) = (v & 0xff).toByte
+        data(2 * p + 1) = ((v >> 8) & 0xff).toByte
+      }
+      TBlock("npy_export", Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, H, W),
+        Seq(1, H, W), Seq(FRAMES, H, W), DType.U16.name, data)
+    }
+    import s.implicits._
+    NpySource.writeNpy(s.createDataset(blocks).repartition(3), s"$out/store")
+    typedFramesToDf(NpySource.readNpy(s, s"$out/store/*.npy"))
+      .orderBy("f", "i", "j")
+  }
+
+  private val npyExportSql: String =
+    s"""WITH ${TensorQueries.gridCte},
+       |frames AS (SELECT unnest([0, 1, 2]) AS f)
+       |SELECT f.f AS f, g.i, g.j,
+       |  CAST(((CAST(round(g.v * 1000) AS BIGINT) % 65536 + 65536) % 65536
+       |        + 123 * f.f) % 65536 AS BIGINT) AS p
+       |FROM grid g CROSS JOIN frames f
+       |ORDER BY f, g.i, g.j""".stripMargin
+
   /** AVI imread through the clean-room RIFF container codec
     * (SURVEY §2A.1 — the pims VIDEO surface: upstream reads video
     * containers through pims/ffmpeg; this is the lossless BI_RGB leg,
@@ -572,6 +609,7 @@ object ImreadQueries {
     "imread_fits" -> imreadFits,
     "imread_avi" -> imreadAvi,
     "imread_npy" -> imreadNpy,
+    "npy_export_roundtrip" -> npyExportRoundtrip,
   )
 
   val oracle: Map[String, String] = Map(
@@ -589,6 +627,7 @@ object ImreadQueries {
     "imread_fits" -> fitsSql,
     "imread_avi" -> aviSql,
     "imread_npy" -> npySql,
+    "npy_export_roundtrip" -> npyExportSql,
     // imread_jpeg: lossy DCT — the oracle gates DETERMINISM + geometry
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->

@@ -125,6 +125,31 @@ class NpySourceSpec extends SparkSpec {
       catch { case _: IllegalArgumentException => () }
   }
 
+  test("writeNpy exports blocks as .npy files that readNpy round-trips") {
+    import graft.tensor.TBlock
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_npy_write")
+    val h = 3; val w = 4
+    val blocks = (0 until 4).map { f =>
+      TBlock("exp", Seq(f, 0, 0), Seq(f, 0, 0), Seq(1, h, w), Seq(1, h, w),
+        Seq(4, h, w), DType.F64.name, {
+          val b = java.nio.ByteBuffer.allocate(h * w * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until h * w).foreach(i => b.putDouble(i * 0.5 + f * 100))
+          b.array()
+        })
+    }
+    graft.sources.NpySource.writeNpy(s.createDataset(blocks).repartition(2), s"$dir/store")
+    val back = graft.sources.NpySource.readNpy(spark, s"$dir/store/*.npy")
+      .collect().sortBy(_.origin.head)
+    assert(back.length == 4)
+    for ((b, k) <- back.zipWithIndex) {
+      assert(b.origin.head == k && b.dtype == DType.F64.name)
+      assert(b.data.sameElements(blocks(k).data), s"frame $k payload differs")
+    }
+  }
+
   test("readNpy stacks npy and npz files across a glob with typed payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_npy_spec")
     val h = 5; val w = 7
