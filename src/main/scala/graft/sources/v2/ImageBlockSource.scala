@@ -16,7 +16,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.sources.ImageSource
+import graft.sources.{ImageSource, NpySource}
 import graft.tensor.Block
 
 /** DataSource V2 imread — `spark.read.format("graft-image")` exposes an
@@ -38,7 +38,9 @@ import graft.tensor.Block
   * TIFF needs per-file page counts, i.e. a content probe — that stays on
   * [[graft.sources.ImageSource.readTiff]]'s distributed prefix-sum path.
   *
-  * Options: `path` (glob), `codec` (pgm | png), `imageId`.
+  * Options: `path` (glob), `codec` (pgm | png | npy), `imageId` — npy
+  * is the one-2-d-array-per-file `np.save` shape; its header carries
+  * the dims, so the pruned-column path is header-only there too.
   */
 class ImageBlockSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-image"
@@ -138,8 +140,8 @@ private[v2] class ImageBlockScan(opts: Map[String, String], lo: Int, hi: Int,
     throw new IllegalArgumentException("graft-image: path option is required"))
   private val codec = opts.getOrElse("codec", "pgm")
   private val imageId = opts.getOrElse("imageid", opts.getOrElse("imageId", "imread"))
-  require(codec == "pgm" || codec == "png",
-    s"graft-image: codec must be pgm|png (multi-page tiff reads via ImageSource.readTiff), got $codec")
+  require(codec == "pgm" || codec == "png" || codec == "npy",
+    s"graft-image: codec must be pgm|png|npy (multi-page tiff reads via ImageSource.readTiff), got $codec")
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -191,6 +193,21 @@ private[v2] class ImageBlockReaderFactory(codec: String, imageId: String,
             val (hh, ww) = ImageSource.pgmDims(bytes); (hh, ww, null)
           case "pgm" => ImageSource.decodePgm(bytes)
           case "png" => ImageSource.decodePng(bytes)
+          // npy headers carry the dims too — header-only when pruned
+          case "npy" if !needData =>
+            NpySource.npyMeta(bytes) match {
+              case (_, _, _, Seq(hh, ww)) => (hh, ww, null: Array[Double])
+              case (_, _, _, s) => throw new IllegalArgumentException(
+                s"graft-image npy: one 2-d array per file, got ${s.length}-d")
+            }
+          case "npy" =>
+            val (shape, dt, le) = NpySource.decodeNpy(bytes)
+            shape match {
+              case Seq(hh, ww) =>
+                (hh, ww, Array.tabulate(hh * ww)(i => dt.read(le, i)))
+              case s => throw new IllegalArgumentException(
+                s"graft-image npy: one 2-d array per file, got ${s.length}-d")
+            }
         }
         val f = part.frame
         def arr(xs: Seq[Int]) = new GenericArrayData(xs.map(Int.box).toArray[Any])

@@ -150,6 +150,42 @@ class NpySourceSpec extends SparkSpec {
     }
   }
 
+  test("V2 npy codec: values match readNpy, frame predicate prunes files, pruned columns decode header-only") {
+    import graft.sources.v2.ImageBlockSource
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_npy_v2")
+    val h = 4; val w = 5
+    for (f <- 0 until 4) {
+      val b = new Array[Byte](h * w * 2)
+      for (i <- 0 until h * w) {
+        val v = (i * 7 + f * 1000) & 0xffff
+        b(2 * i) = (v & 0xff).toByte; b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      java.nio.file.Files.write(dir.resolve(f"frame_$f%03d.npy"),
+        NpySource.encodeNpy(Seq(h, w), DType.U16, b))
+    }
+    val full = ImageBlockSource.read(spark, s"$dir/*.npy", "npy")
+    assert(full.rdd.getNumPartitions == 4)
+    val rows = full.collect().sortBy(_.getInt(0))
+    assert(rows.length == 4)
+    // value check against the formula (DType.read widens u16 exactly)
+    val d0 = rows(0).getSeq[Double](7)
+    assert(d0(3) == 21.0 && d0.length == h * w)
+    val pruned = full.filter(col("frame") >= 3)
+    assert(pruned.rdd.getNumPartitions == 1, "frame filter must prune files")
+    // column-pruned metadata read works on a TRUNCATED file: only the
+    // header is touched when `data` is never required
+    // keep the (64-aligned) header plus a few data bytes, far short of
+    // the h*w*2 payload a full decode would demand
+    val cut = java.nio.file.Files.readAllBytes(dir.resolve("frame_000.npy")).take(140)
+    val mdir = java.nio.file.Files.createTempDirectory("graft_npy_v2_meta")
+    java.nio.file.Files.write(mdir.resolve("only.npy"), cut)
+    val meta = ImageBlockSource.read(spark, s"$mdir/*.npy", "npy")
+      .select("frame", "shape").collect()
+    assert(meta.length == 1 && meta.head.getSeq[Int](1) == Seq(1, h, w),
+      "header-only decode must not need the data bytes")
+  }
+
   test("readNpy stacks npy and npz files across a glob with typed payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_npy_spec")
     val h = 5; val w = 7
