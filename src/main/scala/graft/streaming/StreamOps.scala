@@ -350,6 +350,24 @@ object StreamOps {
     drain(recs, OutputMode.Append()).orderBy(col("uri"))
   }
 
+  /** Streaming curation gate: the Gopher quality filter over the
+    * documents table as a FILE STREAM — the shape a live crawl feed
+    * runs (docs arrive continuously; the filter is stateless map-side
+    * work, so the only streaming state is the per-source counter agg,
+    * 20 rows in Complete mode). Rules and augmentation are the batch
+    * [[graft.queries.TextOps.qualityGopher]] verbatim, so the batch
+    * DuckDB oracle gates the streamed result row-for-row. */
+  val streamQualityGate: Q = (s, dir) => {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val agg = graft.queries.TextOps.gopherOver(
+      graft.queries.TextOps.augmentSymbols(docs))
+    drain(agg, OutputMode.Complete())
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
@@ -362,6 +380,7 @@ object StreamOps {
     "stream_dedup" -> streamDedup,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_wet_ingest" -> streamWetIngest,
+    "stream_quality_gate" -> streamQualityGate,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -376,6 +395,7 @@ object StreamOps {
     "stream_dedup" -> streamDedupSql,
     "stream_foreach_batch" -> streamForeachBatchSql,
     "stream_wet_ingest" -> graft.queries.SourceQueries.warcWetIngestSql,
+    "stream_quality_gate" -> graft.queries.TextOps.qualityGopherSql,
   )
 }
 

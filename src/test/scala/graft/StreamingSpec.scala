@@ -177,4 +177,12 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("streaming quality gate equals the batch Gopher filter row-for-row") {
+    val streamed = graft.streaming.StreamOps.streamQualityGate(spark, sf0001)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.qualityGopher(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
