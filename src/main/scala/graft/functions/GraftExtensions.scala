@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneSig)
     ext.injectFunction(GraftExtensions.argmaxDot)
     ext.injectFunction(GraftExtensions.vecMean)
+    ext.injectFunction(GraftExtensions.misraGries)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
@@ -57,6 +58,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VecMeanAgg].getName, "vec_mean"),
     (es: Seq[Expression]) => VecMeanAgg(es.head).toAggregateExpression())
 
+  val misraGries: FnDesc = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+    (es: Seq[Expression]) => MisraGries(es.head).toAggregateExpression())
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -69,7 +75,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, misraGries, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

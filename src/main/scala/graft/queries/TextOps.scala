@@ -1778,6 +1778,43 @@ object TextOps {
       |  round(max(doc_nll), 4) AS max_nll
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- heavy hitters (MG)
+  /** Exact corpus heavy hitters (tokens with count ≥ 2% of all tokens)
+    * through the bounded-memory candidates+verify pattern:
+    *
+    * 1. one scan folds the token stream into a mergeable Misra–Gries
+    *    summary (`misra_gries` native aggregate, capacity 64 ≥ 1/φ) —
+    *    per MG's guarantee the summary's key set is a SUPERSET of every
+    *    term with count > N/65, and only one ≤64-entry buffer per
+    *    partition ever moves;
+    * 2. the candidate terms broadcast back onto the token stream and an
+    *    exact count runs over candidate rows ONLY — so the output is
+    *    EXACT (the oracle is a plain GROUP BY … HAVING), but the
+    *    full-cardinality term shuffle a naive top-terms would pay at
+    *    100 TB never happens.
+    *
+    * The threshold comparison is `cnt ≥ N · 0.02` with integer cnt/N —
+    * one IEEE multiply, identical in both engines. */
+  val heavyHitters: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val tok = t(s, dir, "documents").select(explode(toks).as("tok"))
+    val mg = tok.agg(expr("misra_gries(tok)").as("s"))
+      .select(col("s.n").as("n"), explode(col("s.terms")).as("tok"))
+    tok.join(broadcast(mg), "tok")
+      .groupBy(col("tok").as("term"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") >= col("n").cast("double") * 0.02)
+      .select(col("term"), col("cnt"))
+      .orderBy(col("term"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt
+      |FROM tk GROUP BY tok
+      |HAVING count(*) >= (SELECT count(*) FROM tk) * 0.02
+      |ORDER BY term""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_training_data" -> pipelineTrainingData,
     "regex_token_stats" -> regexTokenStats,
@@ -1813,6 +1850,7 @@ object TextOps {
     "quality_gopher" -> qualityGopher,
     "quality_c4" -> qualityC4,
     "unigram_logprob" -> unigramLogprob,
+    "heavy_hitters" -> heavyHitters,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1850,5 +1888,6 @@ object TextOps {
     "quality_gopher" -> qualityGopherSql,
     "quality_c4" -> qualityC4Sql,
     "unigram_logprob" -> unigramLogprobSql,
+    "heavy_hitters" -> heavyHittersSql,
   )
 }

@@ -135,6 +135,37 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaHof)
   }
 
+  test("misra_gries summary keeps every true heavy hitter under adversarial cardinality") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    // 500 distinct light tokens (1 occurrence each) decrement-pressure a
+    // k=64 summary; two heavy tokens at ~14% and ~7% must survive, and
+    // the total count must be exact across partition merges
+    val rows = (Seq.fill(100)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 500).map(i => s"rare_$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("tok").repartition(7)
+    val out = df.agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+      .select($"s.n", $"s.terms").head()
+    assert(out.getLong(0) == 650L, "N must be exact regardless of capacity")
+    val terms = out.getSeq[String](1).toSet
+    assert(terms.contains("hot") && terms.contains("warm"),
+      s"MG guarantee: hitters above N/(k+1)=10 must survive, got $terms")
+    assert(terms.size <= 64, "summary must respect its capacity bound")
+    // exact verify stage reproduces the naive answer (count >= 5% of N)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 650 * 0.05).keySet
+    val verified = df.join(
+        org.apache.spark.sql.functions.broadcast(
+          df.agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+            .select(org.apache.spark.sql.functions.explode($"s.terms").as("tok"))),
+        "tok")
+      .groupBy("tok").count()
+      .filter($"count" >= 650 * 0.05)
+      .collect().map(_.getString(0)).toSet
+    assert(verified == exact, s"verified=$verified exact=$exact")
+  }
+
   test("topk aggregate: bounded per-group top-k equals sort-and-take, across partitions") {
     graft.functions.GraftExtensions.install(spark)
     val s = spark

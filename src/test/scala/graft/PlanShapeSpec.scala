@@ -226,6 +226,21 @@ class PlanShapeSpec extends SparkSpec {
       s"container A/V sync must not hash-shuffle:\n$p")
   }
 
+  test("heavy_hitters: candidates broadcast onto the token stream, no full-cardinality term shuffle join") {
+    // The MG candidates+verify shape: stage 1 moves one <=64-entry
+    // buffer per partition; stage 2's exact count must meet the token
+    // stream through a BROADCAST of the tiny candidate set — a shuffle
+    // join here would reintroduce the full-cardinality term exchange
+    // the sketch exists to avoid.
+    val p = plan("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join on the raw token key:\n$p")
+    assert(p.contains("misra_gries"),
+      s"the native MG aggregate must appear in the plan:\n$p")
+  }
+
   test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
     // The LM is vocab-sized; shuffling the exploded token stream to meet
     // it would be the classic 100 TB mistake. The only token-keyed
