@@ -32,7 +32,7 @@ object Bench {
     * their own group (tools/bench_duckdb.py --curation twin). */
   val curationHeadline: Seq[String] = Seq(
     "exact_substring_dedup", "url_dedup_normalized",
-    "quality_gopher", "quality_c4", "unigram_logprob")
+    "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters")
 
   /** The ANN headliners (round 11): the three approximate top-k paths,
     * benched with RECALL against the exact brute-force top-10 — an ANN

@@ -47,7 +47,7 @@ ANN = [
 # enables.
 CURATION = [
     "exact_substring_dedup", "url_dedup_normalized",
-    "quality_gopher", "quality_c4", "unigram_logprob",
+    "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters",
 ]
 
 args = [a for a in sys.argv[1:] if a not in ("--llm", "--ann", "--curation")]

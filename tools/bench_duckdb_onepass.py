@@ -28,7 +28,7 @@ LLM = [
 ]
 CURATION = [
     "exact_substring_dedup", "url_dedup_normalized",
-    "quality_gopher", "quality_c4", "unigram_logprob",
+    "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters",
 ]
 
 WORKER = r"""
