@@ -1778,6 +1778,67 @@ object TextOps {
       |  round(max(doc_nll), 4) AS max_nll
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------- fuzzy decontamination
+  /** Fuzzy eval-set decontamination: real leakage is NEAR-duplicate
+    * (reformatted, truncated, re-wrapped eval items), so the check is
+    * the minhash near-dup pipeline pointed at the eval boundary —
+    * verified (jaccard ≥ 0.8) pairs with the src0 eval set on exactly
+    * one side, reported per corpus source as leaked-doc counts + worst
+    * overlap. Rides [[collapsedPairVerify]]+[[minhashCandidates]]
+    * unchanged, so the full 100 TB posture (banded LSH candidates,
+    * exact-dup collapse, candidate-restricted verify) transfers — and
+    * the exact [[contaminationCheck]] (shingle-overlap fraction)
+    * remains the companion for verbatim leakage. */
+  val contaminationFuzzy: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = collapsedPairVerify(docs)(minhashCandidates)
+    val src = docs.select(col("doc_id"), col("source"))
+    val hits = pairs
+      .join(src.as("sa"), col("da") === col("sa.doc_id"))
+      .join(src.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), col("jaccard"),
+        col("sa.source").as("src_a"), col("sb.source").as("src_b"))
+      .filter((col("src_a") === "src0") =!= (col("src_b") === "src0"))
+      .select(
+        when(col("src_a") === "src0", col("db")).otherwise(col("da")).as("doc_id"),
+        when(col("src_a") === "src0", col("src_b")).otherwise(col("src_a")).as("source"),
+        col("jaccard"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("jaccard")).as("best_j"))
+    docs.filter(col("source") =!= "src0")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(hits.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_leaked"), max(col("best_j")).as("max_jaccard")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy(col("source"))
+  }
+
+  val contaminationFuzzySql: String =
+    s"""WITH $shingleCte,
+       |shs AS (SELECT sh.doc_id, source, shingle FROM sh JOIN documents USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+       |ev AS (SELECT doc_id, shingle FROM shs WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, source, shingle FROM shs WHERE source <> 'src0'),
+       |inter AS (
+       |  SELECT c.doc_id AS cd, c.source, e.doc_id AS ed, count(*) AS i
+       |  FROM corpus c JOIN ev e USING (shingle) GROUP BY 1, 2, 3),
+       |pj AS (
+       |  SELECT cd, source, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       |  FROM inter JOIN sizes sa ON cd = sa.doc_id JOIN sizes sb ON ed = sb.doc_id),
+       |hit AS (
+       |  SELECT cd, source, max(jaccard) AS best_j
+       |  FROM pj WHERE jaccard >= 0.8 GROUP BY 1, 2),
+       |base AS (SELECT source, count(*) AS n_docs FROM documents
+       |         WHERE source <> 'src0' GROUP BY 1)
+       |SELECT base.source, n_docs,
+       |  CAST(coalesce(count(hit.cd), 0) AS BIGINT) AS n_leaked,
+       |  coalesce(max(hit.best_j), 0.0) AS max_jaccard
+       |FROM base LEFT JOIN hit USING (source)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- heavy hitters (MG)
   /** Exact corpus heavy hitters (tokens with count ≥ 2% of all tokens)
     * through the bounded-memory candidates+verify pattern:
@@ -1851,6 +1912,7 @@ object TextOps {
     "quality_c4" -> qualityC4,
     "unigram_logprob" -> unigramLogprob,
     "heavy_hitters" -> heavyHitters,
+    "contamination_fuzzy" -> contaminationFuzzy,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1889,5 +1951,6 @@ object TextOps {
     "quality_c4" -> qualityC4Sql,
     "unigram_logprob" -> unigramLogprobSql,
     "heavy_hitters" -> heavyHittersSql,
+    "contamination_fuzzy" -> contaminationFuzzySql,
   )
 }

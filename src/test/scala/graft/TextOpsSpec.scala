@@ -520,6 +520,31 @@ class TextOpsSpec extends SparkSpec {
     assert(tx == "w1 w2 w3 w4 w5.\nw6 w7 w8 w9 w10.\nw11 w12", s"'$tx'")
   }
 
+  test("contamination_fuzzy flags near-copies of eval docs, not unrelated text") {
+    val s = spark
+    import s.implicits._
+    val eval = (1 to 40).map(i => s"ev$i").mkString(" ")
+    // near-copy: the eval text with ONE token changed (j well above 0.8)
+    val leak = (1 to 40).map(i => if (i == 40) "zz" else s"ev$i").mkString(" ")
+    val clean = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, eval, "src0"), (2L, leak, "srcA"), (3L, clean, "srcA"),
+      (4L, clean + " tail", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .select($"doc_id", $"text", org.apache.spark.sql.functions.lit("en").as("lang"),
+        $"source", org.apache.spark.sql.functions.length($"text").as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam").toFile
+    tmp.deleteOnExit()
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TextOps.contaminationFuzzy(spark, tmp.toString)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r("srcA")._1 == 1L, s"the near-copy must be flagged: $r")
+    assert(r("srcA")._2 > 0.9 && r("srcA")._2 < 1.0,
+      s"leak jaccard must be fuzzy-high, not exact: $r")
+    assert(r("srcB")._1 == 0L && r("srcB")._2 == 0.0,
+      s"unrelated text must not be flagged: $r")
+  }
+
   test("unigram_logprob matches hand-computed LM on a tiny corpus") {
     val s = spark
     import s.implicits._
