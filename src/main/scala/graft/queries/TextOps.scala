@@ -1778,6 +1778,60 @@ object TextOps {
       |  round(max(doc_nll), 4) AS max_nll
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------- curation pipeline v2
+  /** End-to-end curation chain in ONE Catalyst plan, using the Gopher
+    * rule subset that needs no augmentation (word-count, mean-word-
+    * length, stop-word floor — all integer-exact on raw text) →
+    * exact dedup keep-first → per-language 2000-token pack manifest.
+    * The 100 TB shape: one scan, the dedup window shuffle on md5(text),
+    * the per-lang pack window — no other wide op; each stage is the
+    * gated single-op twin's logic verbatim, so the oracle is the same
+    * CTEs chained. */
+  val pipelineCurationV2: Q = (s, dir) => {
+    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is", "that").map(lit): _*)
+    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("n", size(toks))
+      .withColumn("nonspace", length(col("text")) - col("n") + 1)
+      .withColumn("n_stop", size(filter_cond(toks, x => array_contains(stop, x))))
+      .filter(col("n") >= 50 && col("n") <= 100000 &&
+        col("nonspace") >= col("n") * 3 && col("nonspace") <= col("n") * 10 &&
+        col("n_stop") >= 2)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === 1)
+      .withColumn("cum", sum(col("n")).over(packW))
+      .withColumn("pack", expr("(cum - n) div 2000"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("token_budget"),
+        countDistinct(col("pack")).as("n_packs"))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineCurationV2Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n,
+      |    length(text) - len(string_split(text, ' ')) + 1 AS nonspace,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> list_contains(['the','a','of','and','in','to','is','that'], x))) AS n_stop
+      |  FROM documents),
+      |g AS (SELECT * FROM m
+      |      WHERE n >= 50 AND n <= 100000
+      |        AND nonspace >= n * 3 AND nonspace <= n * 10 AND n_stop >= 2),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g),
+      |p AS (SELECT lang, doc_id, n,
+      |      sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+      |                   ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM k WHERE rn = 1)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS token_budget,
+      |  CAST(count(DISTINCT (cum - n) // 2000) AS BIGINT) AS n_packs
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------- fuzzy decontamination
   /** Fuzzy eval-set decontamination: real leakage is NEAR-duplicate
     * (reformatted, truncated, re-wrapped eval items), so the check is
@@ -1913,6 +1967,7 @@ object TextOps {
     "unigram_logprob" -> unigramLogprob,
     "heavy_hitters" -> heavyHitters,
     "contamination_fuzzy" -> contaminationFuzzy,
+    "pipeline_curation_v2" -> pipelineCurationV2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1952,5 +2007,6 @@ object TextOps {
     "unigram_logprob" -> unigramLogprobSql,
     "heavy_hitters" -> heavyHittersSql,
     "contamination_fuzzy" -> contaminationFuzzySql,
+    "pipeline_curation_v2" -> pipelineCurationV2Sql,
   )
 }
