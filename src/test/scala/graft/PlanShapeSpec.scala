@@ -226,6 +226,22 @@ class PlanShapeSpec extends SparkSpec {
       s"container A/V sync must not hash-shuffle:\n$p")
   }
 
+  test("contamination_fuzzy: banded candidates only — no cartesian against the eval set") {
+    // Decontamination at 100 TB must ride the LSH bands like the dedup
+    // it reuses; an eval-times-corpus cartesian (or a full shingle
+    // self-join) here would dwarf the whole pipeline.
+    val p = plan("contamination_fuzzy")
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy contamination must never go all-pairs:\n$p")
+  }
+
+  test("pipeline_curation_v2: one scan, only the dedup/pack windows and final agg shuffle") {
+    val p = plan("pipeline_curation_v2")
+    assert(!p.contains("Join"), s"the chained pipeline must not join:\n$p")
+    assert(hashExchanges(p) <= 3,
+      s"pipeline must shuffle at most 3x (md5 window, lang window, lang agg):\n$p")
+  }
+
   test("heavy_hitters: candidates broadcast onto the token stream, no full-cardinality term shuffle join") {
     // The MG candidates+verify shape: stage 1 moves one <=64-entry
     // buffer per partition; stage 2's exact count must meet the token
