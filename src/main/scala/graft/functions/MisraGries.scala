@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,6 +44,13 @@ case class MisraGries(
   require(k >= 1, s"misra_gries: capacity must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time type error instead of an executor-side
+  // ClassCastException on a non-string argument
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a STRING argument, got ${other.catalogString}")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -88,19 +96,39 @@ case class MisraGries(
     InternalRow(buf.n, new GenericArrayData(
       buf.counts.keys.toArray.sorted.map(UTF8String.fromString(_): Any)))
 
+  // length-prefixed binary layout (n, size, then [count, termLen,
+  // termBytes]*) — terms are arbitrary strings, so no separator
+  // character is safe (a '\n'-framed encoding corrupts on multi-line
+  // terms)
   override def serialize(buf: MisraGries.Summary): Array[Byte] = {
-    val sb = new StringBuilder
-    sb.append(buf.n)
-    for ((t, c) <- buf.counts) sb.append('\n').append(c).append('\t').append(t)
-    sb.toString.getBytes(StandardCharsets.UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.counts.size)
+    for ((t, c) <- buf.counts) {
+      out.writeLong(c)
+      val tb = t.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(tb.length)
+      out.write(tb)
+    }
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): MisraGries.Summary = {
-    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
-    for (l <- lines.iterator.drop(1); i = l.indexOf('\t'))
-      m(l.substring(i + 1)) = l.substring(0, i).toLong
-    new MisraGries.Summary(lines(0).toLong, m)
+    var i = 0
+    while (i < size) {
+      val c = in.readLong()
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
+      m(new String(tb, StandardCharsets.UTF_8)) = c
+      i += 1
+    }
+    new MisraGries.Summary(n, m)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =

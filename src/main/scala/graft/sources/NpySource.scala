@@ -249,24 +249,27 @@ object NpySource {
   /** Export a typed block tensor as one `.npy` file per block — the
     * `np.save` interchange OUT (a numpy/dask consumer reads the
     * directory back with `np.load` per file or through [[readNpy]]).
-    * File names zero-pad the leading origin index so lexicographic glob
-    * order IS frame order on read-back.
+    * File names zero-pad EVERY origin coordinate (a leading-index-only
+    * name would silently clobber spatially chunked blocks that share a
+    * frame), so lexicographic glob order IS origin order on read-back.
     *
     * Scale posture: one pass, no shuffle — each executor writes its own
-    * blocks through the Hadoop FileSystem of `dir` (resolved per
-    * partition from the default configuration; file:/hdfs: defaults
-    * apply — credential-carrying object stores should export through
-    * [[TensorStore]]'s parquet layout instead). */
+    * blocks through the Hadoop FileSystem of `dir`, resolved from the
+    * DRIVER session's Hadoop configuration (captured like the V2
+    * reader's, so s3a credentials / fs overrides apply on the write
+    * path too). */
   def writeNpy(blocks: Dataset[TBlock], dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      blocks.sparkSession.sparkContext.hadoopConfiguration)
     blocks.foreachPartition { (it: Iterator[TBlock]) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
       val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(conf)
+      val fs = base.getFileSystem(conf.value)
       fs.mkdirs(base)
       it.foreach { b =>
         require(b.shape.length == 2 || b.shape.length == 3,
           s"npy export: 2-d/3-d blocks only, got ${b.shape.length}-d")
-        val name = f"${b.imageId}_${b.origin.head}%05d.npy"
+        val name =
+          b.imageId + "_" + b.origin.map(i => f"$i%05d").mkString("_") + ".npy"
         val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
         try out.write(encodeNpy(b.shape, b.dt, b.data))
         finally out.close()

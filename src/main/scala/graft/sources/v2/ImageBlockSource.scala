@@ -182,10 +182,32 @@ private[v2] class ImageBlockReaderFactory(codec: String, imageId: String,
         // executor-local FS access with the driver's session conf
         val fs = path.getFileSystem(conf.value)
         val len = fs.getFileStatus(path).getLen.toInt
-        val bytes = new Array[Byte](len)
-        val in = fs.open(path)
-        try in.readFully(0, bytes) finally in.close()
         val needData = fields.contains("data")
+        def readPrefix(n: Int): Array[Byte] = {
+          val b = new Array[Byte](math.min(n, len))
+          val in = fs.open(path)
+          try in.readFully(0, b) finally in.close()
+          b
+        }
+        // a pruned metadata scan on a header-bearing codec reads a
+        // HEADER PREFIX, not the payload — that is the point of
+        // header-only decode on a big .npy; the rare over-64KiB header
+        // falls back to the full read (png has no header-only branch:
+        // it always decodes, so it always needs the full file)
+        val headerOnly = !needData && (codec == "pgm" || codec == "npy")
+        val bytes: Array[Byte] =
+          if (!headerOnly) readPrefix(len)
+          else try {
+            val p = readPrefix(64 << 10)
+            codec match {
+              case "pgm" => ImageSource.pgmDims(p)
+              case "npy" => NpySource.npyMeta(p)
+              case _ => ()
+            }
+            p
+          } catch {
+            case _: IllegalArgumentException if len > (64 << 10) => readPrefix(len)
+          }
         val (h, w, px): (Int, Int, Array[Double]) = codec match {
           // column pruning reaches the decode: header-only when `data`
           // was pruned away (PGM headers carry the dims)

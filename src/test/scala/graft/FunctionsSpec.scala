@@ -166,6 +166,28 @@ class FunctionsSpec extends SparkSpec {
     assert(verified == exact, s"verified=$verified exact=$exact")
   }
 
+  test("misra_gries survives newline/tab-bearing terms across the shuffle and rejects non-strings") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    // terms containing the bytes a separator-framed serialization would
+    // corrupt — the buffer crosses partial/final agg serialization
+    val ugly = Seq.fill(30)("multi\nline\tterm") ++ Seq.fill(20)("plain") ++
+      (0 until 10).map(i => s"x$i\n$i")
+    val out = ugly.toDF("tok").repartition(5)
+      .agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+      .select($"s.n", $"s.terms").head()
+    assert(out.getLong(0) == 60L)
+    assert(out.getSeq[String](1).contains("multi\nline\tterm"),
+      "a newline-bearing heavy term must survive buffer serialization intact")
+    // non-string argument fails at analysis, not mid-job
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("v")
+        .agg(org.apache.spark.sql.functions.expr("misra_gries(v)")).head()
+    }
+    assert(err.getMessage.contains("misra_gries expects a STRING"), err.getMessage)
+  }
+
   test("topk aggregate: bounded per-group top-k equals sort-and-take, across partitions") {
     graft.functions.GraftExtensions.install(spark)
     val s = spark

@@ -150,6 +150,28 @@ class NpySourceSpec extends SparkSpec {
     }
   }
 
+  test("writeNpy: spatially chunked blocks sharing a frame do not clobber each other") {
+    import graft.tensor.TBlock
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_npy_chunks")
+    // two blocks of frame 0 at different spatial origins — a
+    // leading-index-only file name would write both to one path
+    val blocks = Seq(
+      TBlock("c", Seq(0, 0, 0), Seq(0, 0, 0), Seq(1, 2, 2), Seq(1, 2, 2),
+        Seq(1, 4, 2), DType.U8.name, Array[Byte](1, 2, 3, 4)),
+      TBlock("c", Seq(0, 1, 0), Seq(0, 2, 0), Seq(1, 2, 2), Seq(1, 2, 2),
+        Seq(1, 4, 2), DType.U8.name, Array[Byte](5, 6, 7, 8)))
+    graft.sources.NpySource.writeNpy(s.createDataset(blocks), s"$dir/store")
+    val files = new java.io.File(s"$dir/store").listFiles()
+      .map(_.getName).filter(_.endsWith(".npy")).sorted
+    assert(files.length == 2, s"both blocks must land as files: ${files.toSeq}")
+    val payloads = files.map(f => graft.sources.NpySource.decodeNpy(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/store", f)))._3.toSeq).toSet
+    assert(payloads == Set(Seq[Byte](1, 2, 3, 4), Seq[Byte](5, 6, 7, 8)))
+  }
+
   test("V2 npy codec: values match readNpy, frame predicate prunes files, pruned columns decode header-only") {
     import graft.sources.v2.ImageBlockSource
     import org.apache.spark.sql.functions.col
