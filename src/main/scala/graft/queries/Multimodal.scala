@@ -462,6 +462,34 @@ object Multimodal {
       .orderBy(col("asset_id"), col("frame"))
   }
 
+  /** Write per-doc AVI assets (vidPx frames + audS audio, doc_id < 30)
+    * as files — the streaming-ingest fixture ([[graft.streaming
+    * .StreamOps]] `stream_av_ingest`); driver-side prep like the WET
+    * shard writer. */
+  private[graft] def writeAviAssets(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    val rows = t(s, dir, "documents").filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+    for ((docId, nChars) <- rows) {
+      val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
+      val frames = (0 until nf).map { f =>
+        val rgb = new Array[Byte](h * w * 3)
+        for (i <- 0 until h; j <- 0 until w) {
+          val v = vidPx(nChars, docId, f, i, j).toByte
+          val o = (i * w + j) * 3
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        }
+        rgb
+      }
+      val samples = Array.tabulate(audN(docId))(i => audS(nChars, docId, i))
+      java.nio.file.Files.write(outDir.resolve(f"asset_$docId%05d.avi"),
+        graft.sources.AviSource.encodeAvi(w, h, 40000L, frames,
+          audio = Some((audSr(docId), samples))))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_av_sync" -> multimodalAvSync,
     "multimodal_av_container" -> multimodalAvContainer,

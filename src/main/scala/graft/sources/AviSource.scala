@@ -422,6 +422,33 @@ object AviSource {
     * full [[readAvi]] pixel decode; proven over a real binaryFile round
     * trip in AviSourceSpec (the same lake-ingest seam the WAV path
     * pins). */
+  /** Header-walk A/V stats: (nframes, h, w, usPerFrame, audioRate,
+    * samples) — frame COUNT from chunk headers (no pixel decode), audio
+    * fully extracted. The per-file closure [[readAviAv]] and the
+    * streaming ingest share. */
+  private[graft] def avMeta(b: Array[Byte]): (Int, Int, Int, Long, Int, Array[Short]) = {
+    val m = parseHeader(b)
+    val vdc = f"${m.vidIdx}%02ddc"
+    val vdb = f"${m.vidIdx}%02ddb"
+    val awb = if (m.audIdx >= 0) f"${m.audIdx}%02dwb" else null
+    var nf = 0
+    val audio = new ByteArrayOutputStream()
+    walkMovi(b, m.moviStart, m.moviEnd, (fcc, off, size) =>
+      if (fcc == vdc || fcc == vdb) nf += 1
+      else if (fcc == awb) {
+        require(size % 2 == 0, "avi: odd PCM16 audio chunk")
+        audio.write(b, off, size)
+      } else ())
+    val ab = audio.toByteArray
+    val samples = new Array[Short](ab.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((ab(2 * i) & 0xff) | (ab(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (nf, m.h, m.w, m.usPerFrame, m.audioRate, samples)
+  }
+
   def readAviAv(spark: SparkSession, glob: String):
       Dataset[(String, Int, Int, Int, Long, Int, Array[Short])] = {
     import spark.implicits._
@@ -430,26 +457,8 @@ object AviSource {
         org.apache.spark.sql.functions.col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, b) =>
-        val m = parseHeader(b)
-        val vdc = f"${m.vidIdx}%02ddc"
-        val vdb = f"${m.vidIdx}%02ddb"
-        val awb = if (m.audIdx >= 0) f"${m.audIdx}%02dwb" else null
-        var nf = 0
-        val audio = new ByteArrayOutputStream()
-        walkMovi(b, m.moviStart, m.moviEnd, (fcc, off, size) =>
-          if (fcc == vdc || fcc == vdb) nf += 1
-          else if (fcc == awb) {
-            require(size % 2 == 0, "avi: odd PCM16 audio chunk")
-            audio.write(b, off, size)
-          } else ())
-        val ab = audio.toByteArray
-        val samples = new Array[Short](ab.length / 2)
-        var i = 0
-        while (i < samples.length) {
-          samples(i) = ((ab(2 * i) & 0xff) | (ab(2 * i + 1) << 8)).toShort
-          i += 1
-        }
-        (p, nf, m.h, m.w, m.usPerFrame, m.audioRate, samples)
+        val (nf, h, w, usf, rate, samples) = avMeta(b)
+        (p, nf, h, w, usf, rate, samples)
       }
   }
 }

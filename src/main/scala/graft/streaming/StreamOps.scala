@@ -319,22 +319,23 @@ object StreamOps {
     * same parser as the batch reader, so the batch oracle applies
     * verbatim. State is bounded: the query is append-only stateless —
     * nothing accumulates but the processed-files log. */
+  // binaryFile's fixed schema, stated explicitly — streaming sources
+  // refuse to infer
+  private val binSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
   val streamWetIngest: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
     val inDir = freshDir(dir, "wet_stream")
     graft.queries.SourceQueries.writeWetShards(s, dir, inDir)
-    // binaryFile's fixed schema, stated explicitly — streaming sources
-    // refuse to infer
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
     val stream = s.readStream.format("binaryFile")
       .schema(binSchema)
       .option("pathGlobFilter", "*.warc.wet.gz")
@@ -349,6 +350,54 @@ object StreamOps {
         md5(col("text")).as("text_md5"))
     drain(recs, OutputMode.Append()).orderBy(col("uri"))
   }
+
+  /** Streaming A/V container ingest: per-doc AVI assets arrive as a
+    * binaryFile FILE STREAM; each micro-batch header-walks its
+    * containers (frame count from chunk headers — no pixel decode) and
+    * extracts the audio track's absolute-sum energy — the cheap triage
+    * stage a live video-crawl feed runs before any full frame decode.
+    * Stateless map, append mode; the oracle replays the asset
+    * generation formulas (the multimodal_av_sync family's vidPx/audS). */
+  val streamAvIngest: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val inDir = freshDir(dir, "av_stream")
+    graft.queries.Multimodal.writeAviAssets(s, dir, inDir)
+    val stream = s.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.avi")
+      .option("maxFilesPerTrigger", "8")
+      .load(inDir)
+    val rows = stream.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, b) =>
+        val (nf, h, w, _, rate, smp) = graft.sources.AviSource.avMeta(b)
+        val id = p.replaceAll(".*asset_", "").replaceAll("\\.avi$", "").toLong
+        var e = 0L
+        var i = 0
+        while (i < smp.length) { e += math.abs(smp(i).toInt).toLong; i += 1 }
+        (id, nf, h, w, rate, smp.length.toLong, e)
+      }.toDF("asset_id", "n_frames", "h", "w", "rate", "n_samples", "energy")
+    drain(rows, OutputMode.Append()).orderBy(col("asset_id"))
+  }
+
+  val streamAvIngestSql: String =
+    """WITH geo AS (
+      |  SELECT doc_id, n_chars,
+      |    16 + (doc_id % 3) * 8 AS h, 16 + (doc_id % 5) * 8 AS w,
+      |    3 + doc_id % 4 AS nf, 300 + (doc_id % 7) * 50 AS n,
+      |    8000 + (doc_id % 3) * 4000 AS rate
+      |  FROM documents WHERE doc_id < 30),
+      |samp AS (
+      |  SELECT doc_id,
+      |    abs((n_chars * 31 + doc_id * 7 + i * 17 + (i * i) % 97) % 4001 - 2000) AS a
+      |  FROM (SELECT doc_id, n_chars, unnest(range(0, n)) AS i FROM geo))
+      |SELECT g.doc_id AS asset_id, CAST(nf AS INT) AS n_frames,
+      |  CAST(h AS INT) AS h, CAST(w AS INT) AS w, CAST(rate AS INT) AS rate,
+      |  CAST(n AS BIGINT) AS n_samples, CAST(sum(a) AS BIGINT) AS energy
+      |FROM geo g JOIN samp USING (doc_id)
+      |GROUP BY g.doc_id, nf, h, w, rate, n
+      |ORDER BY asset_id""".stripMargin
 
   /** Streaming curation gate: the Gopher quality filter over the
     * documents table as a FILE STREAM — the shape a live crawl feed
@@ -381,6 +430,7 @@ object StreamOps {
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_wet_ingest" -> streamWetIngest,
     "stream_quality_gate" -> streamQualityGate,
+    "stream_av_ingest" -> streamAvIngest,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -396,6 +446,7 @@ object StreamOps {
     "stream_foreach_batch" -> streamForeachBatchSql,
     "stream_wet_ingest" -> graft.queries.SourceQueries.warcWetIngestSql,
     "stream_quality_gate" -> graft.queries.TextOps.qualityGopherSql,
+    "stream_av_ingest" -> streamAvIngestSql,
   )
 }
 
