@@ -593,6 +593,39 @@ object ImreadQueries {
        |FROM grid g CROSS JOIN frames f CROSS JOIN chans c
        |ORDER BY f, g.i, g.j, c""".stripMargin
 
+  /** MJPEG-AVI imread, DETERMINISM-not-bytes oracle (the imread_jpeg
+    * contract): the video chunks are lossy JPEG, so the gate pins
+    * geometry, frame count and decode REPRODUCIBILITY (two independent
+    * container decodes md5-equal per frame) — byte-exactness for the
+    * lossless DIB leg lives in `imread_avi`. */
+  val imreadAviMjpeg: Q = (s, dir) => {
+    import graft.sources.AviSource
+    val out = fixtureDir(s, dir, "mjpg")
+    val rgb = Array.tabulate[Byte](FRAMES * H * W * 3) { p =>
+      val f = p / (H * W * 3); ((p % 251) + 5 * f).toByte
+    }
+    java.nio.file.Files.write(out.resolve("clip.avi"),
+      AviSource.encodeAvi(W, H, 40000L,
+        (0 until FRAMES).map(f => java.util.Arrays.copyOfRange(
+          rgb, f * H * W * 3, (f + 1) * H * W * 3)), codec = "MJPG"))
+    // order-free, position-sensitive checksums (collect_list order is
+    // nondeterministic; an integer weighted sum is not)
+    def sig(alias: String): DataFrame =
+      rgbToDf(AviSource.readAvi(s, s"$out/*.avi"))
+        .groupBy(col("f").as(s"f_$alias"))
+        .agg(max(col("i")).as(s"mi_$alias"), max(col("j")).as(s"mj_$alias"),
+          sum(col("p")).as(s"s0_$alias"),
+          sum(col("p") * ((col("i") * W + col("j")) * 3 + col("c")))
+            .as(s"s1_$alias"))
+    sig("a").join(sig("b"), col("f_a") === col("f_b"))
+      .select(col("f_a").as("f"),
+        (col("mi_a") + 1).as("h"), (col("mj_a") + 1).as("w"),
+        (col("s0_a") === col("s0_b") && col("s1_a") === col("s1_b")
+          && col("mi_a") === col("mi_b") && col("mj_a") === col("mj_b"))
+          .as("stable"))
+      .orderBy(col("f"))
+  }
+
   val queries: Map[String, Q] = Map(
     "imread_pgm" -> imreadPgm,
     "imread_pgm_typed" -> imreadPgmTyped,
@@ -608,6 +641,7 @@ object ImreadQueries {
     "imread_gif" -> imreadGif,
     "imread_fits" -> imreadFits,
     "imread_avi" -> imreadAvi,
+    "imread_avi_mjpeg" -> imreadAviMjpeg,
     "imread_npy" -> imreadNpy,
     "npy_export_roundtrip" -> npyExportRoundtrip,
   )
@@ -632,6 +666,10 @@ object ImreadQueries {
     // (decode-twice md5 equality), not pixel bytes (spec-bounded residual)
     "imread_jpeg" ->
       """SELECT f, 48 AS h, 64 AS w, 3 AS nc, true AS stable
+        |FROM (SELECT unnest([0, 1, 2]) AS f) ORDER BY f""".stripMargin,
+    // imread_avi_mjpeg: same determinism contract as imread_jpeg
+    "imread_avi_mjpeg" ->
+      """SELECT f, 48 AS h, 64 AS w, true AS stable
         |FROM (SELECT unnest([0, 1, 2]) AS f) ORDER BY f""".stripMargin,
   )
 }
