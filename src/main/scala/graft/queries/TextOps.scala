@@ -1778,6 +1778,55 @@ object TextOps {
       |  round(max(doc_nll), 4) AS max_nll
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- CCNet-style tiers
+  /** CCNet quality tiers (Wenzek et al. 2020 §4.3, public): per-doc
+    * unigram NLL splits each language into head/middle/tail terciles —
+    * the bucketing CCNet actually ships as its output layout; reported
+    * as per-(lang, tier) doc counts and token budgets.
+    *
+    * Determinism across engines: the tercile is an NTILE over an ORDER
+    * BY whose key is the per-doc NLL ROUNDED to 6 dp with doc_id as the
+    * tie-break — raw doubles differ between engines at ~1e-15 (summation
+    * order), which could swap adjacent docs at a tercile boundary;
+    * rounding + the integer tie-break makes the order identical. Scale:
+    * rides the unigram LM machinery (vocab-sized broadcast), one
+    * per-lang window, tiny output. */
+  val qualityTiers: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
+    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("tok"), (-log(col("cnt").cast("double") / col("total"))).as("nll"))
+    val perDoc = tok.join(broadcast(lm), "tok")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(round(avg(col("nll")), 6).as("doc_nll"), count(lit(1)).as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_nll"), col("doc_id"))
+    perDoc.withColumn("tier", ntile(3).over(w))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("token_budget"),
+        round(min(col("doc_nll")), 4).as("min_nll"),
+        round(max(col("doc_nll")), 4).as("max_nll"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  val qualityTiersSql: String =
+    """WITH tk AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lm AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM lm),
+      |sc AS (SELECT lang, doc_id, round(avg(-ln(cnt * 1.0 / total)), 6) AS doc_nll,
+      |       count(*) AS n_tok
+      |       FROM tk JOIN lm USING (tok) CROSS JOIN tot
+      |       GROUP BY lang, doc_id),
+      |tiers AS (SELECT lang, doc_nll, n_tok,
+      |       ntile(3) OVER (PARTITION BY lang ORDER BY doc_nll, doc_id) AS tier
+      |       FROM sc)
+      |SELECT lang, tier, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS token_budget,
+      |  round(min(doc_nll), 4) AS min_nll,
+      |  round(max(doc_nll), 4) AS max_nll
+      |FROM tiers GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
+
   // ---------------------------------------------- curation pipeline v2
   /** End-to-end curation chain in ONE Catalyst plan, using the Gopher
     * rule subset that needs no augmentation (word-count, mean-word-
@@ -1968,6 +2017,7 @@ object TextOps {
     "heavy_hitters" -> heavyHitters,
     "contamination_fuzzy" -> contaminationFuzzy,
     "pipeline_curation_v2" -> pipelineCurationV2,
+    "quality_tiers" -> qualityTiers,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2008,5 +2058,6 @@ object TextOps {
     "heavy_hitters" -> heavyHittersSql,
     "contamination_fuzzy" -> contaminationFuzzySql,
     "pipeline_curation_v2" -> pipelineCurationV2Sql,
+    "quality_tiers" -> qualityTiersSql,
   )
 }
