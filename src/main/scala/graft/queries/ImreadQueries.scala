@@ -596,22 +596,25 @@ object ImreadQueries {
   /** MJPEG-AVI imread, DETERMINISM-not-bytes oracle (the imread_jpeg
     * contract): the video chunks are lossy JPEG, so the gate pins
     * geometry, frame count and decode REPRODUCIBILITY (two independent
-    * container decodes md5-equal per frame) — byte-exactness for the
-    * lossless DIB leg lives in `imread_avi`. */
+    * container decodes agree on order-free position-weighted integer
+    * checksums per frame) — byte-exactness for the lossless DIB leg
+    * lives in `imread_avi`. The fixture carries the `.mjpg` extension
+    * (the codec is extension-agnostic) so fixtureDir's stale-file wipe
+    * actually matches it. */
   val imreadAviMjpeg: Q = (s, dir) => {
     import graft.sources.AviSource
     val out = fixtureDir(s, dir, "mjpg")
     val rgb = Array.tabulate[Byte](FRAMES * H * W * 3) { p =>
       val f = p / (H * W * 3); ((p % 251) + 5 * f).toByte
     }
-    java.nio.file.Files.write(out.resolve("clip.avi"),
+    java.nio.file.Files.write(out.resolve("clip.mjpg"),
       AviSource.encodeAvi(W, H, 40000L,
         (0 until FRAMES).map(f => java.util.Arrays.copyOfRange(
           rgb, f * H * W * 3, (f + 1) * H * W * 3)), codec = "MJPG"))
     // order-free, position-sensitive checksums (collect_list order is
     // nondeterministic; an integer weighted sum is not)
     def sig(alias: String): DataFrame =
-      rgbToDf(AviSource.readAvi(s, s"$out/*.avi"))
+      rgbToDf(AviSource.readAvi(s, s"$out/*.mjpg"))
         .groupBy(col("f").as(s"f_$alias"))
         .agg(max(col("i")).as(s"mi_$alias"), max(col("j")).as(s"mj_$alias"),
           sum(col("p")).as(s"s0_$alias"),

@@ -423,26 +423,33 @@ object Multimodal {
     * Pixels use the same vidPx formula in all three channels (sum taken
     * over channel 0), audio the same audS samples — so the oracle is
     * the formula replay [[multimodalAvSyncSql]] already states. */
+  /** One deterministic AVI container for doc (docId, nChars) — vidPx in
+    * all 3 channels, audS PCM16 track. The batch container query and
+    * the streaming fixture MUST share this (their oracles replay the
+    * same formulas; two copies would silently desynchronize). */
+  private def aviAssetBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
+    val frames = (0 until nf).map { f =>
+      val rgb = new Array[Byte](h * w * 3)
+      for (i <- 0 until h; j <- 0 until w) {
+        val v = vidPx(nChars, docId, f, i, j).toByte
+        val o = (i * w + j) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+      rgb
+    }
+    val samples = Array.tabulate(audN(docId))(i => audS(nChars, docId, i))
+    graft.sources.AviSource.encodeAvi(w, h, 40000L, frames,
+      audio = Some((audSr(docId), samples)))
+  }
+
   val multimodalAvContainer: Q = (s, dir) => {
     import s.implicits._
     import graft.sources.AviSource
     val assets = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-      .map { case (docId, nChars) =>
-        val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
-        val frames = (0 until nf).map { f =>
-          val rgb = new Array[Byte](h * w * 3)
-          for (i <- 0 until h; j <- 0 until w) {
-            val v = vidPx(nChars, docId, f, i, j).toByte
-            val o = (i * w + j) * 3
-            rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-          }
-          rgb
-        }
-        val samples = Array.tabulate(audN(docId))(i => audS(nChars, docId, i))
-        (docId, AviSource.encodeAvi(w, h, 40000L, frames,
-          audio = Some((audSr(docId), samples))))
-      }.toDF("asset_id", "avi").localCheckpoint(true)
+      .map { case (docId, nChars) => (docId, aviAssetBytes(docId, nChars)) }
+      .toDF("asset_id", "avi").localCheckpoint(true)
     assets.as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
       val clip = AviSource.decodeAvi(bytes)
       val nf = clip.frames.size
@@ -472,22 +479,9 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
     val outDir = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outDir)
-    for ((docId, nChars) <- rows) {
-      val h = geoH(docId); val w = geoW(docId); val nf = geoF(docId)
-      val frames = (0 until nf).map { f =>
-        val rgb = new Array[Byte](h * w * 3)
-        for (i <- 0 until h; j <- 0 until w) {
-          val v = vidPx(nChars, docId, f, i, j).toByte
-          val o = (i * w + j) * 3
-          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-        }
-        rgb
-      }
-      val samples = Array.tabulate(audN(docId))(i => audS(nChars, docId, i))
+    for ((docId, nChars) <- rows)
       java.nio.file.Files.write(outDir.resolve(f"asset_$docId%05d.avi"),
-        graft.sources.AviSource.encodeAvi(w, h, 40000L, frames,
-          audio = Some((audSr(docId), samples))))
-    }
+        aviAssetBytes(docId, nChars))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1748,12 +1748,21 @@ object TextOps {
     * .00005 boundary — the same class as textQuality's avg ratios,
     * stable across rounds. The integer-exact trick the gopher filter
     * uses has no analog for a log-likelihood. */
-  val unigramLogprob: Q = (s, dir) => {
+  /** The shared unigram-LM construction: (token stream, broadcast LM
+    * with per-token NLL) — [[unigramLogprob]] and [[qualityTiers]] both
+    * claim the Wenzek et al. model, so they MUST share this (a drifted
+    * copy would let the two CCNet queries diverge silently). */
+  private def unigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
     val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(col("tok"), (-log(col("cnt").cast("double") / col("total"))).as("nll"))
+    (tok, lm)
+  }
+
+  val unigramLogprob: Q = (s, dir) => {
+    val (tok, lm) = unigramLm(s, dir)
     tok.join(broadcast(lm), "tok")
       .groupBy(col("lang"), col("doc_id"))
       .agg(avg(col("nll")).as("doc_nll"))
@@ -1792,11 +1801,7 @@ object TextOps {
     * rides the unigram LM machinery (vocab-sized broadcast), one
     * per-lang window, tiny output. */
   val qualityTiers: Q = (s, dir) => {
-    val tok = t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
-    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-      .select(col("tok"), (-log(col("cnt").cast("double") / col("total"))).as("nll"))
+    val (tok, lm) = unigramLm(s, dir)
     val perDoc = tok.join(broadcast(lm), "tok")
       .groupBy(col("lang"), col("doc_id"))
       .agg(round(avg(col("nll")), 6).as("doc_nll"), count(lit(1)).as("n_tok"))

@@ -415,13 +415,6 @@ object AviSource {
     }
   }
 
-  /** Per-file A/V metadata + audio track for lake triage: one row per
-    * container with the frame-stack geometry (from chunk HEADERS — no
-    * pixel decode) and the concatenated PCM16 samples. The cheap first
-    * pass of an ingest pipeline that decides which clips are worth the
-    * full [[readAvi]] pixel decode; proven over a real binaryFile round
-    * trip in AviSourceSpec (the same lake-ingest seam the WAV path
-    * pins). */
   /** Header-walk A/V stats: (nframes, h, w, usPerFrame, audioRate,
     * samples) — frame COUNT from chunk headers (no pixel decode), audio
     * fully extracted. The per-file closure [[readAviAv]] and the
@@ -449,6 +442,13 @@ object AviSource {
     (nf, m.h, m.w, m.usPerFrame, m.audioRate, samples)
   }
 
+  /** Per-file A/V metadata + audio track for lake triage: one row per
+    * container with the frame-stack geometry (from chunk HEADERS — no
+    * pixel decode) and the concatenated PCM16 samples. The cheap first
+    * pass of an ingest pipeline that decides which clips are worth the
+    * full [[readAvi]] pixel decode; proven over a real binaryFile round
+    * trip in AviSourceSpec (the same lake-ingest seam the WAV path
+    * pins). */
   def readAviAv(spark: SparkSession, glob: String):
       Dataset[(String, Int, Int, Int, Long, Int, Array[Short])] = {
     import spark.implicits._

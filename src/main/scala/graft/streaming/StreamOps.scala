@@ -309,16 +309,6 @@ object StreamOps {
   }
 
   // ------------------------------------------------ streaming WET ingest
-  /** Streaming crawl-drop ingestion: WET shards land in a directory and
-    * each arriving file decodes into (uri, length, md5) rows — the
-    * continuous version of the batch `warc_wet_ingest` stage zero
-    * (production crawls arrive as rolling shard drops; the file-stream
-    * source checkpoints which shards are done, so a crashed ingest
-    * resumes without re-decoding). The source is `binaryFile` as a
-    * STREAM with per-file micro-batching; the per-shard decode is the
-    * same parser as the batch reader, so the batch oracle applies
-    * verbatim. State is bounded: the query is append-only stateless —
-    * nothing accumulates but the processed-files log. */
   // binaryFile's fixed schema, stated explicitly — streaming sources
   // refuse to infer
   private val binSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -331,6 +321,16 @@ object StreamOps {
     org.apache.spark.sql.types.StructField("content",
       org.apache.spark.sql.types.BinaryType)))
 
+  /** Streaming crawl-drop ingestion: WET shards land in a directory and
+    * each arriving file decodes into (uri, length, md5) rows — the
+    * continuous version of the batch `warc_wet_ingest` stage zero
+    * (production crawls arrive as rolling shard drops; the file-stream
+    * source checkpoints which shards are done, so a crashed ingest
+    * resumes without re-decoding). The source is `binaryFile` as a
+    * STREAM with per-file micro-batching; the per-shard decode is the
+    * same parser as the batch reader, so the batch oracle applies
+    * verbatim. State is bounded: the query is append-only stateless —
+    * nothing accumulates but the processed-files log. */
   val streamWetIngest: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
