@@ -136,4 +136,35 @@ class PropertySpec extends SparkSpec {
       assert(maxOrder < 1000000000L, s"o_orderkey $maxOrder >= 10^9 in $dir")
     }
   }
+
+  test("misra-gries guarantee holds on random zipf-ish streams across random partitionings") {
+    // the mergeable-summaries property (Agarwal et al.): for ANY stream
+    // and ANY partition/merge tree, every term with true count >
+    // N/(k+1) (k = 64) is present in the final summary, and N is exact
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 5) {
+      val vocab = 100 + rnd.nextInt(900)
+      val n = 1500 + rnd.nextInt(1500)
+      // skewed draw: small ids get boosted mass, plus a uniform tail
+      val stream = Seq.fill(n) {
+        val z = rnd.nextInt(10)
+        if (z < 4) s"t${rnd.nextInt(1 + vocab / 50)}" else s"t${rnd.nextInt(vocab)}"
+      }
+      val parts = 1 + rnd.nextInt(9)
+      val out = stream.toDF("tok").repartition(parts)
+        .agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+        .select($"s.n", $"s.terms").head()
+      assert(out.getLong(0) == n.toLong, s"trial $trial: N must be exact")
+      val summary = out.getSeq[String](1).toSet
+      assert(summary.size <= 64, s"trial $trial: capacity bound broken")
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = exact.filter(_._2 > n / 65.0).keySet
+      assert(mustKeep.subsetOf(summary),
+        s"trial $trial (vocab=$vocab n=$n parts=$parts): " +
+          s"missing hitters ${mustKeep -- summary}")
+    }
+  }
 }
