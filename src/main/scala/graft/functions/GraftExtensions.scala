@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneSig)
     ext.injectFunction(GraftExtensions.argmaxDot)
     ext.injectFunction(GraftExtensions.vecMean)
+    ext.injectFunction(GraftExtensions.countIn)
     ext.injectFunction(GraftExtensions.misraGries)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
@@ -58,6 +59,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VecMeanAgg].getName, "vec_mean"),
     (es: Seq[Expression]) => VecMeanAgg(es.head).toAggregateExpression())
 
+  val countIn: FnDesc = (
+    FunctionIdentifier("count_in"),
+    new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+    (es: Seq[Expression]) => {
+      if (es.length < 2) throw new IllegalArgumentException(
+        "count_in requires (array, word, word, ...)")
+      val words = es.tail.map {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.StringType && l.value != null =>
+          l.value.toString
+        case other => throw new IllegalArgumentException(
+          s"count_in word arguments must be string literals, got $other")
+      }
+      CountIn(es.head, words)
+    })
+
   val misraGries: FnDesc = (
     FunctionIdentifier("misra_gries"),
     new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
@@ -75,7 +92,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, misraGries, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -232,11 +232,11 @@ object TextOps {
     * reports per-source mean ratio and the share of docs the heuristic
     * calls English. (Real n-gram models plug into the same shape.) */
   val langIdHeuristic: Q = (s, dir) => {
-    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is").map(lit): _*)
+    graft.functions.GraftExtensions.install(s)
     t(s, dir, "documents")
       .select(col("source"), col("lang"), toks.as("t"))
       .select(col("source"), col("lang"),
-        (size(filter_cond(col("t"), x => array_contains(stop, x))).cast("double")
+        (expr("count_in(t, 'the', 'a', 'of', 'and', 'in', 'to', 'is')").cast("double")
           / size(col("t"))).as("stop_ratio"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1569,6 +1569,12 @@ object TextOps {
         when(col("doc_id") % 9 === 0,
           expr("repeat(' #', size(split(text, ' ')) div 7)")).otherwise(lit(""))))
 
+  /** The Gopher stop-word list as SQL string literals (shared by the
+    * filter, the pipeline, and their oracles' list_contains twins). */
+  private val stopLits: String =
+    Seq("the", "a", "of", "and", "in", "to", "is", "that")
+      .map(w => s"'$w'").mkString(", ")
+
   /** Gopher-rule document quality filter (Rae et al. 2021 §A1.1, public
     * paper): word-count bounds, mean-word-length bounds, symbol-to-word
     * ratio, alphabetic-word fraction, and a minimum stop-word count —
@@ -1586,13 +1592,15 @@ object TextOps {
     gopherOver(augmentSymbols(t(s, dir, "documents")))
 
   private[graft] def gopherOver(docs: DataFrame): DataFrame = {
-    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is", "that").map(lit): _*)
+    graft.functions.GraftExtensions.install(docs.sparkSession)
     docs
       .select(col("source"),
         size(toks).as("n"),
         (length(col("text")) - size(toks) + 1).as("nonspace"),
         expr("length(text) - length(replace(text, '#', ''))").as("sym"),
-        size(filter_cond(toks, x => array_contains(stop, x))).as("n_stop"))
+        // native codegen set-membership count — the HOF filter form is
+        // an interpreted lambda + linear array_contains per token
+        expr("count_in(split(text, ' '), " + stopLits + ")").as("n_stop"))
       .select(col("source"),
         (col("n") >= 50 && col("n") <= 100000).as("r_wc"),
         (col("nonspace") >= col("n") * 3 && col("nonspace") <= col("n") * 10).as("r_mwl"),
@@ -1842,14 +1850,14 @@ object TextOps {
     * gated single-op twin's logic verbatim, so the oracle is the same
     * CTEs chained. */
   val pipelineCurationV2: Q = (s, dir) => {
-    val stop = array(Seq("the", "a", "of", "and", "in", "to", "is", "that").map(lit): _*)
+    graft.functions.GraftExtensions.install(s)
     val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "documents")
       .withColumn("n", size(toks))
       .withColumn("nonspace", length(col("text")) - col("n") + 1)
-      .withColumn("n_stop", size(filter_cond(toks, x => array_contains(stop, x))))
+      .withColumn("n_stop", expr("count_in(split(text, ' '), " + stopLits + ")"))
       .filter(col("n") >= 50 && col("n") <= 100000 &&
         col("nonspace") >= col("n") * 3 && col("nonspace") <= col("n") * 10 &&
         col("n_stop") >= 2)

@@ -135,6 +135,35 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaHof)
   }
 
+  test("count_in native expression equals the HOF filter form, incl. null elements and literals-only args") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq("the", "fox", "and", "dog"),
+      Seq("no", "stops", "here"),
+      Seq[String](null, "the", null, "a"),
+      Seq.empty[String]).toDF("t")
+    val native = df.select(expr("count_in(t, 'the', 'a', 'of', 'and')").as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val hof = df.select(
+        size(expr("filter(t, x -> array_contains(array('the','a','of','and'), x))")).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native == Seq(2, 0, 2, 0))
+    // non-literal word arguments are rejected at build time
+    val err = intercept[Exception] {
+      df.select(expr("count_in(t, concat('t','he'))")).collect()
+    }
+    assert(err.getMessage.contains("string literals")
+      || err.getMessage.contains("count_in"), err.getMessage)
+    // wrong array type fails analysis
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("t").select(expr("count_in(t, 'x')")).collect()
+    }
+    assert(err2.getMessage.contains("ARRAY<STRING>"), err2.getMessage)
+  }
+
   test("misra_gries summary keeps every true heavy hitter under adversarial cardinality") {
     graft.functions.GraftExtensions.install(spark)
     val s = spark

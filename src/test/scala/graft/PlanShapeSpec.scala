@@ -204,6 +204,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(p) == 1,
       s"gopher filter must shuffle once (partial->final source agg):\n$p")
     assert(!p.contains("Join"), s"gopher filter must not join:\n$p")
+    assert(p.contains("count_in"),
+      s"stop-word counting must run the native codegen expression:\n$p")
   }
 
   test("quality_c4: one doc-keyed shuffle + the tiny source agg, no join") {
