@@ -245,10 +245,6 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  // Spark 4 renamed nothing here — `filter` the function collides with the
-  // DataFrame method in scope, so alias it.
-  private def filter_cond(c: Column, f: Column => Column): Column =
-    org.apache.spark.sql.functions.filter(c, f)
 
   val langIdHeuristicSql: String =
     """SELECT source, count(*) AS n_docs,
