@@ -1797,26 +1797,92 @@ object TextOps {
     * the bucketing CCNet actually ships as its output layout; reported
     * as per-(lang, tier) doc counts and token budgets.
     *
-    * Determinism across engines: the tercile is an NTILE over an ORDER
-    * BY whose key is the per-doc NLL ROUNDED to 6 dp with doc_id as the
-    * tie-break — raw doubles differ between engines at ~1e-15 (summation
-    * order), which could swap adjacent docs at a tercile boundary;
-    * rounding + the integer tie-break makes the order identical. Scale:
-    * rides the unigram LM machinery (vocab-sized broadcast), one
-    * per-lang window, tiny output. */
+    * Determinism across engines: the tercile assignment is EXACTLY
+    * `ntile(3) OVER (PARTITION BY lang ORDER BY doc_nll, doc_id)` — the
+    * NLL is ROUNDED to 6 dp with doc_id as the tie-break, so raw-double
+    * ~1e-15 summation-order differences cannot swap adjacent docs at a
+    * tercile boundary (the oracle keeps the literal NTILE form).
+    *
+    * Scale: the naive NTILE window hash-partitions on `lang` alone — a
+    * handful of reducers each sorting an entire language's per-doc table,
+    * the classic low-cardinality-window funnel. The production path here
+    * computes the SAME ranks without it, via [[bucketedNtile]]: an
+    * approximate per-lang NLL histogram (percentile_approx — tiny agg,
+    * broadcast) pre-buckets docs map-side; exact per-bucket counts
+    * (another tiny agg) prefix-sum into global rank offsets; then the
+    * only sort windows run per (lang, bucket) — each ~n/B docs, spread
+    * over all reducers. Bucket cut precision never affects the answer
+    * (any cuts yield correct ranks — only balance varies); B is
+    * `graft.tiers.rankBuckets` (default 64; size so n_docs/B fits a
+    * reducer's sort budget at the target corpus). */
   val qualityTiers: Q = (s, dir) => {
     val (tok, lm) = unigramLm(s, dir)
     val perDoc = tok.join(broadcast(lm), "tok")
       .groupBy(col("lang"), col("doc_id"))
       .agg(round(avg(col("nll")), 6).as("doc_nll"), count(lit(1)).as("n_tok"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_nll"), col("doc_id"))
-    perDoc.withColumn("tier", ntile(3).over(w))
+    bucketedNtile(s, perDoc, 3)
       .groupBy(col("lang"), col("tier"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("token_budget"),
         round(min(col("doc_nll")), 4).as("min_nll"),
         round(max(col("doc_nll")), 4).as("max_nll"))
       .orderBy(col("lang"), col("tier"))
+  }
+
+  /** Exact `ntile(k) OVER (PARTITION BY lang ORDER BY doc_nll, doc_id)`
+    * without a per-lang full-partition sort. Input must carry
+    * (lang, doc_id, doc_nll); output adds `tier`.
+    *
+    * Mechanics — three tiny aggregates plus fine-grained windows:
+    *   1. per-lang cuts = percentile_approx(doc_nll, 1/B..(B-1)/B) and
+    *      per-lang doc count (one small row per language; broadcast);
+    *   2. map-side bucket = #cuts ≤ doc_nll (a flat fold over B-1
+    *      doubles — codegen-friendly, no nested HOF);
+    *   3. exact per-(lang,bucket) counts prefix-summed into rank
+    *      offsets (window over ≤B rows per lang — trivially small);
+    *   4. row_number per (lang, bucket) + offset = exact global rank;
+    *      ntile arithmetic from the per-lang count closes it.
+    * Ties on doc_nll land in one bucket by construction (bucket is a
+    * function of doc_nll alone), so bucket-major + in-bucket
+    * (doc_nll, doc_id) order IS the global (doc_nll, doc_id) order. */
+  private[graft] def bucketedNtile(s: SparkSession, perDoc: DataFrame, k: Int): DataFrame =
+    bucketedNtileDebug(s, perDoc, k).drop("bucket", "lr", "off", "rnk", "n_lang")
+
+  private[graft] def bucketedNtileDebug(s: SparkSession, perDoc: DataFrame, k: Int): DataFrame = {
+    val b = s.conf.get("graft.tiers.rankBuckets", "64").toInt
+    require(b >= 2, s"graft.tiers.rankBuckets must be >= 2, got $b")
+    val pcts = array((1 until b).map(i => lit(i.toDouble / b)): _*)
+    val cuts = perDoc.groupBy(col("lang"))
+      .agg(percentile_approx(col("doc_nll"), pcts, lit(10000)).as("cuts"),
+        count(lit(1)).as("n_lang"))
+    val bucketed = perDoc.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        expr("aggregate(cuts, 0, (acc, c) -> acc + IF(doc_nll >= c, 1, 0))"))
+      .drop("cuts")
+    val offs = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bucket"), col("off"))
+    val bw = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_nll"), col("doc_id"))
+    bucketed.withColumn("lr", row_number().over(bw))
+      .join(broadcast(offs), Seq("lang", "bucket"))
+      .withColumn("rnk", col("off") + col("lr"))
+      // ntile(k) over n rows: the first n%k tiles get ceil(n/k) rows,
+      // the rest floor(n/k); degenerate n<k ⇒ tier = rank. All divisions
+      // are explicit floor-div: Column./ is ALWAYS double division in
+      // Spark SQL, which silently truncates tier boundaries wrong.
+      .withColumn("tier", {
+        def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+        val n = col("n_lang"); val r = col("rnk")
+        val base = fdiv(n, lit(k)); val rem = n % k
+        val bigSpan = rem * (base + lit(1))
+        when(base === 0, r.cast("int"))
+          .otherwise((when(r <= bigSpan, fdiv(r - 1, base + lit(1)) + 1)
+            .otherwise(rem + fdiv(r - 1 - bigSpan, base) + 1)).cast("int"))
+      })
   }
 
   val qualityTiersSql: String =

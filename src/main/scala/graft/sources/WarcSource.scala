@@ -51,13 +51,20 @@ object WarcSource {
     closeOnExhaust(parseRecords(in), in)
   }
 
-  /** Sniff the two-byte gzip magic and wrap accordingly. */
+  /** Sniff the two-byte gzip magic and wrap accordingly. The inflater is
+    * itself wrapped in a 64 KiB BufferedInputStream: [[readLine]] issues
+    * single-byte reads, and an unbuffered `GZIPInputStream.read()` pays
+    * a full inflater call per byte — measured at ~2.9 MB/s/task of raw
+    * text before buffering, an order of magnitude under inflate speed.
+    * The buffer restores the decode to inflate-bound. */
   private def open(raw: InputStream): InputStream = {
     val buf = new BufferedInputStream(raw)
     buf.mark(2)
     val b0 = buf.read(); val b1 = buf.read()
     buf.reset()
-    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
+    if (b0 == 0x1f && b1 == 0x8b)
+      new BufferedInputStream(new GZIPInputStream(buf, 64 << 10), 64 << 10)
+    else buf
   }
 
   private def closeOnExhaust[A](it: Iterator[A], in: InputStream): Iterator[A] =

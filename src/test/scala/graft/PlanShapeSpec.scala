@@ -259,6 +259,33 @@ class PlanShapeSpec extends SparkSpec {
       s"the native MG aggregate must appear in the plan:\n$p")
   }
 
+  test("quality_tiers: no per-lang NTILE funnel — bucketed windows only, perDoc exchange reused") {
+    // r12 verdict #1: the tercile must NOT be a window hash-partitioned on
+    // `lang` alone (≤#languages reducers each sorting a whole language at
+    // 100 TB). The production path buckets by broadcast histogram cuts and
+    // sorts per (lang, bucket) — so: no ntile node at all, the row_number
+    // window keyed on bucket too, cuts/offsets joined by broadcast, and
+    // the shared perDoc aggregate reused (ReusedExchange), not recomputed
+    // from the corpus scan per consumer.
+    val df = SparkEntry.queries("quality_tiers")(spark, sf001)
+    df.collect() // AQE only materializes ReusedExchange in the post-execution plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ntile("),
+      s"production tiers must not run the NTILE funnel (oracle-twin only):\n$p")
+    assert("row_number".r.findAllIn(p).nonEmpty,
+      s"bucketed exact-rank window lost:\n$p")
+    for (w <- "Window \\[[^\\]]*row_number[^\\]]*\\], \\[([^\\]]*)\\]".r
+        .findAllMatchIn(p).map(_.group(1))) {
+      assert(w.contains("bucket"),
+        s"row_number window must partition on (lang, bucket), got [$w]:\n$p")
+    }
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"cuts/offset joins must broadcast:\n$p")
+    assert("ReusedExchange [^\n]*Exchange hashpartitioning\\(lang".r.findAllIn(p).size >= 2,
+      s"perDoc (lang,doc_id) aggregate exchange must be computed once and " +
+        s"reused by the cuts/offset consumers:\n$p")
+  }
+
   test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
     // The LM is vocab-sized; shuffling the exploded token stream to meet
     // it would be the classic 100 TB mistake. The only token-keyed

@@ -569,4 +569,39 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(3) == r4(math.min(d1, d2)), s"min_nll: $row")
     assert(row.getDouble(4) == r4(math.max(d1, d2)), s"max_nll: $row")
   }
+
+  test("bucketedNtile == exact ntile window at every bucket count (ties, tiny langs, n<k)") {
+    // the r12-verdict scale fix: the production tercile path replaces the
+    // per-lang full-partition NTILE sort with histogram-bucketed exact
+    // ranks — this spec pins production == the literal NTILE twin on a
+    // fixture engineered for the seams: doc_nll ties at bucket cuts,
+    // languages smaller than k (degenerate ntile), sizes not divisible
+    // by 3 (uneven tile widths), and bucket counts from near-degenerate
+    // (2) past the doc count (1000: most buckets empty)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows =
+      (1L to 100L).map(i => ("en", i, math.floor(rnd.nextDouble() * 20) / 4.0, i % 7 + 1)) ++ // many ties
+      (1L to 50L).map(i => ("de", i, rnd.nextDouble() * 10, i % 5 + 1)) ++
+      (1L to 2L).map(i => ("xx", i, 1.0, 1L)) ++                                              // n < k
+      (1L to 7L).map(i => ("fr", i, 3.14, 2L))                                                // ALL tied
+    val perDoc = rows.toDF("lang", "doc_id", "doc_nll", "n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_nll", $"doc_id")
+    val expected = perDoc.withColumn("tier", ntile(3).over(w))
+      .select("lang", "doc_id", "tier").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (b <- Seq(2, 8, 64, 1000)) {
+      spark.conf.set("graft.tiers.rankBuckets", b.toString)
+      try {
+        val got = TextOps.bucketedNtile(spark, perDoc, 3)
+          .select("lang", "doc_id", "tier").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+        assert(got == expected,
+          s"bucketedNtile(B=$b) diverged from the NTILE twin: " +
+            s"${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+      } finally spark.conf.unset("graft.tiers.rankBuckets")
+    }
+  }
 }
