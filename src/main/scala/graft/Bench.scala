@@ -504,39 +504,60 @@ object Bench {
           .select("doc_id", "source", "text")
           .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         val nShards = 8
-        val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_bench_wet_${math.abs(sfDir.hashCode)}")
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
+        // One (write shards → median-of-3 timed decode) pass per record
+        // shape. Two shapes: the sf documents as-is (~300 B records —
+        // stresses per-member gzip setup, the Common Crawl worst case),
+        // and the same text tiled to ~5 KB records (the REAL crawl's
+        // median conversion-record size) — the honest parser-throughput
+        // number, separating per-member overhead from parse cost.
+        def wetLeg(tag: String, recs: Int => IndexedSeq[(String, String)]): String = {
+          val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+            s"graft_bench_wet_${tag}_${math.abs(sfDir.hashCode)}")
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+          java.nio.file.Files.createDirectories(dir)
+          var rawBytes = 0L
+          for (sh <- 0 until nShards) {
+            val rs = recs(sh)
+            rawBytes += rs.map(_._2.getBytes("UTF-8").length.toLong).sum
+            java.nio.file.Files.write(dir.resolve(f"wet_$sh%02d.warc.wet.gz"),
+              graft.sources.WarcSource.encodeWetGz(rs))
+          }
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.sources.WarcSource.readWet(spark, s"$dir/*.warc.wet.gz")
+              .filter(org.apache.spark.sql.functions.col("rec_type") === "conversion")
+              .agg(org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)),
+                org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.length(
+                    org.apache.spark.sql.functions.col("text"))))
+              .collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm-up
+          val med = Seq(once(), once(), once()).sorted.apply(1)
+          val mb = rawBytes / 1e6
+          val prefix = if (tag == "sfdocs") "wet" else s"wet_$tag"
+          s""""${prefix}_decode_s":$med,"${prefix}_raw_mb":$mb,""" +
+            s""""${prefix}_mb_per_s":${mb / math.max(med, 1e-9)}"""
         }
-        java.nio.file.Files.createDirectories(dir)
-        var rawBytes = 0L
-        for (sh <- 0 until nShards) {
-          val recs = docs.filter(_._1 % nShards == sh).sortBy(_._1)
+        val sfLeg = wetLeg("sfdocs", sh =>
+          docs.filter(_._1 % nShards == sh).sortBy(_._1)
             .map { case (id, src, text) => (s"https://example.com/$src/$id", text) }
-          rawBytes += recs.map(_._2.getBytes("UTF-8").length.toLong).sum
-          java.nio.file.Files.write(dir.resolve(f"wet_$sh%02d.warc.wet.gz"),
-            graft.sources.WarcSource.encodeWetGz(recs.toIndexedSeq))
-        }
-        def ingestOnce(): Double = {
-          val t0 = System.nanoTime()
-          graft.sources.WarcSource.readWet(spark, s"$dir/*.warc.wet.gz")
-            .filter(org.apache.spark.sql.functions.col("rec_type") === "conversion")
-            .agg(org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)),
-              org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.length(
-                  org.apache.spark.sql.functions.col("text"))))
-            .collect()
-          (System.nanoTime() - t0) / 1e9
-        }
-        ingestOnce() // warm-up
-        val med = Seq(ingestOnce(), ingestOnce(), ingestOnce()).sorted.apply(1)
-        val mb = rawBytes / 1e6
-        ingestJson = s""","ingest":{"wet_decode_s":$med,"wet_raw_mb":$mb,""" +
-          s""""wet_mb_per_s":${mb / math.max(med, 1e-9)}}"""
+            .toIndexedSeq)
+        val leg5k = wetLeg("5k", sh =>
+          docs.filter(_._1 % nShards == sh).sortBy(_._1)
+            .map { case (id, src, text) =>
+              val b = new StringBuilder(5400)
+              var i = 0
+              while (b.length < 5000) { b.append(text).append(f"\nseg $id%d.$i%d\n"); i += 1 }
+              (s"https://example.com/$src/$id", b.toString)
+            }.toIndexedSeq)
+        ingestJson = s""","ingest":{$sfLeg,$leg5k}"""
       } catch {
         case e: Throwable =>
           failed += "wet_ingest_bench"

@@ -1966,7 +1966,20 @@ object TextOps {
     * unchanged, so the full 100 TB posture (banded LSH candidates,
     * exact-dup collapse, candidate-restricted verify) transfers — and
     * the exact [[contaminationCheck]] (shingle-overlap fraction)
-    * remains the companion for verbatim leakage. */
+    * remains the companion for verbatim leakage.
+    *
+    * RECALL CONTRACT (r13, advisor item): this check inherits the LSH
+    * recall bound, NOT exhaustive recall — a true j ≥ 0.8 pair is
+    * missed iff no band of 4 rows collides: miss ≤ (1 − j⁴)⁸ ≈ 1.5%
+    * at j = 0.8, vanishing as j → 1 (verbatim leakage is caught by
+    * [[contaminationCheck]] regardless). The oracle REPLAYS the same
+    * banding (the `cand` CTE, as minhashNearDupSql does), so both
+    * engines verify the identical candidate set and the gate is exact
+    * over the defined output — not data-dependently "exact all-pairs
+    * happened to equal LSH on this fixture". The collapse equivalence
+    * argument (signatures are a function of the text alone) makes the
+    * doc-level oracle banding identical to the Spark side's rep-level
+    * banding, intra-group pairs included. */
   val contaminationFuzzy: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val pairs = collapsedPairVerify(docs)(minhashCandidates)
@@ -1996,23 +2009,49 @@ object TextOps {
 
   val contaminationFuzzySql: String =
     s"""WITH $shingleCte,
-       |shs AS (SELECT sh.doc_id, source, shingle FROM sh JOIN documents USING (doc_id)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
-       |ev AS (SELECT doc_id, shingle FROM shs WHERE source = 'src0'),
-       |corpus AS (SELECT doc_id, source, shingle FROM shs WHERE source <> 'src0'),
+       |hashed AS (
+       |  SELECT doc_id, i, min((h1 + i * h2) % 4294967291) AS h
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+       |          ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+       |        FROM sh)
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    (i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i) AS bucket
+       |  FROM hashed GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bands x JOIN bands y
+       |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
-       |  SELECT c.doc_id AS cd, c.source, e.doc_id AS ed, count(*) AS i
-       |  FROM corpus c JOIN ev e USING (shingle) GROUP BY 1, 2, 3),
-       |pj AS (
-       |  SELECT cd, source, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-       |  FROM inter JOIN sizes sa ON cd = sa.doc_id JOIN sizes sb ON ed = sb.doc_id),
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.da, i.db, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+       |  FROM cand JOIN inter i ON cand.da = i.da AND cand.db = i.db
+       |  JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id
+       |  WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= 0.8),
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |hits0 AS (
+       |  SELECT CASE WHEN x.source = 'src0' THEN p.db ELSE p.da END AS doc_id,
+       |         CASE WHEN x.source = 'src0' THEN y.source ELSE x.source END AS source,
+       |         p.jaccard
+       |  FROM pairs p
+       |  JOIN srcs x ON p.da = x.doc_id
+       |  JOIN srcs y ON p.db = y.doc_id
+       |  WHERE (x.source = 'src0') <> (y.source = 'src0')),
        |hit AS (
-       |  SELECT cd, source, max(jaccard) AS best_j
-       |  FROM pj WHERE jaccard >= 0.8 GROUP BY 1, 2),
+       |  SELECT doc_id, source, max(jaccard) AS best_j
+       |  FROM hits0 GROUP BY 1, 2),
        |base AS (SELECT source, count(*) AS n_docs FROM documents
        |         WHERE source <> 'src0' GROUP BY 1)
        |SELECT base.source, n_docs,
-       |  CAST(coalesce(count(hit.cd), 0) AS BIGINT) AS n_leaked,
+       |  CAST(coalesce(count(hit.doc_id), 0) AS BIGINT) AS n_leaked,
        |  coalesce(max(hit.best_j), 0.0) AS max_jaccard
        |FROM base LEFT JOIN hit USING (source)
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin

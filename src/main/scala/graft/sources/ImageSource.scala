@@ -181,7 +181,18 @@ object ImageSource {
   }
 
   /** Header-only PGM probe: (h, w) without touching pixel bytes — lets a
-    * column-pruned V2 scan answer metadata queries decode-free. */
+    * column-pruned V2 scan answer metadata queries decode-free.
+    *
+    * PREFIX-SAFE (r13, advisor item): callers may hand a truncated
+    * header prefix (the V2 pruned path reads 64 KiB). A numeric token
+    * cut at the buffer boundary would parse a PREFIX of its digits —
+    * silently wrong dims, no exception — so every token must be
+    * TERMINATED by a whitespace byte inside the buffer, else this
+    * throws IllegalArgumentException and the caller's full-read
+    * fallback engages. (On a whole file the terminator always exists:
+    * maxval and the payload follow.) An empty token (`"".toInt`) throws
+    * NumberFormatException, which IS an IllegalArgumentException, so it
+    * reaches the same fallback. */
   private[graft] def pgmDims(bytes: Array[Byte]): (Int, Int) = {
     var pos = 0
     def token(): String = {
@@ -194,10 +205,13 @@ object ImageSource {
       while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) {
         sb.append(bytes(pos).toChar); pos += 1
       }
+      require(pos < bytes.length,
+        "pgm header token hit the buffer boundary (possibly truncated)")
       sb.toString
     }
     require(token() == "P5", "not a binary PGM")
     val w = token().toInt; val h = token().toInt
+    require(w > 0 && h > 0, s"pgm dims out of range: $w x $h")
     (h, w)
   }
 

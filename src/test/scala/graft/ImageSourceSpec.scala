@@ -446,4 +446,33 @@ class ImageSourceSpec extends SparkSpec {
     val scan = meta.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!scan.contains("data"), s"data column not pruned from scan:\n$scan")
   }
+
+  test("V2 header-only path: comment header past the 64 KiB prefix falls back, never mis-parses") {
+    // r12 advisor item: a truncated prefix could cut a dim token
+    // mid-digits and silently parse wrong dims. pgmDims now requires an
+    // in-buffer whitespace terminator per token, so the prefix parse
+    // THROWS and the reader's full-read fallback engages.
+    import graft.sources.v2.ImageBlockSource
+    val dir = Files.createTempDirectory("graft_v2_bighead").toFile
+    dir.deleteOnExit()
+    // a P5 whose comments push w/h beyond 64 KiB
+    val pad = ("#" + "x" * 998 + "\n") * 70 // ~70 KB of comment lines
+    val body = ImageSource.encodePgm(4, 5,
+      Array.tabulate(4 * 5)(i => (i % 251).toDouble))
+    val withComments = ("P5\n" + pad).getBytes("US-ASCII") ++
+      body.drop(3) // replace "P5\n" with "P5\n<comments>"
+    Files.write(Paths.get(dir.getPath, "big.pgm"), withComments)
+    val meta = ImageBlockSource.read(spark, dir.getPath + "/*.pgm", "pgm")
+      .select("frame", "shape")
+    val rows = meta.collect()
+    assert(rows.length == 1 && rows.head.getSeq[Int](1) == Seq(1, 4, 5),
+      s"big-header pgm dims wrong: ${rows.toSeq}")
+    // and the unit seam itself: a prefix that cuts a dim token mid-digits
+    // must throw (IllegalArgumentException), never return truncated dims
+    val full = ("P5\n1024 768\n255\n").getBytes("US-ASCII")
+    val cut = full.take(6) // "P5\n102"
+    val e = intercept[IllegalArgumentException](ImageSource.pgmDims(cut))
+    assert(e.getMessage.contains("buffer boundary"), e.getMessage)
+    assert(ImageSource.pgmDims(full) == (768, 1024))
+  }
 }
