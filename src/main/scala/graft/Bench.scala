@@ -32,7 +32,13 @@ object Bench {
     * their own group (tools/bench_duckdb.py --curation twin). */
   val curationHeadline: Seq[String] = Seq(
     "exact_substring_dedup", "url_dedup_normalized",
-    "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters")
+    "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters",
+    // r13: the previously unbenched curation-adjacent keys — tiering,
+    // fuzzy decontamination, the chained pipeline, and the streaming
+    // quality gate (timed as one micro-batch drain; its DuckDB twin is
+    // the batch-equivalent oracle)
+    "quality_tiers", "contamination_fuzzy", "pipeline_curation_v2",
+    "stream_quality_gate")
 
   /** The ANN headliners (round 11): the three approximate top-k paths,
     * benched with RECALL against the exact brute-force top-10 — an ANN

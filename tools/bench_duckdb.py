@@ -48,6 +48,8 @@ ANN = [
 CURATION = [
     "exact_substring_dedup", "url_dedup_normalized",
     "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters",
+    "quality_tiers", "contamination_fuzzy", "pipeline_curation_v2",
+    "stream_quality_gate",
 ]
 
 args = [a for a in sys.argv[1:] if a not in ("--llm", "--ann", "--curation")]

@@ -29,6 +29,8 @@ LLM = [
 CURATION = [
     "exact_substring_dedup", "url_dedup_normalized",
     "quality_gopher", "quality_c4", "unigram_logprob", "heavy_hitters",
+    "quality_tiers", "contamination_fuzzy", "pipeline_curation_v2",
+    "stream_quality_gate",
 ]
 
 WORKER = r"""
