@@ -445,6 +445,75 @@ object Bench {
       curJson = s""","curation":$cj,"curation_total":${cur.map(_._2).sum}"""
     }
 
+    // --------------------------- heavy hitters at HIGH cardinality
+    // r12 verdict #5: the MG candidates+verify claim ("the naive plan's
+    // full-cardinality term shuffle is what dies at web scale") was
+    // structural only — the sf fixture has a ~50-term vocabulary, where
+    // naive GROUP BY trivially wins. This leg generates a deterministic
+    // zipf-ish stream INSIDE the query (spark.range + md5; no fixture
+    // file, identical generator SQL in the DuckDB twin): 50% of rows
+    // spread over 16 hot tokens (~3.1% each, all above the 2%
+    // threshold), 50% unique md5 tokens — at the default 8M rows that
+    // is ~4M distinct terms. Both plans must return the SAME 16 terms;
+    // the artifact rows are the medians of 3 after 1 warm-up.
+    var hhJson = ""
+    if (sys.env.get("SPARK_GRAFT_HH").map(_ == "1").getOrElse(curOn)) {
+      try {
+        graft.functions.GraftExtensions.install(spark)
+        val n = sys.env.getOrElse("SPARK_GRAFT_HH_ROWS", "8000000").toLong
+        def tokens = spark.range(n).selectExpr(
+          // (id div 4) % 16 is uniform over the id % 4 < 2 subset (the
+          // naive id % 16 only reaches 8 residues there)
+          "IF(id % 4 < 2, concat('hot_', (id div 4) % 16), " +
+            "concat('r_', md5(cast(id AS string)))) AS tok")
+        def mgDf = {
+          val tok = tokens
+          val mg = tok.agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+            .select(org.apache.spark.sql.functions.col("s.n").as("n"),
+              org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.col("s.terms")).as("tok"))
+          tok.join(org.apache.spark.sql.functions.broadcast(mg), "tok")
+            .groupBy("tok", "n")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt"))
+            .filter(org.apache.spark.sql.functions.col("cnt").cast("double")
+              >= org.apache.spark.sql.functions.col("n").cast("double") * 0.02)
+            .select("tok")
+        }
+        def naiveDf = tokens.groupBy("tok")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))
+          .filter(org.apache.spark.sql.functions.col("cnt") >= n * 0.02)
+          .select("tok")
+        // equal answers, once (untimed)
+        val mgTerms = mgDf.collect().map(_.getString(0)).toSet
+        val nvTerms = naiveDf.collect().map(_.getString(0)).toSet
+        require(mgTerms == nvTerms && mgTerms.size == 16,
+          s"hh_highcard answers diverged: mg=${mgTerms.size} naive=${nvTerms.size}")
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def med3(f: => Unit): Double =
+          Seq(time(f), time(f), time(f)).sorted.apply(1)
+        val mgS = med3 { mgDf.count(): Unit }
+        val nvS = med3 { naiveDf.count(): Unit }
+        // generation-only baseline: both plans embed the md5 stream
+        // generator, so the OPERATOR cost is (plan − gen). MG reads the
+        // stream twice (summary + verify), naive once — so MG's operator
+        // cost ≈ mg_s − 2·gen_s, naive's ≈ naive_s − gen_s.
+        val genS = med3 {
+          tokens.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.col("tok"))).collect(): Unit
+        }
+        hhJson = s""","hh_highcard":{"rows":$n,"distinct_approx":${n / 2},""" +
+          s""""gen_s":$genS,"mg_s":$mgS,"naive_groupby_s":$nvS}"""
+      } catch {
+        case e: Throwable =>
+          failed += "hh_highcard"
+          System.err.println(s"[bench] hh_highcard FAILED: ${e.getMessage}")
+      }
+    }
+
     // ------------------------------------------------------ ANN group
     // Wall + recall for the approximate top-k paths. Recall = overlap of
     // the ANN top-10 vec_ids with the exact brute-force top-10 (the
@@ -750,7 +819,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
       s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$llmJson$curJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
+      s""""contended":$contended,"attempts":$attempt$llmJson$curJson$hhJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,7 @@ like the Spark loader: make_timestamp(ts // 1000).
 Usage: python tools/bench_duckdb.py <sf_dir> <oracle_sql.json> [threads]
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -108,5 +109,24 @@ if run_cur:
     cur = bench(CURATION)
     cq = ",".join(f'"{k}":{v}' for k, v in cur.items())
     cur_json = f',"curation":{{{cq}}},"curation_total":{sum(cur.values())}'
+    # hh_highcard twin: the SAME deterministic zipf-ish generator as
+    # graft.Bench's leg (16 hot tokens ~3.1% each + unique md5 tails),
+    # naive full-cardinality GROUP BY ... HAVING. Rows via GRAFT_HH_ROWS.
+    n = int(os.environ.get("GRAFT_HH_ROWS", "8000000"))
+    hh_sql = f"""
+      WITH tk AS (
+        SELECT CASE WHEN i % 4 < 2 THEN 'hot_' || ((i // 4) % 16)::VARCHAR
+                    ELSE 'r_' || md5(i::VARCHAR) END AS tok
+        FROM range(0, {n}) t(i))
+      SELECT tok FROM tk GROUP BY tok HAVING count(*) >= {n} * 0.02"""
+    rows = con.execute(hh_sql).fetchall()
+    assert len(rows) == 16, f"hh_highcard twin returned {len(rows)} terms"
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(hh_sql).fetchall()
+        ts.append(time.time() - t0)
+    ts.sort()
+    cur_json += f',"hh_highcard":{{"rows":{n},"naive_groupby_s":{ts[1]}}}'
 print(f'{{"metric":"duckdb_total","value":{total},"unit":"sec",'
       f'"queries":{{{qjson}}}{llm_json}{ann_json}{cur_json},"threads":{threads},"sf":"{sf_dir}"}}')
