@@ -443,29 +443,37 @@ object Multimodal {
       audio = Some((audSr(docId), samples)))
   }
 
+  /** The one-walk container kernel: frame features + frame-aligned audio
+    * window energy from ONE decode of the AVI bytes. Shared by the batch
+    * [[multimodalAvContainer]] and the streaming `stream_av_features`
+    * micro-batch (two copies would desynchronize the shared oracle). */
+  private[graft] def avContainerFeatures(
+      id: Long, bytes: Array[Byte]): Seq[(Long, Int, Long, Long, Long, Long)] = {
+    val clip = graft.sources.AviSource.decodeAvi(bytes)
+    val nf = clip.frames.size
+    val n = clip.audio.length
+    clip.frames.zipWithIndex.map { case (rgb, f) =>
+      var sum = 0L
+      var p = 0
+      while (p < rgb.length) { sum += (rgb(p) & 0xff).toLong; p += 3 }
+      val lo = f * n / nf
+      val hi = (f + 1) * n / nf
+      var e = 0L
+      var i = lo
+      while (i < hi) { e += math.abs(clip.audio(i).toInt).toLong; i += 1 }
+      (id, f, sum, clip.h.toLong * clip.w, (hi - lo).toLong, e)
+    }
+  }
+
   val multimodalAvContainer: Q = (s, dir) => {
     import s.implicits._
-    import graft.sources.AviSource
     val assets = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) => (docId, aviAssetBytes(docId, nChars)) }
       .toDF("asset_id", "avi").localCheckpoint(true)
-    assets.as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
-      val clip = AviSource.decodeAvi(bytes)
-      val nf = clip.frames.size
-      val n = clip.audio.length
-      clip.frames.zipWithIndex.map { case (rgb, f) =>
-        var sum = 0L
-        var p = 0
-        while (p < rgb.length) { sum += (rgb(p) & 0xff).toLong; p += 3 }
-        val lo = f * n / nf
-        val hi = (f + 1) * n / nf
-        var e = 0L
-        var i = lo
-        while (i < hi) { e += math.abs(clip.audio(i).toInt).toLong; i += 1 }
-        (id, f, sum, clip.h.toLong * clip.w, (hi - lo).toLong, e)
-      }
-    }.toDF("asset_id", "frame", "sum_p", "n_px", "n_samps", "energy")
+    assets.as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => avContainerFeatures(id, bytes) }
+      .toDF("asset_id", "frame", "sum_p", "n_px", "n_samps", "energy")
       .orderBy(col("asset_id"), col("frame"))
   }
 

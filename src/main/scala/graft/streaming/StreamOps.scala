@@ -399,6 +399,44 @@ object StreamOps {
       |GROUP BY g.doc_id, nf, h, w, rate, n
       |ORDER BY asset_id""".stripMargin
 
+  /** Streaming per-window A/V FEATURES (r12 verdict task #6 — the stage
+    * after [[streamAvIngest]]'s header-walk triage): each arriving AVI
+    * container fully decodes IN the micro-batch into per-frame pixel
+    * features + frame-aligned audio window energy, via the SAME one-walk
+    * kernel as the batch `multimodal_av_container`
+    * ([[graft.queries.Multimodal.avContainerFeatures]]) — so the batch
+    * formula oracle gates the streamed rows verbatim (restricted to the
+    * fixture's doc_id < 30). Stateless map, append mode: a live
+    * video-crawl feed runs exactly this shape, with parallelism at
+    * container grain and no state but the processed-files log. */
+  val streamAvFeatures: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val inDir = freshDir(dir, "avf_stream")
+    graft.queries.Multimodal.writeAviAssets(s, dir, inDir)
+    val stream = s.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.avi")
+      .option("maxFilesPerTrigger", "8")
+      .load(inDir)
+    val rows = stream.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        val id = p.replaceAll(".*asset_", "").replaceAll("\\.avi$", "").toLong
+        graft.queries.Multimodal.avContainerFeatures(id, b)
+      }.toDF("asset_id", "frame", "sum_p", "n_px", "n_samps", "energy")
+    drain(rows, OutputMode.Append()).orderBy(col("asset_id"), col("frame"))
+  }
+
+  /** The batch A/V sync formula replay, restricted to the streaming
+    * fixture's doc_id < 30 asset set. */
+  val streamAvFeaturesSql: String = {
+    val base = graft.queries.Multimodal.multimodalAvSyncSql
+    val cut = base.replace("FROM documents)", "FROM documents WHERE doc_id < 30)")
+    require(cut != base, "stream_av_features oracle: geo CTE anchor moved")
+    cut
+  }
+
   /** Streaming curation gate: the Gopher quality filter over the
     * documents table as a FILE STREAM — the shape a live crawl feed
     * runs (docs arrive continuously; the filter is stateless map-side
@@ -431,6 +469,7 @@ object StreamOps {
     "stream_wet_ingest" -> streamWetIngest,
     "stream_quality_gate" -> streamQualityGate,
     "stream_av_ingest" -> streamAvIngest,
+    "stream_av_features" -> streamAvFeatures,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -447,6 +486,7 @@ object StreamOps {
     "stream_wet_ingest" -> graft.queries.SourceQueries.warcWetIngestSql,
     "stream_quality_gate" -> graft.queries.TextOps.qualityGopherSql,
     "stream_av_ingest" -> streamAvIngestSql,
+    "stream_av_features" -> streamAvFeaturesSql,
   )
 }
 

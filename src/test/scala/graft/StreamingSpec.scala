@@ -185,4 +185,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("streaming A/V features equal the batch container kernel row-for-row") {
+    // r12-verdict task #6: the micro-batch full decode (frame features +
+    // frame-aligned audio energy) must reproduce the batch one-container
+    // query exactly over the shared doc_id < 30 fixture — both sides run
+    // Multimodal.avContainerFeatures, so a divergence means the fixture
+    // writer and the batch asset builder drifted apart
+    val streamed = graft.streaming.StreamOps.streamAvFeatures(spark, sf0001)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.Multimodal.multimodalAvContainer(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("asset_id") < 30)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streamed ${streamed.length} rows vs batch ${batch.length}")
+  }
 }
