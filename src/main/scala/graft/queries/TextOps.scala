@@ -1902,21 +1902,55 @@ object TextOps {
       |  round(max(doc_nll), 4) AS max_nll
       |FROM tiers GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
 
+  /** Exact running sum of `value` over `PARTITION BY grp ORDER BY ord`
+    * (ord UNIQUE within grp) without a per-grp full-partition sort —
+    * the prefix-sum twin of [[bucketedNtile]], same two-phase shape:
+    * approx per-grp histogram cuts on `ord` pre-bucket rows map-side
+    * (cut precision moves only bucket balance, never the answer), the
+    * running sum runs per (grp, bucket) (~n/B rows, all reducers), and
+    * exact per-bucket value totals prefix into broadcast offsets.
+    * Adds `cum`. B = `graft.tiers.rankBuckets` (shared conf). */
+  private[graft] def bucketedPrefixSum(s: SparkSession, df: DataFrame,
+      grp: String, ord: String, value: String): DataFrame = {
+    val b = s.conf.get("graft.tiers.rankBuckets", "64").toInt
+    require(b >= 2, s"graft.tiers.rankBuckets must be >= 2, got $b")
+    val pcts = array((1 until b).map(i => lit(i.toDouble / b)): _*)
+    val cuts = df.groupBy(col(grp))
+      .agg(percentile_approx(col(ord).cast("double"), pcts, lit(10000)).as("cuts"))
+    val bucketed = df.join(broadcast(cuts), Seq(grp))
+      .withColumn("bucket",
+        expr(s"aggregate(cuts, 0, (acc, c) -> acc + IF($ord >= c, 1, 0))"))
+      .drop("cuts")
+    val offs = bucketed.groupBy(col(grp), col("bucket"))
+      .agg(sum(col(value)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col(grp)).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(grp), col("bucket"), col("off"))
+    val bw = Window.partitionBy(col(grp), col("bucket")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.withColumn("lcum", sum(col(value)).over(bw))
+      .join(broadcast(offs), Seq(grp, "bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
+      .drop("bucket", "lcum", "off")
+  }
+
   // ---------------------------------------------- curation pipeline v2
   /** End-to-end curation chain in ONE Catalyst plan, using the Gopher
     * rule subset that needs no augmentation (word-count, mean-word-
     * length, stop-word floor — all integer-exact on raw text) →
     * exact dedup keep-first → per-language 2000-token pack manifest.
     * The 100 TB shape: one scan, the dedup window shuffle on md5(text),
-    * the per-lang pack window — no other wide op; each stage is the
-    * gated single-op twin's logic verbatim, so the oracle is the same
-    * CTEs chained. */
+    * then the pack prefix sum via [[bucketedPrefixSum]] (r13 — the
+    * per-lang running-sum window was the same ≤#languages-reducer
+    * funnel quality_tiers had; now the only lang-keyed sort is over
+    * (lang, bucket) slices with broadcast offset joins). Each stage is
+    * the gated single-op twin's logic verbatim, so the oracle is the
+    * same CTEs chained. */
   val pipelineCurationV2: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    val deduped = t(s, dir, "documents")
       .withColumn("n", size(toks))
       .withColumn("nonspace", length(col("text")) - col("n") + 1)
       .withColumn("n_stop", expr("count_in(split(text, ' '), " + stopLits + ")"))
@@ -1926,7 +1960,8 @@ object TextOps {
       .withColumn("h", md5(col("text")))
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") === 1)
-      .withColumn("cum", sum(col("n")).over(packW))
+      .select(col("lang"), col("doc_id"), col("n"))
+    bucketedPrefixSum(s, deduped, "lang", "doc_id", "n")
       .withColumn("pack", expr("(cum - n) div 2000"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -237,11 +237,26 @@ class PlanShapeSpec extends SparkSpec {
       s"fuzzy contamination must never go all-pairs:\n$p")
   }
 
-  test("pipeline_curation_v2: one scan, only the dedup/pack windows and final agg shuffle") {
+  test("pipeline_curation_v2: no per-lang pack funnel — bucketed prefix sum, broadcast-only joins") {
+    // r13: the pack stage's per-lang running-sum window (a ≤#languages
+    // reducer corpus sort at scale) moved to the bucketedPrefixSum
+    // two-phase; the cost is two broadcast joins (cuts, offsets) — any
+    // shuffle join or cartesian here means a probe degenerated. The
+    // remaining sorts are keyed (h) for dedup and (lang, bucket) for
+    // the pack — never lang alone over doc-scale rows.
     val p = plan("pipeline_curation_v2")
-    assert(!p.contains("Join"), s"the chained pipeline must not join:\n$p")
-    assert(hashExchanges(p) <= 3,
-      s"pipeline must shuffle at most 3x (md5 window, lang window, lang agg):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"cuts/offset joins must broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected the two broadcast probes (cuts, offsets):\n$p")
+    // the doc-scale funnel shape is PARTITION BY lang ORDER BY doc_id —
+    // printed as windowspecdefinition(lang#N, doc_id#M ...). The tiny
+    // offsets window (partition lang, order bucket; ≤B rows per lang)
+    // and the pack window (partition (lang, bucket), order doc_id) are
+    // both fine and don't match this shape.
+    assert("windowspecdefinition\\(lang#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"pack window regressed to the per-lang doc-scale funnel:\n$p")
   }
 
   test("heavy_hitters: candidates broadcast onto the token stream, no full-cardinality term shuffle join") {

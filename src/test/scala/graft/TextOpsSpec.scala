@@ -570,6 +570,33 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(4) == r4(math.max(d1, d2)), s"max_nll: $row")
   }
 
+  test("bucketedPrefixSum == exact running-sum window at every bucket count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (1L to 200L).map(i => ("en", i * 3 + i % 7, rnd.nextInt(500).toLong)) ++
+      (1L to 40L).map(i => ("de", i * 2, rnd.nextInt(500).toLong)) ++
+      Seq(("xx", 5L, 42L)) // single-row group
+    val df = rows.toDF("lang", "doc_id", "n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expected = df.withColumn("cum", sum($"n").over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (b <- Seq(2, 16, 64, 1000)) {
+      spark.conf.set("graft.tiers.rankBuckets", b.toString)
+      try {
+        val got = TextOps.bucketedPrefixSum(spark, df, "lang", "doc_id", "n")
+          .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+            -> r.getAs[Long]("cum")).toMap
+        assert(got == expected,
+          s"bucketedPrefixSum(B=$b) diverged: ${(got.toSet diff expected.toSet).take(5)}")
+      } finally spark.conf.unset("graft.tiers.rankBuckets")
+    }
+  }
+
   test("bucketedNtile == exact ntile window at every bucket count (ties, tiny langs, n<k)") {
     // the r12-verdict scale fix: the production tercile path replaces the
     // per-lang full-partition NTILE sort with histogram-bucketed exact
