@@ -225,9 +225,16 @@ object ZarrStore {
 
   /** Read one array (or all, imageId = None) back as native TBlock rows —
     * chunk-grain parallelism, edge chunks trimmed to the array bounds;
-    * complex arrays come back in the engine's component convention. */
+    * complex arrays come back in the engine's component convention.
+    *
+    * `frameRange` restricts the LEADING grid index to [lo, hi] — the
+    * chunk key encodes the grid cell, so the restriction prunes at the
+    * FILE NAME before any chunk object is opened (the zarr analog of
+    * TensorStore's PartitionFilter pruning; on an object store this is
+    * the difference between listing and fetching). */
   def readTyped(spark: SparkSession, dir: String,
-      imageId: Option[String] = None): Dataset[TBlock] = {
+      imageId: Option[String] = None,
+      frameRange: Option[(Int, Int)] = None): Dataset[TBlock] = {
     import spark.implicits._
     val metas = arrays(spark, dir)
     val wanted = imageId match {
@@ -239,7 +246,19 @@ object ZarrStore {
     }
     require(wanted.nonEmpty, s"zarr: no arrays under $dir")
     val byName = spark.sparkContext.broadcast(wanted.map(z => z.name -> z).toMap)
-    val globs = wanted.map(z => new Path(new Path(dir), z.name).toString + "/*")
+    val globs = wanted.map { z =>
+      val adir = new Path(new Path(dir), z.name).toString
+      frameRange match {
+        // glob alternation over the surviving leading indices: the name
+        // IS the grid address, so pruning happens in the LISTING
+        case Some((lo, hi)) =>
+          val leadMax = (z.shape.head + z.chunks.head - 1) / z.chunks.head - 1
+          val keep = (math.max(lo, 0) to math.min(hi, leadMax))
+          require(keep.nonEmpty, s"zarr: frame range [$lo,$hi] outside grid")
+          s"$adir/{${keep.mkString(",")}}${if (z.shape.length > 1) ".*" else ""}"
+        case None => s"$adir/*"
+      }
+    }
     val chunkName = """\d+(\.\d+)*""".r
     spark.sparkContext.binaryFiles(globs.mkString(","))
       .flatMap { case (path, pds) =>
@@ -285,8 +304,9 @@ object ZarrStore {
 
   /** Read back as float64 working Blocks. */
   def read(spark: SparkSession, dir: String,
-      imageId: Option[String] = None): Dataset[Block] = {
+      imageId: Option[String] = None,
+      frameRange: Option[(Int, Int)] = None): Dataset[Block] = {
     import spark.implicits._
-    readTyped(spark, dir, imageId).map(_.toBlock)
+    readTyped(spark, dir, imageId, frameRange).map(_.toBlock)
   }
 }

@@ -131,6 +131,46 @@ class ZarrStoreSpec extends SparkSpec {
     }
   }
 
+  test("frame-range read prunes at the chunk NAME — non-matching objects never open") {
+    val dir = tmp("prune")
+    ZarrStore.writeTyped(u16Raster, dir)
+    // poison the chunks outside the range: if the reader opened them the
+    // length check would throw, so a clean read proves name-level pruning
+    for (i <- Seq(0, 2); j <- 0 to 3)
+      Files.write(Paths.get(dir, "events_raster", s"$i.$j"), Array[Byte](1, 2, 3))
+    val rows = ZarrStore.readTyped(spark, dir, frameRange = Some((1, 1))).collect()
+    assert(rows.length == 4 && rows.forall(_.idx.head == 1),
+      s"expected the 4 row-1 chunks, got ${rows.map(_.idx).toSeq}")
+    assert(rows.forall(_.origin.head == 16))
+  }
+
+  test("property sweep: random geometries × dtypes × compressors round-trip byte-exact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val h = 5 + rnd.nextInt(40); val w = 5 + rnd.nextInt(40)
+      val ch = 1 + rnd.nextInt(h); val cw = 1 + rnd.nextInt(w)
+      val dt = Seq(DType.U8, DType.I16, DType.U16, DType.I32, DType.F32,
+        DType.F64, DType.I64)(rnd.nextInt(7))
+      val gz = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(9)) else None
+      val px = Array.tabulate(h * w)(i =>
+        math.floor(rnd.nextDouble() * 1000) - 500)
+      val blocks = Images.fromPixels(
+        Seq.tabulate(h * w)(i => (i / w, i % w, px(i)))
+          .toDF("i", "j", "v"), s"arr$trial", h, w, ch, cw)
+      val typed = TBlock.fromBlocks(blocks, dt)
+      val before = typed.collect().map(b => b.idx -> b.data.toSeq).toMap
+      val dir = tmp(s"prop$trial")
+      ZarrStore.writeTyped(typed, dir, gzipLevel = gz)
+      val back = ZarrStore.readTyped(spark, dir).collect()
+      assert(back.map(b => b.idx -> b.data.toSeq).toMap == before,
+        s"trial $trial: ${dt.name} $h x $w chunk ($ch,$cw) gz=$gz diverged")
+      assert(back.forall(b => b.arrayShape == Seq(h, w) && b.chunk == Seq(ch, cw)
+        && b.dtype == dt.name), s"trial $trial: geometry lost")
+    }
+  }
+
   test("single-array read by name; unknown array and foreign compressor fail loudly") {
     val dir = tmp("multi")
     ZarrStore.writeTyped(u16Raster, dir)
