@@ -1759,8 +1759,13 @@ object TextOps {
   private def unigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
-    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // corpus total as a 1-row broadcast cross join, NOT an empty-partition
+    // window — the window form funnels the whole vocab table through one
+    // reducer for a sort it doesn't need (r13; was the last
+    // single-partition window in the engine)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val lm = counts.crossJoin(broadcast(total))
       .select(col("tok"), (-log(col("cnt").cast("double") / col("total"))).as("nll"))
     (tok, lm)
   }
