@@ -460,7 +460,11 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_HH").map(_ == "1").getOrElse(curOn)) {
       try {
         graft.functions.GraftExtensions.install(spark)
-        val n = sys.env.getOrElse("SPARK_GRAFT_HH_ROWS", "8000000").toLong
+        // default 32M: at 8M the naive GROUP BY's wall is bistable
+        // (0.5–3 s depending on shuffle-buffer warmth — the whole
+        // shuffle intermittently stays in memory), while at 32M the
+        // bounded-vs-full-shuffle gap is robust in any JVM state
+        val n = sys.env.getOrElse("SPARK_GRAFT_HH_ROWS", "32000000").toLong
         def tokens = spark.range(n).selectExpr(
           // (id div 4) % 16 is uniform over the id % 4 < 2 subset (the
           // naive id % 16 only reaches 8 residues there)
@@ -495,18 +499,48 @@ object Bench {
         }
         def med3(f: => Unit): Double =
           Seq(time(f), time(f), time(f)).sorted.apply(1)
-        val mgS = med3 { mgDf.count(): Unit }
-        val nvS = med3 { naiveDf.count(): Unit }
-        // generation-only baseline: both plans embed the md5 stream
-        // generator, so the OPERATOR cost is (plan − gen). MG reads the
-        // stream twice (summary + verify), naive once — so MG's operator
-        // cost ≈ mg_s − 2·gen_s, naive's ≈ naive_s − gen_s.
-        val genS = med3 {
-          tokens.agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.col("tok"))).collect(): Unit
+        // SHUFFLE BYTES are the deterministic figure (wall-clock can't
+        // carry the claim on one box: with local in-memory shuffle and
+        // compression off, the naive plan's wall is bistable — the OS
+        // absorbs the exchange — while at 100 TB the exchange crosses a
+        // NETWORK; bytes moved per plan is exactly what changes there).
+        // Collected via a task-metrics listener; one settle pause after
+        // each run because the listener bus is async.
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
         }
-        hhJson = s""","hh_highcard":{"rows":$n,"distinct_approx":${n / 2},""" +
-          s""""gen_s":$genS,"mg_s":$mgS,"naive_groupby_s":$nvS}"""
+        spark.sparkContext.addSparkListener(listener)
+        def shuffled(f: => Unit): Long = {
+          Thread.sleep(300); shuffleBytes.set(0)
+          f
+          Thread.sleep(500); shuffleBytes.get()
+        }
+        try {
+          val mgS = med3 { mgDf.count(): Unit }
+          val nvS = med3 { naiveDf.count(): Unit }
+          val mgBytes = shuffled { mgDf.count(): Unit }
+          val nvBytes = shuffled { naiveDf.count(): Unit }
+          require(mgBytes * 10 < nvBytes,
+            s"hh_highcard: MG shuffled $mgBytes B — not an order of magnitude " +
+              s"under the naive plan's $nvBytes B (bounded-buffer claim broken)")
+          // generation-only baseline: both plans embed the md5 stream
+          // generator, so the OPERATOR cost is (plan − gen). MG reads the
+          // stream twice (summary + verify), naive once — so MG's operator
+          // cost ≈ mg_s − 2·gen_s, naive's ≈ naive_s − gen_s.
+          val genS = med3 {
+            tokens.agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.col("tok"))).collect(): Unit
+          }
+          hhJson = s""","hh_highcard":{"rows":$n,"distinct_approx":${n / 2},""" +
+            s""""gen_s":$genS,"mg_s":$mgS,"naive_groupby_s":$nvS,""" +
+            s""""mg_shuffle_mb":${mgBytes / 1e6},""" +
+            s""""naive_shuffle_mb":${nvBytes / 1e6}}"""
+        } finally spark.sparkContext.removeSparkListener(listener)
       } catch {
         case e: Throwable =>
           failed += "hh_highcard"

@@ -112,7 +112,7 @@ if run_cur:
     # hh_highcard twin: the SAME deterministic zipf-ish generator as
     # graft.Bench's leg (16 hot tokens ~3.1% each + unique md5 tails),
     # naive full-cardinality GROUP BY ... HAVING. Rows via GRAFT_HH_ROWS.
-    n = int(os.environ.get("GRAFT_HH_ROWS", "8000000"))
+    n = int(os.environ.get("GRAFT_HH_ROWS", "32000000"))
     hh_sql = f"""
       WITH tk AS (
         SELECT CASE WHEN i % 4 < 2 THEN 'hot_' || ((i // 4) % 16)::VARCHAR
