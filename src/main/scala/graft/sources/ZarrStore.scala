@@ -116,6 +116,8 @@ object ZarrStore {
       try out.write(bytes) finally out.close()
     }
     writeFile(new Path(base, ".zgroup"), """{"zarr_format":2}""".getBytes(UTF_8))
+    val consolidated = scala.collection.mutable.ArrayBuffer(
+      "\".zgroup\":{\"zarr_format\":2}")
     for (r <- m) {
       val compShape = r.getSeq[Int](r.fieldIndex("arrayShape"))
       val compChunk = r.getSeq[Int](r.fieldIndex("chunk"))
@@ -132,9 +134,17 @@ object ZarrStore {
         else (compShape, compChunk)
       val adir = new Path(base, r.getString(0))
       fs.mkdirs(adir)
-      writeFile(new Path(adir, ".zarray"),
-        jsonOf(ZArray(r.getString(0), shape, chunk, dtype, gzipLevel)).getBytes(UTF_8))
+      val zaJson = jsonOf(ZArray(r.getString(0), shape, chunk, dtype, gzipLevel))
+      writeFile(new Path(adir, ".zarray"), zaJson.getBytes(UTF_8))
+      consolidated += s""""${r.getString(0)}/.zarray":$zaJson"""
     }
+    // consolidated metadata (the zarr-python `consolidate_metadata`
+    // convention): ONE object holding every array descriptor, so an
+    // object-store reader opens the group with a single GET instead of
+    // a LIST + per-array fetch — [[arrays]] prefers it when present
+    writeFile(new Path(base, ".zmetadata"),
+      (s"""{"zarr_consolidated_format":1,"metadata":{""" +
+        consolidated.mkString(",") + "}}").getBytes(UTF_8))
 
     // chunk objects: executor-side, one pass, no shuffle; edge blocks
     // pad to the full chunk shape with zero fill per the spec
@@ -207,11 +217,28 @@ object ZarrStore {
     ZArray(name, arr("shape"), arr("chunks"), dtype, gz)
   }
 
-  /** The group's array descriptors (driver-side: |arrays| tiny files). */
+  /** The group's array descriptors. Prefers `.zmetadata` (consolidated —
+    * ONE read, the object-store path); falls back to listing array
+    * directories for groups written by tools that don't consolidate. */
   def arrays(spark: SparkSession, dir: String): Seq[ZArray] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+    val zm = new Path(base, ".zmetadata")
+    if (fs.exists(zm)) {
+      val in = fs.open(zm)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // entries look like "name/.zarray":{...}; the value allows ONE
+      // level of brace nesting (the compressor object) — matched with an
+      // explicit nested-or-flat alternation, not a non-greedy dot (which
+      // would cut at the compressor's closing brace)
+      val entry = ("\"([^\"/]+)/\\.zarray\"\\s*:\\s*" +
+        "(\\{(?:[^{}]|\\{[^{}]*\\})*\\})").r
+      val out = entry.findAllMatchIn(json)
+        .map(g => parseZArray(g.group(1), g.group(2))).toSeq.sortBy(_.name)
+      require(out.nonEmpty, s"zarr: .zmetadata under $dir holds no arrays")
+      out
+    } else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
       val za = new Path(st.getPath, ".zarray")
       if (!fs.exists(za)) None
       else {

@@ -171,6 +171,24 @@ class ZarrStoreSpec extends SparkSpec {
     }
   }
 
+  test(".zmetadata consolidates every descriptor; reads work with AND without it") {
+    val dir = tmp("zmeta")
+    ZarrStore.writeTyped(u16Raster, dir, gzipLevel = Some(3))
+    val zm = Files.readString(Paths.get(dir, ".zmetadata"))
+    assert(zm.contains("\"zarr_consolidated_format\":1"), zm)
+    assert(zm.contains("\"events_raster/.zarray\""), zm)
+    // consolidated read path (one GET on an object store)
+    val viaMeta = ZarrStore.arrays(spark, dir)
+    assert(viaMeta.map(_.name) == Seq("events_raster") &&
+      viaMeta.head.gzipLevel == Some(3) && viaMeta.head.dtype == "uint16",
+      s"consolidated parse wrong: $viaMeta")
+    // groups written WITHOUT consolidation (other tools) still read
+    Files.delete(Paths.get(dir, ".zmetadata"))
+    val viaList = ZarrStore.arrays(spark, dir)
+    assert(viaList == viaMeta, "listing fallback diverged from .zmetadata")
+    assert(ZarrStore.readTyped(spark, dir).count() == 12L)
+  }
+
   test("single-array read by name; unknown array and foreign compressor fail loudly") {
     val dir = tmp("multi")
     ZarrStore.writeTyped(u16Raster, dir)
