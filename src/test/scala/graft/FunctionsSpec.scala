@@ -195,6 +195,44 @@ class FunctionsSpec extends SparkSpec {
     assert(verified == exact, s"verified=$verified exact=$exact")
   }
 
+  test("misra_gries offset-counter update is bit-identical to the textbook algorithm") {
+    // r13: update moved to the offset representation (base+=1, histogram
+    // death detection, lazy eviction). This pins LOGICAL-state equality
+    // against a literal textbook simulation on the adversarial shape the
+    // offset trick exists for: SEMI-HOT terms that survive decrement-alls
+    // (so entries don't die in batches and the lazy bookkeeping is live),
+    // interleaved with unique-miss pressure. Single partition ⇒ the
+    // aggregate sees the exact stream order the simulation replays.
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val semiHot = (0 until 100).map(i => s"semi_$i") // > k=64 of them
+    val stream = (0 until 20000).map { i =>
+      if (rnd.nextInt(10) < 6) semiHot(rnd.nextInt(semiHot.size))
+      else s"uniq_${i}_${rnd.nextInt(1000000)}"
+    }
+    // textbook MG, k=64: hit +1; room insert; else decrement-all drop-0
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- stream) {
+      if (m.contains(t)) m(t) += 1
+      else if (m.size < 64) m(t) = 1L
+      else {
+        val dead = m.collect { case (k, 1L) => k }.toSeq
+        for (k <- m.keys.toSeq) m(k) -= 1
+        dead.foreach(m.remove)
+      }
+    }
+    val out = stream.toDF("tok").coalesce(1)
+      .agg(org.apache.spark.sql.functions.expr("misra_gries(tok)").as("s"))
+      .select($"s.n", $"s.terms").head()
+    assert(out.getLong(0) == stream.length.toLong)
+    assert(out.getSeq[String](1).toSet == m.keySet.toSet,
+      s"offset-counter keys diverged from textbook: extra=" +
+        s"${out.getSeq[String](1).toSet -- m.keySet} missing=" +
+        s"${m.keySet -- out.getSeq[String](1).toSet}")
+  }
+
   test("misra_gries survives newline/tab-bearing terms across the shuffle and rejects non-strings") {
     graft.functions.GraftExtensions.install(spark)
     val s = spark
