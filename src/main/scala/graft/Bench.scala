@@ -453,8 +453,8 @@ object Bench {
     // zipf-ish stream INSIDE the query (spark.range + md5; no fixture
     // file, identical generator SQL in the DuckDB twin): 50% of rows
     // spread over 16 hot tokens (~3.1% each, all above the 2%
-    // threshold), 50% unique md5 tokens — at the default 8M rows that
-    // is ~4M distinct terms. Both plans must return the SAME 16 terms;
+    // threshold), 50% unique md5 tokens — at the default 32M rows that
+    // is ~16M distinct terms. Both plans must return the SAME 16 terms;
     // the artifact rows are the medians of 3 after 1 warm-up.
     var hhJson = ""
     if (sys.env.get("SPARK_GRAFT_HH").map(_ == "1").getOrElse(curOn)) {

@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
@@ -75,109 +75,129 @@ object ZarrStore {
 
   /** Write a NATIVE-dtype block tensor as one zarr v2 group: one array
     * per imageId. `gzipLevel` Some(1..9) stores numcodecs-gzip chunks;
-    * None stores raw chunks (`"compressor": null`). Overwrites. */
+    * None stores raw chunks (`"compressor": null`). Overwrites.
+    *
+    * ONE pass over the blocks (r13 review): the chunk-writing
+    * foreachPartition also accumulates each partition's distinct
+    * per-image geometry (a |images|-bounded driver set), so the input
+    * lineage is never computed twice. Metadata (`.zarray`/`.zgroup`/
+    * `.zmetadata`) is validated and written LAST — the commit marker: a
+    * failed or geometry-inconsistent write leaves no descriptors, so
+    * readers see nothing rather than a corrupt group. */
   def writeTyped(blocks: Dataset[TBlock], dir: String,
       gzipLevel: Option[Int] = None): Unit = {
     val spark = blocks.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
-    val fs = base.getFileSystem(hconf)
-    // no `.crc` sidecars (ChecksumFileSystem on file:) — the directory
-    // must hold ONLY spec objects for foreign zarr clients
-    fs.setWriteChecksum(false)
-    fs.delete(base, true)
-    fs.mkdirs(base)
+    // UNCACHED FileSystem instances throughout: setWriteChecksum on the
+    // shared cached instance would disable `.crc` sidecars for every
+    // later user of that filesystem in this JVM; the uncached instance
+    // scopes the no-sidecar behavior (the directory must hold ONLY spec
+    // objects for foreign zarr clients) to this write, and is closed.
+    val fs = FileSystem.newInstance(base.toUri, hconf)
+    try {
+      fs.setWriteChecksum(false)
+      fs.delete(base, true)
+      fs.mkdirs(base)
 
-    // manifest: per-image geometry + dtype, with the same disagreement
-    // guards as TensorStore (mixed grids/dtypes must fail, not corrupt)
-    val m = blocks.toDF().groupBy(col("imageId"))
-      .agg(count_distinct(struct(col("arrayShape"), col("chunk"))).as("n_geom"),
-        count_distinct(col("dtype")).as("n_dtype"),
-        first(col("arrayShape")).as("arrayShape"),
-        first(col("chunk")).as("chunk"),
-        first(col("dtype")).as("dtype"))
-      .orderBy(col("imageId"))
-      .collect()
-    require(m.forall(_.getAs[Long]("n_geom") == 1L),
-      "zarr write: blocks of one imageId must share arrayShape+chunk")
-    require(m.forall(_.getAs[Long]("n_dtype") == 1L),
-      "zarr write: blocks of one imageId must share one dtype")
-
-    def jsonOf(z: ZArray): String = {
-      val comp = z.gzipLevel
-        .map(l => s"""{"id":"gzip","level":$l}""").getOrElse("null")
-      s"""{"zarr_format":2,"shape":[${z.shape.mkString(",")}],""" +
-        s""""chunks":[${z.chunks.mkString(",")}],"dtype":"${z.typestr}",""" +
-        s""""compressor":$comp,"fill_value":0,"order":"C",""" +
-        s""""filters":null,"dimension_separator":"."}"""
-    }
-    def writeFile(p: Path, bytes: Array[Byte]): Unit = {
-      val out = fs.create(p, true)
-      try out.write(bytes) finally out.close()
-    }
-    writeFile(new Path(base, ".zgroup"), """{"zarr_format":2}""".getBytes(UTF_8))
-    val consolidated = scala.collection.mutable.ArrayBuffer(
-      "\".zgroup\":{\"zarr_format\":2}")
-    for (r <- m) {
-      val compShape = r.getSeq[Int](r.fieldIndex("arrayShape"))
-      val compChunk = r.getSeq[Int](r.fieldIndex("chunk"))
-      val dtype = r.getAs[String]("dtype")
-      require(typestrOf.contains(dtype), s"zarr: unsupported dtype $dtype")
-      if (isComplex(dtype)) {
-        require(compShape.last % 2 == 0 && compChunk.last % 2 == 0,
-          s"zarr: complex payload must have even component last axis, " +
-            s"got shape $compShape chunk $compChunk")
-      }
-      val (shape, chunk) =
-        if (isComplex(dtype))
-          (compShape.init :+ compShape.last / 2, compChunk.init :+ compChunk.last / 2)
-        else (compShape, compChunk)
-      val adir = new Path(base, r.getString(0))
-      fs.mkdirs(adir)
-      val zaJson = jsonOf(ZArray(r.getString(0), shape, chunk, dtype, gzipLevel))
-      writeFile(new Path(adir, ".zarray"), zaJson.getBytes(UTF_8))
-      consolidated += s""""${r.getString(0)}/.zarray":$zaJson"""
-    }
-    // consolidated metadata (the zarr-python `consolidate_metadata`
-    // convention): ONE object holding every array descriptor, so an
-    // object-store reader opens the group with a single GET instead of
-    // a LIST + per-array fetch — [[arrays]] prefers it when present
-    writeFile(new Path(base, ".zmetadata"),
-      (s"""{"zarr_consolidated_format":1,"metadata":{""" +
-        consolidated.mkString(",") + "}}").getBytes(UTF_8))
-
-    // chunk objects: executor-side, one pass, no shuffle; edge blocks
-    // pad to the full chunk shape with zero fill per the spec
-    val conf = new SerializableConfiguration(hconf)
-    blocks.foreachPartition { (it: Iterator[TBlock]) =>
-      val root = new Path(dir)
-      val xfs = root.getFileSystem(conf.value)
-      xfs.setWriteChecksum(false)
-      it.foreach { b =>
-        val w = b.dt.bytes
-        val full =
-          if (b.shape == b.chunk) b.data
-          else {
-            val dst = BNd.zeros(b.chunk.toArray, w)
-            dst.copyRegion(BNd.of(b.shape.toArray, w, b.data),
-              new Array[Int](b.ndim), b.shape.toArray, new Array[Int](b.ndim))
-            dst.data
-          }
-        val payload = gzipLevel match {
-          case None => full
-          case Some(l) =>
-            val bos = new ByteArrayOutputStream(full.length / 2 + 64)
-            val gz = new GZIPOutputStream(bos) {
-              `def`.setLevel(l)
+      // chunk objects + per-partition geometry harvest: executor-side,
+      // one pass, no shuffle; edge blocks pad to the full chunk shape
+      // with zero fill per the spec
+      val conf = new SerializableConfiguration(hconf)
+      type Geo = (String, Seq[Int], Seq[Int], String)
+      val geoAcc: org.apache.spark.util.CollectionAccumulator[Geo] =
+        spark.sparkContext.collectionAccumulator[Geo]("zarr_geometries")
+      blocks.foreachPartition { (it: Iterator[TBlock]) =>
+        val root = new Path(dir)
+        val xfs = FileSystem.newInstance(root.toUri, conf.value)
+        val seen = scala.collection.mutable.Set
+          .empty[(String, Seq[Int], Seq[Int], String)]
+        try {
+          xfs.setWriteChecksum(false)
+          it.foreach { b =>
+            seen += ((b.imageId, b.arrayShape, b.chunk, b.dtype))
+            val w = b.dt.bytes
+            val full =
+              if (b.shape == b.chunk) b.data
+              else {
+                val dst = BNd.zeros(b.chunk.toArray, w)
+                dst.copyRegion(BNd.of(b.shape.toArray, w, b.data),
+                  new Array[Int](b.ndim), b.shape.toArray, new Array[Int](b.ndim))
+                dst.data
+              }
+            val payload = gzipLevel match {
+              case None => full
+              case Some(l) =>
+                val bos = new ByteArrayOutputStream(full.length / 2 + 64)
+                val gz = new GZIPOutputStream(bos) {
+                  `def`.setLevel(l)
+                }
+                // close(), not just finish(): close ends the native
+                // Deflater — finish alone leaks its zlib buffers until GC
+                try gz.write(full) finally gz.close()
+                bos.toByteArray
             }
-            gz.write(full); gz.finish()
-            bos.toByteArray
-        }
-        val out = xfs.create(
-          new Path(new Path(root, b.imageId), b.idx.mkString(".")), true)
-        try out.write(payload) finally out.close()
+            val adir = new Path(root, b.imageId)
+            xfs.mkdirs(adir)
+            val out = xfs.create(new Path(adir, b.idx.mkString(".")), true)
+            try out.write(payload) finally out.close()
+          }
+          seen.foreach(geoAcc.add)
+        } finally xfs.close()
       }
-    }
+
+      // manifest from the harvested geometries, with the same
+      // disagreement guards as TensorStore (mixed grids/dtypes must
+      // fail, not corrupt — and they fail BEFORE any descriptor lands)
+      import scala.jdk.CollectionConverters._
+      val byImage: Map[String, Set[Geo]] =
+        geoAcc.value.asScala.toSet[Geo].groupBy(_._1)
+      for ((id, geoms) <- byImage) {
+        require(geoms.map(g => (g._2, g._3)).size == 1,
+          s"zarr write: blocks of one imageId must share arrayShape+chunk ($id)")
+        require(geoms.map(_._4).size == 1,
+          s"zarr write: blocks of one imageId must share one dtype ($id)")
+      }
+
+      def jsonOf(z: ZArray): String = {
+        val comp = z.gzipLevel
+          .map(l => s"""{"id":"gzip","level":$l}""").getOrElse("null")
+        s"""{"zarr_format":2,"shape":[${z.shape.mkString(",")}],""" +
+          s""""chunks":[${z.chunks.mkString(",")}],"dtype":"${z.typestr}",""" +
+          s""""compressor":$comp,"fill_value":0,"order":"C",""" +
+          s""""filters":null,"dimension_separator":"."}"""
+      }
+      def writeFile(p: Path, bytes: Array[Byte]): Unit = {
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+      writeFile(new Path(base, ".zgroup"), """{"zarr_format":2}""".getBytes(UTF_8))
+      val consolidated = scala.collection.mutable.ArrayBuffer(
+        "\".zgroup\":{\"zarr_format\":2}")
+      for (id <- byImage.keys.toSeq.sorted) {
+        val (_, compShape, compChunk, dtype) = byImage(id).head
+        require(typestrOf.contains(dtype), s"zarr: unsupported dtype $dtype")
+        if (isComplex(dtype)) {
+          require(compShape.last % 2 == 0 && compChunk.last % 2 == 0,
+            s"zarr: complex payload must have even component last axis, " +
+              s"got shape $compShape chunk $compChunk")
+        }
+        val (shape, chunk) =
+          if (isComplex(dtype))
+            (compShape.init :+ compShape.last / 2, compChunk.init :+ compChunk.last / 2)
+          else (compShape, compChunk)
+        val zaJson = jsonOf(ZArray(id, shape, chunk, dtype, gzipLevel))
+        writeFile(new Path(new Path(base, id), ".zarray"), zaJson.getBytes(UTF_8))
+        consolidated += s""""$id/.zarray":$zaJson"""
+      }
+      // consolidated metadata (the zarr-python `consolidate_metadata`
+      // convention): ONE object holding every array descriptor, so an
+      // object-store reader opens the group with a single GET instead of
+      // a LIST + per-array fetch — [[arrays]] prefers it when present
+      writeFile(new Path(base, ".zmetadata"),
+        (s"""{"zarr_consolidated_format":1,"metadata":{""" +
+          consolidated.mkString(",") + "}}").getBytes(UTF_8))
+    } finally fs.close()
   }
 
   /** Parse one `.zarray` JSON (field-order tolerant over the subset of
@@ -211,6 +231,13 @@ object ZarrStore {
     val orderRe = "\"order\"\\s*:\\s*\"([^\"]+)\"".r
     for (o <- orderRe.findFirstMatchIn(json).map(_.group(1)))
       require(o == "C", s"zarr: only C order is supported, got '$o'")
+    // a filter chain (numcodecs Delta/Shuffle/…) transforms the chunk
+    // bytes BEFORE the compressor; reading one as raw would return
+    // residuals, not values — fail loudly, never corrupt silently
+    for (f <- "\"filters\"\\s*:\\s*(null|\\[[^\\]]*\\])".r
+        .findFirstMatchIn(json).map(_.group(1)))
+      require(f == "null" || f.replaceAll("\\s", "") == "[]",
+        s"zarr: filter chains are not supported, got filters=$f")
     for (sep <- "\"dimension_separator\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(json).map(_.group(1)))
       require(sep == ".", s"zarr: only '.' dimension_separator is supported")

@@ -203,5 +203,17 @@ class ZarrStoreSpec extends SparkSpec {
       ZarrStore.parseZArray("x", blosc)
     }
     assert(e2.getMessage.contains("unsupported compressor"))
+    // a filter chain would make raw chunk bytes residuals, not values —
+    // must fail loudly, never decode silently wrong
+    val filtered = """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<i4",""" +
+      """"compressor":null,"fill_value":0,"order":"C",""" +
+      """"filters":[{"id":"delta","dtype":"<i4"}]}"""
+    val e3 = intercept[IllegalArgumentException] {
+      ZarrStore.parseZArray("x", filtered)
+    }
+    assert(e3.getMessage.contains("filter chains are not supported"), e3.getMessage)
+    // explicit empty list and null both mean "no filters" per the spec
+    assert(ZarrStore.parseZArray("x",
+      filtered.replace("""[{"id":"delta","dtype":"<i4"}]""", "[]")).dtype == "int32")
   }
 }

@@ -111,8 +111,11 @@ if run_cur:
     cur_json = f',"curation":{{{cq}}},"curation_total":{sum(cur.values())}'
     # hh_highcard twin: the SAME deterministic zipf-ish generator as
     # graft.Bench's leg (16 hot tokens ~3.1% each + unique md5 tails),
-    # naive full-cardinality GROUP BY ... HAVING. Rows via GRAFT_HH_ROWS.
-    n = int(os.environ.get("GRAFT_HH_ROWS", "32000000"))
+    # naive full-cardinality GROUP BY ... HAVING. Rows honor the SAME
+    # env var as the Spark leg (SPARK_GRAFT_HH_ROWS) so one export
+    # scales both sides of the comparison.
+    n = int(os.environ.get("SPARK_GRAFT_HH_ROWS",
+                           os.environ.get("GRAFT_HH_ROWS", "32000000")))
     hh_sql = f"""
       WITH tk AS (
         SELECT CASE WHEN i % 4 < 2 THEN 'hot_' || ((i // 4) % 16)::VARCHAR
