@@ -1849,7 +1849,15 @@ object TextOps {
     *      ntile arithmetic from the per-lang count closes it.
     * Ties on doc_nll land in one bucket by construction (bucket is a
     * function of doc_nll alone), so bucket-major + in-bucket
-    * (doc_nll, doc_id) order IS the global (doc_nll, doc_id) order. */
+    * (doc_nll, doc_id) order IS the global (doc_nll, doc_id) order.
+    *
+    * Bound: value-based bucketing cannot split TIES, so a language
+    * whose docs all share one rounded NLL degenerates back to a
+    * single-reducer sort for that language — the inherent limit of
+    * ranking by (value, id) without shuffling on id. Real NLLs at 6 dp
+    * are effectively unique per doc; a corpus pathological enough to
+    * tie a whole language is one where the tercile is meaningless
+    * anyway. */
   private[graft] def bucketedNtile(s: SparkSession, perDoc: DataFrame, k: Int): DataFrame =
     bucketedNtileDebug(s, perDoc, k).drop("bucket", "lr", "off", "rnk", "n_lang")
 
