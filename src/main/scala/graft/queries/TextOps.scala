@@ -481,13 +481,40 @@ object TextOps {
   /** MinHash LSH candidate pairs (da, db) — factored out un-checkpointed
     * so PlanShapeSpec can assert the plan shape (one md5 pass, banded
     * bucket join, no cartesian). */
+  /** The 3-gram distinct-shingle array over a token array column `t` —
+    * the Spark twin of [[shingleCte]]'s `sh` (streaming near-dedup and
+    * the batch candidates must share it; a drifted copy would let the
+    * two pipelines hash different shingle sets). */
+  private[graft] val shingleArrayExpr: String =
+    "array_distinct(transform(sequence(0, size(t)-3), " +
+      "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+
+  /** The 32-permutation (h1 + i·h2) mod p MinHash fold over a
+    * distinct-shingle array column `sh` (see the family note at
+    * [[minhashNearDup]]); ONE aggregate() so the md5/conv pass
+    * evaluates once per row. Shared by batch candidates and the
+    * streaming near-dedup filter. */
+  private[graft] val minhashSigFoldExpr: String =
+    """aggregate(
+      |  transform(transform(sh, s -> md5(s)), m -> named_struct(
+      |    'h1', CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT),
+      |    'h2', CAST(conv(substring(m, 17, 15), 16, 10) AS BIGINT) % 1000000007)),
+      |  array_repeat(CAST(4294967291 AS BIGINT), 32),
+      |  (acc, h) -> zip_with(acc, sequence(0, 31),
+      |    (a, i) -> least(a, (h.h1 + i * h.h2) % 4294967291)))"""
+      .stripMargin
+
+  /** 8 LSH band keys (4 signature rows each) over a `sig` column. */
+  private[graft] val bandKeysExpr: String =
+    "transform(sequence(0, 7), b -> concat_ws('|', b, " +
+      "sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"
+
   private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
     // signature: array of 32 min-hashes per doc — 1 md5 + 32 affine maps
     val sigs = docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .select(col("doc_id"), expr(shingleArrayExpr).as("sh"))
       // ONE expression: a fold over the shingle hashes updating all 32
       // mins per step. Shape matters — a two-select version (hs in one
       // projection, per-i transform over it in the next) gets COLLAPSED
@@ -495,19 +522,10 @@ object TextOps {
       // and re-evaluating it 32× per row (measured 1.5× SLOWER than the
       // 32-md5 form it replaced). aggregate() evaluates its input array
       // exactly once per row, so the md5+conv pass stays single.
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(transform(sh, s -> md5(s)), m -> named_struct(
-          |    'h1', CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT),
-          |    'h2', CAST(conv(substring(m, 17, 15), 16, 10) AS BIGINT) % 1000000007)),
-          |  array_repeat(CAST(4294967291 AS BIGINT), 32),
-          |  (acc, h) -> zip_with(acc, sequence(0, 31),
-          |    (a, i) -> least(a, (h.h1 + i * h.h2) % 4294967291)))"""
-          .stripMargin).as("sig"))
+      .select(col("doc_id"), expr(minhashSigFoldExpr).as("sig"))
     // bands: 8 buckets of 4 signature entries each
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, 7), b -> concat_ws('|', b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
-      .as(Seq("band", "bucket")))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(bandKeysExpr)).as(Seq("band", "bucket")))
     bands.as("x").join(bands.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))

@@ -437,6 +437,140 @@ object StreamOps {
     cut
   }
 
+  /** Streaming INCREMENTAL near-duplicate filter (r13): docs arrive in
+    * ingest order and each is kept iff no EARLIER doc (any prior
+    * micro-batch, or earlier in this one) shares an LSH band bucket
+    * with MinHash-signature agreement ≥ 26/32 (≈ estimated jaccard
+    * 0.8) — the live-crawl twin of `minhash_near_dup`, using the SAME
+    * shingle/signature/band expressions (TextOps.shingleArrayExpr /
+    * minhashSigFoldExpr / bandKeysExpr), so the DuckDB oracle replays
+    * them exactly. Signature agreement (not exact-jaccard verify) is
+    * the streaming-feasible verifier: state per band bucket holds only
+    * (doc_id, 32-long signature) — ~300 B per doc per band, never the
+    * text — and the key is the BUCKET, so state shards across all
+    * executors (a production deployment adds GroupStateTimeout
+    * eviction; the gate runs unbounded). Shingle-less docs (< 3
+    * tokens) ride a per-doc sentinel bucket: group of one, never
+    * collides, still counted. Per-bucket verdicts drain append-mode;
+    * the final per-source roll-up is batch post-processing. */
+  val streamNearDedup: Q = (s, dir) => streamNearDedupWith(s, dir, 1)
+
+  /** `filesPerTrigger` parameterized for the trigger-invariance spec
+    * (1 = four micro-batches, 4 = one batch — results must be equal). */
+  private[graft] def streamNearDedupWith(s: SparkSession, dir: String,
+      filesPerTrigger: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val inDir = freshDir(dir, "neardup_stream")
+    // fixture: 4 doc_id-RANGE shards as jsonl with increasing mtimes, so
+    // the file stream's timestamp order IS ingest order and keep-first
+    // crosses micro-batch boundaries
+    val rows = graft.Tables.t(s, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val per = (rows.length + 3) / 4
+    for (k <- 0 until 4) {
+      val part = rows.slice(k * per, math.min((k + 1) * per, rows.length))
+      val body = part.map { case (id, src, tx) =>
+        s"""{"doc_id":$id,"source":"${esc(src)}","text":"${esc(tx)}"}"""
+      }.mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(inDir, f"docs_$k%02d.jsonl")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.jsonl")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .json(inDir)
+    import graft.queries.TextOps.{bandKeysExpr, minhashSigFoldExpr, shingleArrayExpr}
+    val bands = stream
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .withColumn("sh", expr(shingleArrayExpr))
+      .withColumn("sig",
+        when(size(col("t")) >= 3, expr(minhashSigFoldExpr)))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("sig").isNotNull, expr(bandKeysExpr))
+          .otherwise(array(concat(lit("solo|"), col("doc_id"))))).as("bucket"),
+        col("sig"))
+    val verdicts = bands.as[(Long, String, String, Seq[Long])]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[(Long, String, String, Seq[Long])],
+            state: GroupState[BucketSigs]) => {
+          var hist = state.getOption.map(_.sigs).getOrElse(List.empty)
+          val out = it.toSeq.sortBy(_._1).map { case (id, src, _, sig) =>
+            val sa = Option(sig).map(_.toArray).orNull
+            val collide = sa != null && hist.exists { case (pid, psig) =>
+              pid < id && {
+                var eq = 0
+                var i = 0
+                while (i < 32) { if (psig(i) == sa(i)) eq += 1; i += 1 }
+                eq >= 26
+              }
+            }
+            if (sa != null) hist = (id, sa) :: hist
+            (id, src, collide)
+          }
+          state.update(BucketSigs(hist))
+          out.iterator
+        })
+    drain(verdicts.toDF("doc_id", "source", "collide"), OutputMode.Append())
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("collide")).as("dropped"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: replay shingles → (h1 + i·h2) signatures → bands →
+    * bucket-collision candidates → per-pair signature agreement ≥ 26 —
+    * a doc is dropped iff some earlier (smaller doc_id) doc collides. */
+  val streamNearDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+      |hashed AS (
+      |  SELECT doc_id, i, min((h1 + i * h2) % 4294967291) AS h
+      |  FROM (SELECT doc_id,
+      |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+      |          ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+      |        FROM sh)
+      |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      |  GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    (i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i) AS bucket
+      |  FROM hashed GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+      |agree AS (
+      |  SELECT c.da, c.db, count(*) AS eq
+      |  FROM cand c
+      |  JOIN hashed ha ON ha.doc_id = c.da
+      |  JOIN hashed hb ON hb.doc_id = c.db AND hb.i = ha.i AND hb.h = ha.h
+      |  GROUP BY 1, 2),
+      |dropped AS (SELECT DISTINCT db AS doc_id FROM agree WHERE eq >= 26)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(count(d.doc_id) AS BIGINT) AS n_dropped
+      |FROM documents LEFT JOIN dropped d USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Streaming curation gate: the Gopher quality filter over the
     * documents table as a FILE STREAM — the shape a live crawl feed
     * runs (docs arrive continuously; the filter is stateless map-side
@@ -470,6 +604,7 @@ object StreamOps {
     "stream_quality_gate" -> streamQualityGate,
     "stream_av_ingest" -> streamAvIngest,
     "stream_av_features" -> streamAvFeatures,
+    "stream_near_dedup" -> streamNearDedup,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -487,8 +622,12 @@ object StreamOps {
     "stream_quality_gate" -> graft.queries.TextOps.qualityGopherSql,
     "stream_av_ingest" -> streamAvIngestSql,
     "stream_av_features" -> streamAvFeaturesSql,
+    "stream_near_dedup" -> streamNearDedupSql,
   )
 }
 
 /** Per-user sessionization state for flatMapGroupsWithState. */
 case class SessionAcc(sessions: Long, events: Long, lastTsNs: Long)
+
+/** Per-band-bucket signature memory for the streaming near-dup filter. */
+case class BucketSigs(sigs: List[(Long, Array[Long])])

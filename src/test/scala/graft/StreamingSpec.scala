@@ -186,6 +186,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("streaming near-dedup is trigger-invariant and actually drops near-dups") {
+    // one-file-per-trigger (4 micro-batches, state crossing every batch
+    // boundary) must equal the all-files-in-one-batch run — the
+    // incremental-state contract; and the fixture must exercise real
+    // drops, else the collision path is dead code
+    val multi = graft.streaming.StreamOps.streamNearDedupWith(spark, sf001, 1)
+      .collect().map(_.toSeq)
+    val single = graft.streaming.StreamOps.streamNearDedupWith(spark, sf001, 4)
+      .collect().map(_.toSeq)
+    assert(multi.nonEmpty && multi.sameElements(single),
+      s"micro-batching changed the near-dedup verdicts")
+    assert(multi.map(_(2).asInstanceOf[Long]).sum > 0,
+      "fixture produced zero near-dup drops — collision path untested")
+  }
+
   test("streaming A/V features equal the batch container kernel row-for-row") {
     // r12-verdict task #6: the micro-batch full decode (frame features +
     // frame-aligned audio energy) must reproduce the batch one-container
