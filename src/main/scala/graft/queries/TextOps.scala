@@ -1105,6 +1105,85 @@ object TextOps {
     * the same anti-join the un-gated operator oracles against. */
   val incrementalDedupBloomSql: String = incrementalDedupSql
 
+  // ------------------------------- incremental NEAR-dup vs sig index
+  /** Snapshot-incremental NEAR-duplicate dedup (r13 — the fuzzy twin of
+    * [[incrementalDedup]], and the batch twin of the streaming
+    * `stream_near_dedup`): a new crawl batch (doc_id ≥ 400) is checked
+    * against the already-ingested corpus's PERSISTED SIGNATURE INDEX —
+    * the narrow (doc_id, sig[32], band buckets) projection a real lake
+    * maintains (~300 B/doc; the corpus text is never touched). A batch
+    * doc is dropped iff some indexed doc shares an LSH band bucket with
+    * signature agreement ≥ 26/32 (≈ estimated jaccard 0.8 — the same
+    * verifier as the stream, where exact shingle re-verification would
+    * need corpus text).
+    *
+    * 100 TB shape: both sides explode to 8 bucket rows and meet in ONE
+    * equi-join on (band, bucket) — the index side is bucket-partitioned
+    * at rest, so only colliding buckets shuffle; the agreement check is
+    * a flat 32-element fold over the two carried signatures (codegen,
+    * no nested HOF). Never all-pairs, never a text read. */
+  val incrementalNearDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def sigsOf(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), expr(shingleArrayExpr).as("sh"))
+      .select(col("doc_id"), col("source"), expr(minhashSigFoldExpr).as("sig"))
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"), col("source"), col("sig"),
+        posexplode(expr(bandKeysExpr)).as(Seq("band", "bucket")))
+    val index = banded(sigsOf(docs.filter(col("doc_id") < 400)))
+      .select(col("doc_id").as("idx_id"), col("sig").as("idx_sig"),
+        col("band"), col("bucket"))
+    val batch = banded(sigsOf(docs.filter(col("doc_id") >= 400)))
+    val collided = batch.join(index, Seq("band", "bucket"))
+      .filter(expr(
+        "aggregate(zip_with(sig, idx_sig, (a, b) -> IF(a = b, 1, 0)), " +
+          "0, (acc, x) -> acc + x) >= 26"))
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= 400)
+      .join(collided.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin: replay signatures/bands split at doc_id 400; a batch
+    * doc drops iff a bucket-sharing indexed doc agrees on ≥ 26 of the
+    * 32 permutation values. */
+  val incrementalNearDedupSql: String =
+    s"""WITH $shingleCte,
+       |hashed AS (
+       |  SELECT doc_id, i, min((h1 + i * h2) % 4294967291) AS h
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+       |          ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+       |        FROM sh)
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    (i // 4)::VARCHAR || '|' || string_agg(h::VARCHAR, '|' ORDER BY i) AS bucket
+       |  FROM hashed GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS bd, x.doc_id AS xd
+       |  FROM bands b JOIN bands x
+       |    ON b.bucket = x.bucket AND b.band = x.band
+       |   AND b.doc_id >= 400 AND x.doc_id < 400),
+       |agree AS (
+       |  SELECT c.bd, c.xd, count(*) AS eq
+       |  FROM cand c
+       |  JOIN hashed ha ON ha.doc_id = c.bd
+       |  JOIN hashed hb ON hb.doc_id = c.xd AND hb.i = ha.i AND hb.h = ha.h
+       |  GROUP BY 1, 2),
+       |dropped AS (SELECT DISTINCT bd AS doc_id FROM agree WHERE eq >= 26)
+       |SELECT source, count(*) AS n_batch,
+       |  CAST(count(d.doc_id) AS BIGINT) AS n_dropped
+       |FROM documents LEFT JOIN dropped d USING (doc_id)
+       |WHERE doc_id >= 400
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------ PII redaction
   /** PII scrubbing (the Dolma/RefinedWeb redaction stage): emails,
     * NANP-style phone numbers and IPv4 addresses are replaced with typed
@@ -2184,6 +2263,7 @@ object TextOps {
     "repetition_stats" -> repetitionStats,
     "incremental_dedup" -> incrementalDedup,
     "incremental_dedup_bloom" -> incrementalDedupBloom,
+    "incremental_near_dedup" -> incrementalNearDedup,
     "pii_redact" -> piiRedact,
     "repeated_ngram_spans" -> repeatedNgramSpans,
     "dup_ngram_doc_filter" -> dupNgramDocFilter,
@@ -2225,6 +2305,7 @@ object TextOps {
     "repetition_stats" -> repetitionStatsSql,
     "incremental_dedup" -> incrementalDedupSql,
     "incremental_dedup_bloom" -> incrementalDedupBloomSql,
+    "incremental_near_dedup" -> incrementalNearDedupSql,
     "pii_redact" -> piiRedactSql,
     "repeated_ngram_spans" -> repeatedNgramSpansSql,
     "dup_ngram_doc_filter" -> dupNgramDocFilterSql,

@@ -301,6 +301,18 @@ class PlanShapeSpec extends SparkSpec {
         s"reused by the cuts/offset consumers:\n$p")
   }
 
+  test("incremental_near_dedup: banded equi-join against the sig index, no cartesian, no text on the index side") {
+    // The persisted-index contract: batch and index meet ONLY on the
+    // (band, bucket) equi-key — a cartesian or nested-loop here is the
+    // corpus×batch blow-up the index exists to avoid — and the index
+    // branch never reads the text column past signature construction.
+    val p = plan("incremental_near_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n$p")
+    assert(p.contains("band") && p.contains("bucket"),
+      s"banded join keys missing:\n$p")
+  }
+
   test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
     // The LM is vocab-sized; shuffling the exploded token stream to meet
     // it would be the classic 100 TB mistake. The only token-keyed
