@@ -1186,9 +1186,45 @@ object TensorQueries {
        |  (CAST(round(v * 1000) AS BIGINT) % 65536 + 65536) % 65536 AS u
        |FROM grid ORDER BY i, j""".stripMargin
 
+  /** Pruned-read twin: the SAME store, read back restricted to leading
+    * grid rows 1..2 — with 20-row chunks that is rows 20..47, and the
+    * restriction prunes at the chunk NAME (glob alternation over
+    * surviving leading indices; no non-matching object is opened —
+    * ZarrStoreSpec proves it by poisoning out-of-range chunks). The
+    * zarr twin of tensor_store_roundtrip's PartitionFilter gate. */
+  val tensorStoreZarrPruned: Q = (s, dir) => {
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tensor_store_zarr_${math.abs(dir.hashCode)}").toString
+    val spark = s
+    import spark.implicits._
+    val u16 = TBlock.fromBlocks(
+      Images.eventsRaster(s, dir, ch = 20, cw = 24).map { b =>
+        b.copy(data = b.data.map(v =>
+          (((math.round(v * 1000) % 65536) + 65536) % 65536).toDouble))
+      }, DType.U16)
+    graft.sources.ZarrStore.writeTyped(u16, store, gzipLevel = Some(1))
+    graft.sources.ZarrStore.readTyped(s, store, frameRange = Some((1, 2)))
+      .flatMap { b =>
+        val h = b.shape(0); val w = b.shape(1)
+        for (i <- 0 until h; j <- 0 until w) yield {
+          val lo = b.data(2 * (i * w + j)) & 0xff
+          val hi = b.data(2 * (i * w + j) + 1) & 0xff
+          (b.origin(0) + i, b.origin(1) + j, (lo | (hi << 8)).toLong)
+        }
+      }.toDF("i", "j", "u")
+      .orderBy(col("i"), col("j"))
+  }
+
+  val tensorStoreZarrPrunedSql: String =
+    s"""WITH $gridCte
+       |SELECT i, j,
+       |  (CAST(round(v * 1000) AS BIGINT) % 65536 + 65536) % 65536 AS u
+       |FROM grid WHERE i >= 20 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtrip,
     "tensor_store_zarr_roundtrip" -> tensorStoreZarrRoundtrip,
+    "tensor_store_zarr_pruned" -> tensorStoreZarrPruned,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8Roundtrip,
     "tensor_store_uint16_roundtrip" -> tensorStoreUint16Roundtrip,
     "tensor_store_int8_roundtrip" -> tensorStoreInt8Roundtrip,
@@ -1233,6 +1269,7 @@ object TensorQueries {
   val oracle: Map[String, String] = Map(
     "tensor_store_roundtrip" -> tensorStoreRoundtripSql,
     "tensor_store_zarr_roundtrip" -> tensorStoreZarrRoundtripSql,
+    "tensor_store_zarr_pruned" -> tensorStoreZarrPrunedSql,
     "tensor_store_uint8_roundtrip" -> tensorStoreUint8RoundtripSql,
     "tensor_store_uint16_roundtrip" -> tensorStoreUint16RoundtripSql,
     "tensor_store_int8_roundtrip" -> tensorStoreInt8RoundtripSql,
