@@ -167,4 +167,49 @@ class PropertySpec extends SparkSpec {
           s"missing hitters ${mustKeep -- summary}")
     }
   }
+
+  test("bucketed ntile/prefix-sum equal their window twins on random groups/sizes/ties/buckets") {
+    // the r13 scale machinery (broadcast histogram cuts + per-bucket
+    // exact offsets) must be bit-identical to the NTILE / running-sum
+    // windows for ANY data shape — random group counts, heavy value
+    // ties, group sizes from 1 to hundreds, bucket counts from 2 to
+    // beyond the data size
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(5)
+      val rows = (0 until nGroups).flatMap { g =>
+        val size = 1 + rnd.nextInt(300)
+        // tie-heavy values: ~size/5 distinct
+        (1 to size).map(i =>
+          (s"g$g", i.toLong, (rnd.nextInt(math.max(size / 5, 1)) * 0.25), rnd.nextInt(50).toLong))
+      }
+      val df = rows.toDF("lang", "doc_id", "doc_nll", "n")
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_nll", $"doc_id")
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val expN = df.withColumn("tier", ntile(3).over(wN))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(4)).toMap
+      val expS = df.withColumn("cum", sum($"n").over(wS))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+      val b = Seq(2, 7, 33, 500)(rnd.nextInt(4))
+      spark.conf.set("graft.tiers.rankBuckets", b.toString)
+      try {
+        val gotN = graft.queries.TextOps.bucketedNtile(spark, df, 3)
+          .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+            -> r.getAs[Int]("tier")).toMap
+        assert(gotN == expN, s"trial $trial (B=$b): ntile diverged")
+        val gotS = graft.queries.TextOps.bucketedPrefixSum(
+            spark, df.drop("doc_nll"), "lang", "doc_id", "n")
+          .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+            -> r.getAs[Long]("cum")).toMap
+        assert(gotS == expS, s"trial $trial (B=$b): prefix sum diverged")
+      } finally spark.conf.unset("graft.tiers.rankBuckets")
+    }
+  }
 }
