@@ -1109,10 +1109,14 @@ object TextOps {
   /** Snapshot-incremental NEAR-duplicate dedup (r13 — the fuzzy twin of
     * [[incrementalDedup]], and the batch twin of the streaming
     * `stream_near_dedup`): a new crawl batch (doc_id ≥ 400) is checked
-    * against the already-ingested corpus's PERSISTED SIGNATURE INDEX —
-    * the narrow (doc_id, sig[32], band buckets) projection a real lake
-    * maintains (~300 B/doc; the corpus text is never touched). A batch
-    * doc is dropped iff some indexed doc shares an LSH band bucket with
+    * against the existing corpus's SIGNATURE INDEX — the narrow
+    * (doc_id, sig[32], band buckets) projection a real lake PERSISTS
+    * (~300 B/doc). In the gate the index is derived inline from the
+    * corpus half (the testdata has no pre-built index table); from the
+    * `banded(index)` relation onward the plan is exactly the
+    * production shape, where that relation is a bucket-partitioned
+    * parquet read and the corpus text is never touched. A batch doc is
+    * dropped iff some indexed doc shares an LSH band bucket with
     * signature agreement ≥ 26/32 (≈ estimated jaccard 0.8 — the same
     * verifier as the stream, where exact shingle re-verification would
     * need corpus text).
