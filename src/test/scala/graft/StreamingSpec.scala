@@ -201,6 +201,87 @@ class StreamingSpec extends SparkSpec {
       "fixture produced zero near-dup drops — collision path untested")
   }
 
+  test("near-dedup bucket state: exact-dup collapse, agreement boundary, LRU cap") {
+    import graft.streaming.{SigEntry, StreamOps}
+    val base = Array.tabulate(32)(i => 1000L + i)
+    // flip the first k signature slots to a value no other sig uses
+    def vary(k: Int): Array[Long] =
+      base.zipWithIndex.map { case (v, i) => if (i < k) -v else v }
+
+    // 100 verbatim copies — the hot-bucket shape that broke the BATCH
+    // path at sf10 pre-collapse: state must stay at ONE entry, every
+    // copy after the first must collide, and each arrival's scan is
+    // over that one entry (n_state == 1 throughout)
+    val copies = (1L to 100L).map(id => (id, "s", base.clone))
+    val (v1, e1) = StreamOps.processBucketArrivals(copies, Nil, 1 << 20)
+    assert(e1.size == 1 && e1.head.firstId == 1L && e1.head.lastHit == 100L)
+    assert(!v1.head._3 && v1.tail.forall(_._3), "verbatim copies must collide")
+    assert(v1.forall(_._4 == 1), "collapse must keep the bucket at one entry")
+
+    // agreement boundary: 25/32 equal slots is below the jaccard-0.8
+    // verifier, 26/32 is at it
+    val (v25, _) = StreamOps.processBucketArrivals(
+      Seq((2L, "s", vary(7))), List(SigEntry(1L, 1L, base)), 1 << 20)
+    assert(!v25.head._3, "25/32 agreement must NOT collide")
+    val (v26, e26) = StreamOps.processBucketArrivals(
+      Seq((2L, "s", vary(6))), List(SigEntry(1L, 1L, base)), 1 << 20)
+    assert(v26.head._3, "26/32 agreement must collide")
+    assert(e26.size == 2, "near-dup with a DISTINCT sig is still a new entry")
+
+    // keep-first guard: an entry first seen by a LATER doc never drops
+    // an earlier one (out-of-order replay safety)
+    val (vG, _) = StreamOps.processBucketArrivals(
+      Seq((2L, "s", base.clone)), List(SigEntry(10L, 10L, base)), 1 << 20)
+    assert(!vG.head._3)
+
+    // LRU cap 2 over three mutually-far sigs (pairwise agreement ≤ 16):
+    // A(1) B(2) insert; A exact-dup at 3 collides and refreshes A's
+    // lastHit; C(4) inserts and evicts B (lastHit 2 < A's 3); a B
+    // replay at 5 then does NOT collide — the documented bounded-state
+    // trade — and state never exceeds the cap
+    val A = base; val B = vary(32); val C = vary(16)
+    val (v2, e2) = StreamOps.processBucketArrivals(
+      Seq((1L, "s", A.clone), (2L, "s", B.clone), (3L, "s", A.clone),
+        (4L, "s", C.clone), (5L, "s", B.clone)), Nil, 2)
+    assert(v2.map(_._3) == Seq(false, false, true, false, false))
+    assert(v2.forall(_._4 <= 2), s"cap overrun: $v2")
+    assert(e2.map(_.firstId).toSet == Set(4L, 5L),
+      "after eviction the bucket must hold exactly {C, replayed B}")
+  }
+
+  test("streaming near-dedup hot bucket stays collapsed end-to-end; cap and TTL wiring") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_hot").toString
+    val hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 100L).map(id => (id, "web", hot)) ++ Seq(
+      (100L, "web", "one two"), // < 3 tokens → sentinel solo bucket
+      (101L, "books", "completely different text with many unique words"))
+    docs.toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val verdicts = graft.streaming.StreamOps
+      .streamNearDedupVerdicts(spark, tmp, 1, 1 << 20, 0L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getInt(3)))
+    // every bucket holds ONE collapsed entry even after 100 verbatim
+    // arrivals — the unbounded-state failure shape is gone
+    assert(verdicts.map(_._3).max == 1,
+      s"hot bucket grew past one entry: ${verdicts.map(_._3).max}")
+    val collidedIds = verdicts.filter(_._2).map(_._1).toSet
+    assert(collidedIds == (1L until 100L).toSet,
+      s"exactly the 99 later copies must collide, got ${collidedIds.size}")
+    // a cap of 2 must not change the answer here (collapse keeps every
+    // bucket at 1 entry), and a large TTL must be a no-op — while
+    // exercising the ProcessingTimeTimeout registration path
+    val unbounded = graft.streaming.StreamOps
+      .streamNearDedupWith(spark, tmp, 1).collect().map(_.toSeq)
+    val capped = graft.streaming.StreamOps
+      .streamNearDedupWith(spark, tmp, 1, maxSigsPerBucket = 2).collect().map(_.toSeq)
+    val withTtl = graft.streaming.StreamOps
+      .streamNearDedupWith(spark, tmp, 1, ttlMs = 3600000L).collect().map(_.toSeq)
+    assert(unbounded.sameElements(capped), "cap changed a collapsed-corpus answer")
+    assert(unbounded.sameElements(withTtl), "an unexpired TTL changed the answer")
+  }
+
   test("streaming A/V features equal the batch container kernel row-for-row") {
     // r12-verdict task #6: the micro-batch full decode (frame features +
     // frame-aligned audio energy) must reproduce the batch one-container
