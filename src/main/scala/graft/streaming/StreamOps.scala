@@ -34,9 +34,19 @@ object StreamOps {
   }
 
   /** Drain a streaming frame into a memory sink and return the settled
-    * result (detached from the temp view; the query is stopped). */
+    * result (detached from the temp view; the query is stopped).
+    *
+    * Bounded: an AvailableNow query that has not settled within
+    * `spark.graft.drain.timeoutMs` (default 10 min — the whole suite's
+    * drains finish in seconds) fails LOUDLY instead of spinning the
+    * suite forever. The known way to trip this is a stateful operator
+    * with ProcessingTimeTimeout: Spark's shouldRunAnotherBatch is
+    * unconditionally true for that timeout, so AvailableNow re-runs
+    * empty micro-batches forever — drive such a query through
+    * `drainProcessingTime` instead. */
   def drain(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
+    val limitMs = confLong(spark, "spark.graft.drain.timeoutMs", 600000L)
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .format("memory")
@@ -44,12 +54,83 @@ object StreamOps {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try {
+      if (!q.awaitTermination(limitMs))
+        throw new IllegalStateException(
+          s"graft drain: AvailableNow query '$name' did not settle within " +
+            s"$limitMs ms (spark.graft.drain.timeoutMs). If the plan holds " +
+            "ProcessingTimeTimeout state, AvailableNow can NEVER terminate " +
+            "— use drainProcessingTime for that query.")
+    } finally q.stop()
+    collectSettled(spark, name)
+  }
+
+  /** Drain variant for plans that hold ProcessingTimeTimeout state,
+    * which NO quiescence wait can settle: `shouldRunAnotherBatch` is
+    * unconditionally true for that timeout, so AvailableNow re-triggers
+    * forever AND `processAllAvailable()` never unblocks (`noNewData` is
+    * only signaled when a trigger constructs no batch — verified
+    * against Spark 4.1 `MicroBatchExecution`; a processing-time-timeout
+    * query constructs one every trigger). The only sound settle signal
+    * is PROGRESS ACCOUNTING: the caller states how many source rows the
+    * fixture holds, we poll `recentProgress` until the per-batch
+    * `numInputRows` sum reaches it (a batch's progress is published
+    * after its sink commit, so the memory sink then holds every row the
+    * data batches emitted; timer-only batches add nothing until a TTL
+    * actually expires, and the specs' TTLs are hours), then stop the
+    * query. Bounded by `spark.graft.drain.timeoutMs` — a shortfall
+    * fails LOUDLY with the rows seen. */
+  private[graft] def drainProcessingTime(df: DataFrame, mode: OutputMode,
+      expectedInputRows: Long, intervalMs: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    val limitMs = confLong(spark, "spark.graft.drain.timeoutMs", 600000L)
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+    try {
+      // accumulate by batchId: recentProgress is a bounded ring, so a
+      // long poll loop must not double-count or drop early batches
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      val deadline = System.nanoTime() + limitMs * 1000000L
+      var done = false
+      while (!done) {
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        if (seen.valuesIterator.sum >= expectedInputRows) done = true
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"graft drainProcessingTime: query '$name' processed " +
+              s"${seen.valuesIterator.sum} of $expectedInputRows source rows " +
+              s"within $limitMs ms (spark.graft.drain.timeoutMs)")
+        else Thread.sleep(intervalMs / 2 + 1)
+      }
+    } finally q.stop()
+    collectSettled(spark, name)
+  }
+
+  private def collectSettled(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name)
     val settled = spark.createDataFrame(out.collectAsList(), out.schema)
     spark.catalog.dropTempView(name)
     settled
   }
+
+  /** Conf getter with a descriptive failure naming the key — a
+    * malformed `spark.graft.*` value must not surface as a bare
+    * NumberFormatException deep in a stream closure. */
+  private def confLong(s: SparkSession, key: String, default: Long,
+      min: Long = 0L): Long =
+    s.conf.getOption(key).map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+      require(n >= min, s"$key must be >= $min, got $n")
+      n
+    }.getOrElse(default)
 
   // ------------------------------------------------------ windowed aggs
 
@@ -473,10 +554,15 @@ object StreamOps {
     * drain append-mode; the final per-source roll-up is batch
     * post-processing. */
   val streamNearDedup: Q = (s, dir) => {
-    val cap = s.conf.getOption("spark.graft.streamNearDedup.maxSigsPerBucket")
-      .map(_.toInt).getOrElse(1 << 20)
-    val ttl = s.conf.getOption("spark.graft.streamNearDedup.ttlMs")
-      .map(_.toLong).getOrElse(0L)
+    // cap default 2¹⁴ distinct sigs ≈ 4.7 MB/bucket worst case — a
+    // production-shaped bound for the heap-backed state store (the gate
+    // corpus never exceeds ONE collapsed entry per bucket, so any
+    // cap ≥ 1 yields the same artifact). Malformed / non-positive conf
+    // values fail loudly with the key named; a ttlMs > 0 run is driven
+    // through drainProcessingTime (AvailableNow would never terminate).
+    val cap = confLong(s, "spark.graft.streamNearDedup.maxSigsPerBucket",
+      1L << 14, min = 1L).min(Int.MaxValue.toLong).toInt
+    val ttl = confLong(s, "spark.graft.streamNearDedup.ttlMs", 0L)
     streamNearDedupWith(s, dir, 1, cap, ttl)
   }
 
@@ -485,7 +571,7 @@ object StreamOps {
     * `maxSigsPerBucket`/`ttlMs` parameterized for the bounded-state
     * specs. */
   private[graft] def streamNearDedupWith(s: SparkSession, dir: String,
-      filesPerTrigger: Int, maxSigsPerBucket: Int = 1 << 20,
+      filesPerTrigger: Int, maxSigsPerBucket: Int = 1 << 14,
       ttlMs: Long = 0L): DataFrame =
     streamNearDedupVerdicts(s, dir, filesPerTrigger, maxSigsPerBucket, ttlMs)
       .groupBy(col("doc_id"), col("source"))
@@ -508,6 +594,13 @@ object StreamOps {
     * entry is evicted (deterministic LRU — an evicted near-dup stops
     * being detected, the documented bounded-state trade).
     *
+    * `lastHit` is a monotonic per-bucket LOGICAL clock (resumed from
+    * the max carried in `init`, +1 per arrival), NOT the doc_id: with
+    * out-of-order doc_ids a doc_id stamp could mark the just-inserted
+    * entry least-recent and evict it immediately. Both an exact hit
+    * and a near-dup agreement hit refresh the touched entry — "least
+    * recently hit" means hits of either kind.
+    *
     * Returns the verdict rows (doc_id, source, collide, n_state-after)
     * and the new entry list. */
   private[graft] def processBucketArrivals(
@@ -516,32 +609,41 @@ object StreamOps {
       : (Seq[(Long, String, Boolean, Int)], List[SigEntry]) = {
     var entries = init
     var nEntries = entries.size
+    var clock = if (entries.isEmpty) 0L else entries.iterator.map(_.lastHit).max
     val out = arrivals.map { case (id, src, sa) =>
       var collide = false
       if (sa != null) {
+        clock += 1
+        var agree: SigEntry = null
         var exact: SigEntry = null
         entries.foreach { e =>
-          if (!collide && e.firstId < id) {
+          if (agree == null && e.firstId < id) {
             var eq = 0
             var i = 0
             while (i < 32) { if (e.sig(i) == sa(i)) eq += 1; i += 1 }
-            if (eq >= 26) collide = true
+            if (eq >= 26) agree = e
           }
           if (exact == null && java.util.Arrays.equals(e.sig, sa))
             exact = e
         }
-        if (exact != null) {
-          val hit = exact
+        collide = agree != null
+        if (exact != null || agree != null) {
+          val hitE = exact
+          val hitA = agree
           entries = entries.map(e =>
-            if (e eq hit)
-              e.copy(firstId = math.min(e.firstId, id),
-                lastHit = math.max(e.lastHit, id))
+            if (e eq hitE)
+              e.copy(firstId = math.min(e.firstId, id), lastHit = clock)
+            else if (e eq hitA) e.copy(lastHit = clock)
             else e)
-        } else {
-          entries = SigEntry(id, id, sa) :: entries
+        }
+        if (exact == null) {
+          entries = SigEntry(id, clock, sa) :: entries
           nEntries += 1
           if (nEntries > cap) {
-            val evict = entries.minBy(_.lastHit)
+            // head is the just-inserted entry (strictly max clock) —
+            // eviction scans the pre-insert tail, so the newest
+            // signature can never be its own victim
+            val evict = entries.tail.minBy(_.lastHit)
             entries = entries.filterNot(_ eq evict)
             nEntries -= 1
           }
@@ -552,14 +654,39 @@ object StreamOps {
     (out, entries)
   }
 
+  /** The flatMapGroupsWithState function for the near-dedup stream,
+    * named so the TTL branch is pinnable with Spark's public
+    * `TestGroupState` (a processing-time timeout can never fire under
+    * the AvailableNow drain harness — see `drain`). On timeout the
+    * bucket's whole frontier ages out: state removed, nothing
+    * emitted, and a later replay of an evicted signature is
+    * re-admitted (collide = false). */
+  private[graft] def bucketStateFunc(cap: Int, ttlMs: Long): (String,
+      Iterator[(Long, String, String, Seq[Long])],
+      GroupState[BucketState]) => Iterator[(Long, String, Boolean, Int)] =
+    (_, it, state) => {
+      if (state.hasTimedOut) {
+        // bucket idle past the TTL: age the frontier out entirely
+        state.remove()
+        Iterator.empty
+      } else {
+        val arrivals = it.toSeq.sortBy(_._1).map { case (id, src, _, sig) =>
+          (id, src, Option(sig).map(_.toArray).orNull)
+        }
+        val init = state.getOption.map(_.entries).getOrElse(List.empty)
+        val (out, entries) = processBucketArrivals(arrivals, init, cap)
+        state.update(BucketState(entries))
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        out.iterator
+      }
+    }
+
   /** Per-(doc, band-bucket) verdict rows, plus the bucket's state-entry
     * count AFTER the doc was processed (`n_state` — the bounded-state
     * specs' probe; the gate's roll-up above drops it). */
   private[graft] def streamNearDedupVerdicts(s: SparkSession, dir: String,
       filesPerTrigger: Int, maxSigsPerBucket: Int,
       ttlMs: Long): DataFrame = {
-    val spark = s
-    import spark.implicits._
     val inDir = freshDir(dir, "neardup_stream")
     // fixture: 4 doc_id-RANGE shards as jsonl with increasing mtimes, so
     // the file stream's timestamp order IS ingest order and keep-first
@@ -583,6 +710,24 @@ object StreamOps {
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))
       p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
     }
+    val verdicts =
+      nearDedupVerdictStream(s, inDir, filesPerTrigger, maxSigsPerBucket, ttlMs)
+    // a ttlMs > 0 plan holds ProcessingTimeTimeout state, which no
+    // quiescence wait can settle (see drainProcessingTime) — settle it
+    // by progress accounting against the fixture's known row count
+    if (ttlMs > 0)
+      drainProcessingTime(verdicts, OutputMode.Append(), rows.length.toLong)
+    else drain(verdicts, OutputMode.Append())
+  }
+
+  /** The UNSTARTED per-(doc, band-bucket) verdict stream over a
+    * directory of `{doc_id, source, text}` jsonl shards — extracted so
+    * the TTL-eviction spec can run its own query lifecycle (write a
+    * shard, let the timeout fire, write a replay shard) around it. */
+  private[graft] def nearDedupVerdictStream(s: SparkSession, inDir: String,
+      filesPerTrigger: Int, maxSigsPerBucket: Int, ttlMs: Long): DataFrame = {
+    val spark = s
+    import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -607,29 +752,11 @@ object StreamOps {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    val verdicts = bands.as[(Long, String, String, Seq[Long])]
+    bands.as[(Long, String, String, Seq[Long])]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
-        (_: String, it: Iterator[(Long, String, String, Seq[Long])],
-            state: GroupState[BucketState]) => {
-          if (state.hasTimedOut) {
-            // bucket idle past the TTL: age the frontier out entirely
-            state.remove()
-            Iterator.empty
-          } else {
-            val arrivals = it.toSeq.sortBy(_._1).map { case (id, src, _, sig) =>
-              (id, src, Option(sig).map(_.toArray).orNull)
-            }
-            val init = state.getOption.map(_.entries).getOrElse(List.empty)
-            val (out, entries) =
-              processBucketArrivals(arrivals, init, maxSigsPerBucket)
-            state.update(BucketState(entries))
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            out.iterator
-          }
-        })
-    drain(verdicts.toDF("doc_id", "source", "collide", "n_state"),
-      OutputMode.Append())
+        bucketStateFunc(maxSigsPerBucket, ttlMs))
+      .toDF("doc_id", "source", "collide", "n_state")
   }
 
   /** DuckDB twin: replay shingles → (h1 + i·h2) signatures → bands →
@@ -725,11 +852,11 @@ object StreamOps {
 /** Per-user sessionization state for flatMapGroupsWithState. */
 case class SessionAcc(sessions: Long, events: Long, lastTsNs: Long)
 
-/** Per-band-bucket signature memory for the streaming near-dup filter. */
 /** One DISTINCT signature seen in a band bucket: the earliest doc that
-  * carried it (the keep-first winner), the most recent doc that touched
-  * it (the LRU eviction stamp), and the 32-long MinHash signature
-  * itself (~300 B). Exact duplicates collapse onto one entry. */
+  * carried it (the keep-first winner), the bucket-local logical clock
+  * of the most recent exact/near-dup hit (the LRU eviction stamp), and
+  * the 32-long MinHash signature itself (~300 B). Exact duplicates
+  * collapse onto one entry. */
 case class SigEntry(firstId: Long, lastHit: Long, sig: Array[Long])
 
 /** Per-bucket near-dedup state: entries are distinct signatures only,

@@ -249,6 +249,44 @@ class StreamingSpec extends SparkSpec {
       "after eviction the bucket must hold exactly {C, replayed B}")
   }
 
+  test("TTL eviction fires: timed-out bucket removed, aged-out near-dup readmitted") {
+    import graft.streaming.{BucketState, StreamOps}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // ProcessingTimeTimeout can NEVER fire under the AvailableNow drain
+    // harness (Spark re-runs empty micro-batches unconditionally — the
+    // r14 hang), so the timeout branch is pinned with Spark's public
+    // TestGroupState against the named flatMapGroupsWithState function.
+    val fn = StreamOps.bucketStateFunc(cap = 1 << 14, ttlMs = 60000L)
+    val sig = Array.tabulate(32)(i => 7L + i)
+    def arrival(id: Long) = Iterator((id, "web", "b", sig.toSeq))
+    // batch 1 at t=1s: doc 1 inserts into an empty bucket and the TTL
+    // timer is registered at now + 60s
+    val s1 = TestGroupState.create[BucketState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
+    assert(fn("b", arrival(1L), s1).toSeq == Seq((1L, "web", false, 1)))
+    assert(s1.exists && s1.get.entries.size == 1)
+    assert(s1.getTimeoutTimestampMs.get == 61000L,
+      "setTimeoutDuration(ttl) must arm the timer at batch-time + ttl")
+    // a verbatim copy before expiry still collides (state alive)
+    val s1b = TestGroupState.create[BucketState](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 30000L, Optional.empty(), false)
+    assert(fn("b", arrival(2L), s1b).toSeq == Seq((2L, "web", true, 1)))
+    // batch 2 at t=70s: bucket idle past the TTL — Spark calls the
+    // function with no arrivals and hasTimedOut = true; the whole
+    // frontier ages out (state removed, nothing emitted)
+    val s2 = TestGroupState.create[BucketState](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 70000L, Optional.empty(), true)
+    assert(fn("b", Iterator.empty, s2).isEmpty, "timeout must emit nothing")
+    assert(s2.isRemoved, "timeout must remove the bucket state")
+    // batch 3: a verbatim replay of the aged-out signature is
+    // RE-ADMITTED (collide = false) — the documented TTL trade
+    val s3 = TestGroupState.create[BucketState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 80000L, Optional.empty(), false)
+    assert(fn("b", arrival(99L), s3).toSeq == Seq((99L, "web", false, 1)),
+      "an aged-out signature must be readmitted after TTL eviction")
+  }
+
   test("streaming near-dedup hot bucket stays collapsed end-to-end; cap and TTL wiring") {
     val s = spark
     import s.implicits._
