@@ -313,6 +313,32 @@ class PlanShapeSpec extends SparkSpec {
       s"banded join keys missing:\n$p")
   }
 
+  test("incremental_near_dedup_indexed: index scan prunes to the batch's (band, part) partitions") {
+    // The persisted-index contract ON DISK: the probe's literal
+    // (band * fanout + part) IN (...) filter must land in the parquet
+    // scan's PartitionFilters, so only directories some batch doc can
+    // collide in are even LISTED. Pinned at the probe seam (the gate
+    // materializes its verdict through a checkpoint before appending,
+    // so the gate df's own plan no longer shows the scan).
+    import graft.sources.SigIndex
+    import graft.queries.TextOps
+    // ensure the store exists (bootstraps + appends as the gate does)
+    SparkEntry.queries("incremental_near_dedup_indexed")(spark, sf001).collect()
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val batchBanded = TextOps.nearDupBand(
+      TextOps.nearDupSigs(docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 400)))
+    val keys = SigIndex.probeKeys(batchBanded)
+    val probe = TextOps.nearDupCollidedIds(
+      batchBanded.select("doc_id", "sig"),
+      SigIndex.prunedRead(spark, TextOps.sigIndexPath(sf001), keys)
+        .withColumnRenamed("sig", "idx_sig"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*band".r.findFirstIn(p).isDefined,
+      s"the (band, part) IN filter must reach the index scan's PartitionFilters:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n$p")
+  }
+
   test("unigram_logprob: the LM joins by BROADCAST, never a shuffle join on the token stream") {
     // The LM is vocab-sized; shuffling the exploded token stream to meet
     // it would be the classic 100 TB mistake. The only token-keyed

@@ -63,6 +63,102 @@ class TextOpsSpec extends SparkSpec {
     assert(pf == naive, s"missing=${naive -- pf} extra=${pf -- naive}")
   }
 
+  test("incremental_near_dedup: skew-guarded collapse equals the unguarded join on a duplicated batch/index") {
+    // r13 task #3: a duplicated batch used to land batch_k × index_k
+    // signature pairs on one (band, bucket) reducer. The guard collapses
+    // both join inputs to distinct signatures; this pins exactness on
+    // the hot shape — every batch doc 4×, every corpus doc 3×.
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // corpus copies at negative ids (still < 400); batch copies shifted
+    // upward (still >= 400)
+    val dupCorpus = (1 to 2).map(k =>
+        corpus.withColumn("doc_id", -(col("doc_id") + lit(1L + k * shift))))
+      .reduce(_ unionByName _)
+    val dupBatch = (1 to 3).map(k =>
+        batch.withColumn("doc_id", col("doc_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupbatch").toFile
+    dir.deleteOnExit()
+    corpus.unionByName(batch).unionByName(dupCorpus).unionByName(dupBatch)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = Tables.t(spark, dir.toString, "documents")
+    val idxB = TextOps.nearDupBand(
+        TextOps.nearDupSigs(full.filter(col("doc_id") < 400)))
+      .select(col("band"), col("bucket"), col("sig").as("idx_sig"))
+    // naive UNGUARDED twin: raw banded × banded equi-join
+    val naive = TextOps.nearDupBand(
+        TextOps.nearDupSigs(full.filter(col("doc_id") >= 400)))
+      .join(idxB, Seq("band", "bucket"))
+      .filter(expr(TextOps.sigAgreeExpr))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val guarded = TextOps.nearDupCollidedIds(
+      TextOps.nearDupSigs(full.filter(col("doc_id") >= 400))
+        .select("doc_id", "sig"), idxB)
+      .collect().map(_.getLong(0)).toSet
+    assert(naive.nonEmpty, "fixture produced zero collisions — guard untested")
+    assert(guarded == naive,
+      s"missing=${naive -- guarded} extra=${guarded -- naive}")
+    // and the two gated variants agree end-to-end on the hot fixture
+    val inline = TextOps.incrementalNearDedup(spark, dir.toString)
+      .collect().map(_.toSeq)
+    val indexed = TextOps.incrementalNearDedupIndexed(spark, dir.toString)
+      .collect().map(_.toSeq)
+    assert(inline.nonEmpty && indexed.sameElements(inline),
+      s"indexed=$indexed inline=$inline")
+  }
+
+  test("incremental_near_dedup_indexed: parquet layout, pruned probe, append feeds the next crawl") {
+    import graft.sources.SigIndex
+    val d = sf0001
+    val inline = TextOps.incrementalNearDedup(spark, d).collect().map(_.toSeq)
+    val indexed = TextOps.incrementalNearDedupIndexed(spark, d)
+      .collect().map(_.toSeq)
+    assert(indexed.sameElements(inline), s"indexed=$indexed inline=$inline")
+    // layout: band=<b>/part=<p> directories, fanout bounded by design
+    val root = new java.io.File(TextOps.sigIndexPath(d))
+    val bands = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert((0 to 7).map(b => s"band=$b").toSet.subsetOf(bands),
+      s"missing band directories: $bands")
+    val parts = new java.io.File(root, "band=0").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("part=")) &&
+      parts.length <= SigIndex.BucketFanout, s"bad part layout: ${parts.toSeq}")
+    // append lifecycle: the gated run above appended the batch's sigs.
+    // A SECOND batch that verbatim-copies a KEPT first-batch doc (one
+    // that did NOT collide vs the corpus) must now be dropped — only
+    // the appended rows can cause that.
+    val s = spark
+    import s.implicits._
+    val docs = Tables.t(spark, d, "documents")
+    val firstCollided = TextOps.nearDupCollidedIds(
+      TextOps.nearDupSigs(docs.filter(col("doc_id") >= 400))
+        .select("doc_id", "sig"),
+      TextOps.nearDupBand(
+          TextOps.nearDupSigs(docs.filter(col("doc_id") < 400)))
+        .withColumnRenamed("sig", "idx_sig"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = docs.filter(col("doc_id") >= 400)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id", "source", "text").collect()
+      .find(r => !firstCollided.contains(r.getLong(0)))
+      .getOrElse(fail("no kept batch doc with >= 3 tokens"))
+    val second = Seq((900001L, kept.getString(1), kept.getString(2)))
+      .toDF("doc_id", "source", "text")
+    val secondSigs = TextOps.nearDupSigs(second).select("doc_id", "sig")
+    val keys = SigIndex.probeKeys(
+      TextOps.nearDupBand(TextOps.nearDupSigs(second)))
+    val hit = TextOps.nearDupCollidedIds(secondSigs,
+        SigIndex.prunedRead(spark, TextOps.sigIndexPath(d), keys)
+          .withColumnRenamed("sig", "idx_sig"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(900001L),
+      s"appended first-batch signatures must drop the second-batch copy, got $hit")
+  }
+
   test("bloom-gated incremental dedup equals the exact path and drops cross-boundary copies") {
     val s = spark
     import s.implicits._
