@@ -1158,8 +1158,10 @@ object TensorQueries {
     * byte-level format pins (npy cross-check, fill padding, c64/c128
     * logical-shape halving). */
   val tensorStoreZarrRoundtrip: Q = (s, dir) => {
+    // store dir keyed by QUERY NAME as well as sf dir, so the two zarr
+    // gate keys never share (and can never race on) one store
     val store = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_tensor_store_zarr_${math.abs(dir.hashCode)}").toString
+      s"graft_tensor_store_zarr_rt_${math.abs(dir.hashCode)}").toString
     val spark = s
     import spark.implicits._
     val u16 = TBlock.fromBlocks(
@@ -1193,8 +1195,9 @@ object TensorQueries {
     * ZarrStoreSpec proves it by poisoning out-of-range chunks). The
     * zarr twin of tensor_store_roundtrip's PartitionFilter gate. */
   val tensorStoreZarrPruned: Q = (s, dir) => {
+    // own store dir (see tensorStoreZarrRoundtrip's keying note)
     val store = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_tensor_store_zarr_${math.abs(dir.hashCode)}").toString
+      s"graft_tensor_store_zarr_pr_${math.abs(dir.hashCode)}").toString
     val spark = s
     import spark.implicits._
     val u16 = TBlock.fromBlocks(

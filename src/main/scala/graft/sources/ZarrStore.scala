@@ -241,6 +241,18 @@ object ZarrStore {
     for (sep <- "\"dimension_separator\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(json).map(_.group(1)))
       require(sep == ".", s"zarr: only '.' dimension_separator is supported")
+    // fill_value semantics: a chunk ABSENT from the store reads as
+    // fill_value. This reader requires every grid chunk to be present
+    // (readTyped counts them), which is only equivalent for a DENSE
+    // store; a non-zero/NaN fill_value signals a writer that relies on
+    // implicit-fill semantics we don't synthesize — reject loudly
+    // rather than return silently wrong values on foreign data.
+    for (fv <- "\"fill_value\"\\s*:\\s*(null|\"[^\"]*\"|[-0-9.eE+]+)".r
+        .findFirstMatchIn(json).map(_.group(1)))
+      require(fv == "null" || fv == "0" || fv == "0.0" ||
+          (try BigDecimal(fv) == 0 catch { case _: Exception => false }),
+        s"zarr: non-zero fill_value $fv is not supported (sparse/implicit-" +
+          "fill arrays would read back silently incomplete)")
     ZArray(name, arr("shape"), arr("chunks"), dtype, gz)
   }
 
@@ -264,6 +276,23 @@ object ZarrStore {
       val out = entry.findAllMatchIn(json)
         .map(g => parseZArray(g.group(1), g.group(2))).toSeq.sortBy(_.name)
       require(out.nonEmpty, s"zarr: .zmetadata under $dir holds no arrays")
+      // stale-consolidation cross-check: .zmetadata is a CACHE of the
+      // per-array .zarray files; a tool that rewrote an array without
+      // re-consolidating leaves them disagreeing, and trusting the
+      // cache would decode chunks with the wrong shape/dtype. The
+      // per-array files are the truth — compare, fail loudly.
+      out.foreach { z =>
+        val za = new Path(new Path(base, z.name), ".zarray")
+        if (fs.exists(za)) {
+          val in2 = fs.open(za)
+          val fresh = try parseZArray(z.name,
+            scala.io.Source.fromInputStream(in2, "UTF-8").mkString)
+            finally in2.close()
+          require(fresh == z,
+            s"zarr: .zmetadata is STALE for array '${z.name}' (consolidated " +
+              s"$z vs on-disk $fresh) — re-consolidate the group")
+        }
+      }
       out
     } else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
       val za = new Path(st.getPath, ".zarray")
@@ -314,6 +343,31 @@ object ZarrStore {
       }
     }
     val chunkName = """\d+(\.\d+)*""".r
+    // DENSE-store contract (foreign-read guard): zarr semantics say an
+    // absent chunk reads as fill_value, so a sparse foreign array would
+    // otherwise come back silently incomplete. We don't synthesize fill
+    // blocks — instead require every grid cell in range to be present,
+    // counted at LISTING time (metadata-scale, the same listing the
+    // binaryFiles read performs; tools/zarr_check.py makes the same
+    // check independently).
+    wanted.zip(globs).foreach { case (z, glob) =>
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val found = Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
+        .count(st => chunkName.matches(st.getPath.getName))
+      val grid = z.shape.indices.map(k =>
+        (z.shape(k) + z.chunks(k) - 1) / z.chunks(k))
+      val leadCells = frameRange match {
+        case Some((lo, hi)) =>
+          math.min(hi, grid.head - 1) - math.max(lo, 0) + 1
+        case None => grid.head
+      }
+      val expected = leadCells.toLong * grid.tail.map(_.toLong).product
+      require(found.toLong == expected,
+        s"zarr: array '${z.name}' has $found chunk objects where the grid " +
+          s"needs $expected — a sparse (implicit fill_value) array is not " +
+          "supported; materialize missing chunks before reading")
+    }
     spark.sparkContext.binaryFiles(globs.mkString(","))
       .flatMap { case (path, pds) =>
         val p = new Path(path)

@@ -255,4 +255,54 @@ class ZarrStoreSpec extends SparkSpec {
     assert(ZarrStore.parseZArray("x",
       filtered.replace("""[{"id":"delta","dtype":"<i4"}]""", "[]")).dtype == "int32")
   }
+
+  test("foreign-read guards: sparse store, non-zero fill_value, stale .zmetadata all fail loudly") {
+    // r14 ADVICE medium: zarr says an ABSENT chunk reads as fill_value,
+    // so a sparse foreign array silently read as "whatever chunks
+    // exist" is a wrong-answer path. The reader must count the grid.
+    val dir = tmp("guards")
+    ZarrStore.writeTyped(u16Raster, dir)
+    assert(ZarrStore.readTyped(spark, dir).count() == 12L)
+    // 1) delete one interior chunk → dense-count guard trips
+    Files.delete(Paths.get(dir, "events_raster", "1.2"))
+    val e1 = intercept[IllegalArgumentException] {
+      ZarrStore.readTyped(spark, dir).count()
+    }
+    assert(e1.getMessage.contains("sparse") &&
+      e1.getMessage.contains("11") && e1.getMessage.contains("12"),
+      e1.getMessage)
+    // ...and a frame-range read that EXCLUDES the hole still works
+    // (chunk 1.2 is in leading row 1; rows 0 and 2 are intact)
+    assert(ZarrStore.readTyped(spark, dir,
+      frameRange = Some((0, 0))).count() == 4L)
+    val e1b = intercept[IllegalArgumentException] {
+      ZarrStore.readTyped(spark, dir, frameRange = Some((1, 1))).count()
+    }
+    assert(e1b.getMessage.contains("sparse"), e1b.getMessage)
+    // 2) non-zero fill_value → rejected at parse (implicit-fill arrays)
+    val nzFill = """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f8",""" +
+      """"compressor":null,"fill_value":-1.5,"order":"C","filters":null}"""
+    val e2 = intercept[IllegalArgumentException] {
+      ZarrStore.parseZArray("x", nzFill)
+    }
+    assert(e2.getMessage.contains("fill_value"), e2.getMessage)
+    // "NaN" (the numpy float default in some writers) is also implicit
+    // fill; zero in any numeric spelling is fine
+    val e2b = intercept[IllegalArgumentException] {
+      ZarrStore.parseZArray("x", nzFill.replace("-1.5", "\"NaN\""))
+    }
+    assert(e2b.getMessage.contains("fill_value"), e2b.getMessage)
+    assert(ZarrStore.parseZArray("x",
+      nzFill.replace("-1.5", "0.0")).dtype == "float64")
+    // 3) stale .zmetadata: consolidated says one shape, .zarray another
+    val dir2 = tmp("stale")
+    ZarrStore.writeTyped(u16Raster, dir2)
+    val zmPath = Paths.get(dir2, ".zmetadata")
+    Files.writeString(zmPath,
+      Files.readString(zmPath).replace("\"shape\":[48,64]", "\"shape\":[48,32]"))
+    val e3 = intercept[IllegalArgumentException] {
+      ZarrStore.arrays(spark, dir2)
+    }
+    assert(e3.getMessage.contains("STALE"), e3.getMessage)
+  }
 }
