@@ -485,10 +485,23 @@ object Similarity {
   /** Approximate top-k by random-hyperplane LSH (the data-independent ANN
     * scale path — unlike IVF-by-label it needs no cluster structure):
     * 6 deterministic hyperplanes (components sin(p·64+d), reproducible in
-    * SQL) give a 6-bit sign bucket per vector; candidates = query bucket
-    * ∪ all buckets at hamming distance 1 (7 probes ≈ 1/9 of the corpus);
-    * exact cosine ranks the candidates. At 100 TB the bucket column is a
-    * partition key and each probe is a pruned partition scan. */
+    * SQL) give a 6-bit sign bucket per vector; candidates = the query
+    * bucket's hamming-≤r neighborhood, exact cosine ranks them. At 100 TB
+    * the bucket column is a partition key and each probe is a pruned
+    * partition scan.
+    *
+    * The probe RADIUS is data-size adaptive (r13 task #6 — small-corpus
+    * recall): r is the smallest hamming radius whose expected candidate
+    * mass n·cum(r)/64 reaches 1024 (≈ 100×k — below that the bucket
+    * filter is too selective for a stable top-10), floored at the
+    * designed r = 1, and saturating to r = 6 (honest brute force) when
+    * even the full 64-bucket mass is under target. Corpus size n comes
+    * from a parquet metadata count (no data scan). At sf0.1 (n = 1999)
+    * this widens to r = 3 (≈ ⅔ of the corpus probed); at sf1+ (n ≥
+    * 20 000) it stays at the designed r = 1 plan; under ~500 rows it
+    * degenerates to exact search — each regime the right trade at its
+    * size, and the DuckDB oracle derives the SAME radius from count(*),
+    * so the gate compares the adaptive plan exactly. */
   val annHyperplaneTopk: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     // 6-bit sign bucket via the native codegen expression
@@ -501,7 +514,7 @@ object Similarity {
       .withColumn("bucket", expr("hyperplane_sig(embedding)"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qb"))
-    val probes = spark_masks(s)
+    val probes = spark_masks(s, dir)
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .join(broadcast(probes), expr("bucket = (qb ^ mask)"), "left_semi")
@@ -510,9 +523,22 @@ object Similarity {
       .limit(10)
   }
 
-  private def spark_masks(s: SparkSession): DataFrame = {
+  /** Buckets within `r(n)` hamming bits of the query bucket, as xor
+    * masks. `cum(r)` = #buckets within radius r of a 6-bit code. */
+  private[graft] def adaptiveRadius(n: Long): Int = {
+    val cum = Seq(1, 7, 22, 42, 57, 63, 64)
+    val r = cum.indexWhere(c => n * c / 64.0 >= 1024.0)
+    if (r < 0) 6 else math.max(1, r)
+  }
+
+  private def spark_masks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L).toDF("mask")
+    // corpus size (minus the query vector) via the parquet metadata
+    // count — table stats, not a data scan
+    val n = t(s, dir, "embeddings").count() - 1
+    val radius = adaptiveRadius(n)
+    (0L until 64L).filter(m => java.lang.Long.bitCount(m) <= radius)
+      .toDF("mask")
   }
 
   val annHyperplaneTopkSql: String =
@@ -529,9 +555,17 @@ object Similarity {
       |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
       |  FROM dots GROUP BY vec_id),
       |qb AS (SELECT b FROM buckets WHERE vec_id = 0),
+      |rad AS (SELECT CASE
+      |    WHEN (count(*) - 1) * 7.0 / 64 >= 1024 THEN 1
+      |    WHEN (count(*) - 1) * 22.0 / 64 >= 1024 THEN 2
+      |    WHEN (count(*) - 1) * 42.0 / 64 >= 1024 THEN 3
+      |    WHEN (count(*) - 1) * 57.0 / 64 >= 1024 THEN 4
+      |    WHEN (count(*) - 1) * 63.0 / 64 >= 1024 THEN 5
+      |    ELSE 6 END AS r FROM embeddings),
       |probes AS (
       |  SELECT xor(qb.b, m.m) AS pb
-      |  FROM qb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m),
+      |  FROM qb CROSS JOIN (SELECT unnest(range(0, 64)) AS m) m, rad
+      |  WHERE bit_count(CAST(m.m AS BIGINT)) <= rad.r),
       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT e.vec_id,
       |  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])

@@ -21,6 +21,18 @@ class SimilaritySpec extends SparkSpec {
     // sign-LSH with 7 probes over ~1/9 of the corpus: recall must beat
     // random candidate selection (expected ~0.11) by a wide margin
     assert(recall >= 0.3, s"ANN recall $recall vs exact top-10")
+    // adaptive radius (r13 task #6): at sf0.01 the corpus (499 vectors)
+    // is below even the full-scan candidate target, so the radius
+    // saturates to 6 — brute force — and recall is exactly 1.0
+    assert(Similarity.adaptiveRadius(499) == 6)
+    assert(recall == 1.0,
+      s"sub-target corpora must degenerate to exact search, recall=$recall")
+    // the regime boundaries the scaladoc promises: sf0.1 widens to
+    // radius 3, sf1+ keeps the designed radius-1 plan, and the floor
+    // never drops below 1 even at extreme n
+    assert(Similarity.adaptiveRadius(1999) == 3)
+    assert(Similarity.adaptiveRadius(19999) == 1)
+    assert(Similarity.adaptiveRadius(1L << 40) == 1)
   }
 
   test("ivf_cosine_topk (k-means, multi-probe) has recall >= 0.9 vs brute force") {
