@@ -721,9 +721,11 @@ object StreamOps {
   }
 
   /** The UNSTARTED per-(doc, band-bucket) verdict stream over a
-    * directory of `{doc_id, source, text}` jsonl shards — extracted so
-    * the TTL-eviction spec can run its own query lifecycle (write a
-    * shard, let the timeout fire, write a replay shard) around it. */
+    * directory of `{doc_id, source, text}` jsonl shards. The TTL
+    * timeout branch itself is pinned at the [[bucketStateFunc]] seam
+    * with TestGroupState (a processing-time timeout cannot be made to
+    * fire deterministically under any drain harness — see
+    * [[drainProcessingTime]]). */
   private[graft] def nearDedupVerdictStream(s: SparkSession, inDir: String,
       filesPerTrigger: Int, maxSigsPerBucket: Int, ttlMs: Long): DataFrame = {
     val spark = s
