@@ -681,19 +681,17 @@ object StreamOps {
       }
     }
 
-  /** Per-(doc, band-bucket) verdict rows, plus the bucket's state-entry
-    * count AFTER the doc was processed (`n_state` — the bounded-state
-    * specs' probe; the gate's roll-up above drops it). */
-  private[graft] def streamNearDedupVerdicts(s: SparkSession, dir: String,
-      filesPerTrigger: Int, maxSigsPerBucket: Int,
-      ttlMs: Long): DataFrame = {
-    val inDir = freshDir(dir, "neardup_stream")
-    // fixture: 4 doc_id-RANGE shards as jsonl with increasing mtimes, so
-    // the file stream's timestamp order IS ingest order and keep-first
-    // crosses micro-batch boundaries
+  /** Write a doc_id-filtered slice of the documents table as 4
+    * doc_id-RANGE jsonl shards with increasing mtimes, so the file
+    * stream's timestamp order IS ingest order and keep-first crosses
+    * micro-batch boundaries. Returns the row count (the
+    * progress-accounting settle bound for TTL runs). */
+  private def writeDocShards(s: SparkSession, dir: String, inDir: String,
+      keep: Long => Boolean): Long = {
     val rows = graft.Tables.t(s, dir, "documents")
       .select("doc_id", "source", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(t => keep(t._1)).sortBy(_._1)
     def esc(x: String): String = x.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -710,13 +708,24 @@ object StreamOps {
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))
       p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
     }
+    rows.length.toLong
+  }
+
+  /** Per-(doc, band-bucket) verdict rows, plus the bucket's state-entry
+    * count AFTER the doc was processed (`n_state` — the bounded-state
+    * specs' probe; the gate's roll-up above drops it). */
+  private[graft] def streamNearDedupVerdicts(s: SparkSession, dir: String,
+      filesPerTrigger: Int, maxSigsPerBucket: Int,
+      ttlMs: Long): DataFrame = {
+    val inDir = freshDir(dir, "neardup_stream")
+    val nRows = writeDocShards(s, dir, inDir, _ => true)
     val verdicts =
       nearDedupVerdictStream(s, inDir, filesPerTrigger, maxSigsPerBucket, ttlMs)
     // a ttlMs > 0 plan holds ProcessingTimeTimeout state, which no
     // quiescence wait can settle (see drainProcessingTime) — settle it
     // by progress accounting against the fixture's known row count
     if (ttlMs > 0)
-      drainProcessingTime(verdicts, OutputMode.Append(), rows.length.toLong)
+      drainProcessingTime(verdicts, OutputMode.Append(), nRows)
     else drain(verdicts, OutputMode.Append())
   }
 
@@ -725,9 +734,17 @@ object StreamOps {
     * timeout branch itself is pinned at the [[bucketStateFunc]] seam
     * with TestGroupState (a processing-time timeout cannot be made to
     * fire deterministically under any drain harness — see
-    * [[drainProcessingTime]]). */
+    * [[drainProcessingTime]]).
+    *
+    * `initState`: optional per-bucket seed state (the PERSISTED
+    * signature index read back as [[BucketState]] rows — see
+    * [[streamNearDedupBootstrap]]); Spark shuffles it by the group key
+    * into the state-store partitions once, at query start, exactly like
+    * a data batch — no driver-side state materialization. */
   private[graft] def nearDedupVerdictStream(s: SparkSession, inDir: String,
-      filesPerTrigger: Int, maxSigsPerBucket: Int, ttlMs: Long): DataFrame = {
+      filesPerTrigger: Int, maxSigsPerBucket: Int, ttlMs: Long,
+      initState: Option[org.apache.spark.sql.KeyValueGroupedDataset[
+        String, BucketState]] = None): DataFrame = {
     val spark = s
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -754,11 +771,17 @@ object StreamOps {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    bands.as[(Long, String, String, Seq[Long])]
+    val grouped = bands.as[(Long, String, String, Seq[Long])]
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+    val verdicts = initState match {
+      case Some(seed) => grouped.flatMapGroupsWithState(
+        OutputMode.Append(), timeout, seed)(
         bucketStateFunc(maxSigsPerBucket, ttlMs))
-      .toDF("doc_id", "source", "collide", "n_state")
+      case None => grouped.flatMapGroupsWithState(
+        OutputMode.Append(), timeout)(
+        bucketStateFunc(maxSigsPerBucket, ttlMs))
+    }
+    verdicts.toDF("doc_id", "source", "collide", "n_state")
   }
 
   /** DuckDB twin: replay shingles → (h1 + i·h2) signatures → bands →
@@ -796,6 +819,107 @@ object StreamOps {
       |FROM documents LEFT JOIN dropped d USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------- stream near-dedup, index-BOOTSTRAPPED state
+  /** Seed per-bucket state from a persisted signature index scan
+    * ([[graft.sources.SigIndex]] layout): each bucket's rows collapse
+    * to DISTINCT signatures (keep-first doc id, lastHit 0 — the
+    * bucket's logical clock resumes at 0, so every live arrival's hit
+    * outranks every seeded stamp under the LRU), sorted by firstId so
+    * the seeded entry list is deterministic. Built as a
+    * KeyValueGroupedDataset: Spark shuffles the index scan by bucket
+    * into the state-store partitions at query start — the seed is
+    * distributed exactly like a data micro-batch, never through the
+    * driver. */
+  private[graft] def indexSeedState(s: SparkSession, path: String)
+      : org.apache.spark.sql.KeyValueGroupedDataset[String, BucketState] = {
+    val spark = s
+    import spark.implicits._
+    graft.sources.SigIndex.read(s, path)
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (bucket, it) =>
+        val firstBySig = scala.collection.mutable.Map.empty[Seq[Long], Long]
+        it.foreach { case (_, id, sig) =>
+          if (firstBySig.get(sig).forall(id < _)) firstBySig(sig) = id
+        }
+        val entries = firstBySig.toList.sortBy(_._2)
+          .map { case (sig, id) => SigEntry(id, 0L, sig.toArray) }
+        (bucket, BucketState(entries))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
+  /** Streaming near-dedup BOOTSTRAPPED from the PERSISTED signature
+    * index (the r14 verdict's "state bootstrap seam", closing the loop
+    * between [[graft.queries.TextOps.incrementalNearDedupIndexed]]'s
+    * at-rest index and this live filter): the corpus half's banded
+    * signatures are written to a [[graft.sources.SigIndex]] parquet
+    * store, read back as the stream's INITIAL state via
+    * `flatMapGroupsWithState(…, initialState)`, and only the crawl
+    * batch half (doc_id ≥ 400) flows through the stream — a batch doc
+    * that near-dups an indexed corpus doc is dropped in its FIRST
+    * micro-batch, with the corpus text never read and no warm-up
+    * stream. Verdict semantics are identical to running the whole
+    * corpus through the stream (spec-pinned per-doc): the seeded
+    * entries are exactly the exact-dup-collapsed state the corpus
+    * arrivals would have built.
+    *
+    * 100 TB shape: the index is bucket-partitioned parquet (512 fixed
+    * directories); the seed is ONE shuffle of the ~300 B/doc signature
+    * projection into the state store, after which steady-state cost is
+    * the arriving batch only. On a real cluster the same query points
+    * at the production index path and a RocksDB state store — the
+    * local[32] gate differs only in paths. */
+  val streamNearDedupBootstrap: Q = (s, dir) => {
+    val cap = confLong(s, "spark.graft.streamNearDedup.maxSigsPerBucket",
+      1L << 14, min = 1L).min(Int.MaxValue.toLong).toInt
+    streamNearDedupBootstrapVerdicts(s, dir, 1, cap)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("collide")).as("dropped"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  /** Index-build + seeded stream, returning per-(doc, bucket) verdict
+    * rows for the batch half ONLY (seeded buckets with no arrivals emit
+    * nothing — their state just persists). `seed = false` skips the
+    * index entirely (cold state) — the spec's control run proving the
+    * bootstrap is load-bearing, not the gate path. */
+  private[graft] def streamNearDedupBootstrapVerdicts(s: SparkSession,
+      dir: String, filesPerTrigger: Int, cap: Int,
+      seed: Boolean = true): DataFrame = {
+    import graft.queries.TextOps.{nearDupBand, nearDupSigs}
+    val init = if (seed) {
+      val docs = graft.Tables.t(s, dir, "documents")
+      val idxPath = freshDir(dir, "neardup_boot_index")
+      graft.sources.SigIndex.write(
+        nearDupBand(nearDupSigs(docs.filter(col("doc_id") < 400))),
+        idxPath, "overwrite")
+      Some(indexSeedState(s, idxPath))
+    } else None
+    val inDir = freshDir(dir, "neardup_boot_stream")
+    writeDocShards(s, dir, inDir, _ >= 400): Unit
+    val verdicts = nearDedupVerdictStream(s, inDir, filesPerTrigger, cap,
+      ttlMs = 0L, initState = init)
+    drain(verdicts, OutputMode.Append())
+  }
+
+  /** DuckDB twin: the full stream replay restricted to batch docs in
+    * the roll-up — "dropped iff an earlier doc collides" covers both
+    * indexed corpus partners (doc_id < 400) and earlier batch arrivals,
+    * exactly what the seeded state plus keep-first ordering computes. */
+  val streamNearDedupBootstrapSql: String = {
+    val anchor = "FROM documents LEFT JOIN dropped d USING (doc_id)"
+    val cut = streamNearDedupSql.replace(anchor,
+      anchor + "\nWHERE doc_id >= 400")
+    require(cut != streamNearDedupSql,
+      "stream_near_dedup_bootstrap oracle: roll-up anchor moved")
+    cut
+  }
+
   /** Streaming curation gate: the Gopher quality filter over the
     * documents table as a FILE STREAM — the shape a live crawl feed
     * runs (docs arrive continuously; the filter is stateless map-side
@@ -830,6 +954,7 @@ object StreamOps {
     "stream_av_ingest" -> streamAvIngest,
     "stream_av_features" -> streamAvFeatures,
     "stream_near_dedup" -> streamNearDedup,
+    "stream_near_dedup_bootstrap" -> streamNearDedupBootstrap,
   )
 
   /** Streaming twins reuse the batch oracle SQL. */
@@ -848,6 +973,7 @@ object StreamOps {
     "stream_av_ingest" -> streamAvIngestSql,
     "stream_av_features" -> streamAvFeaturesSql,
     "stream_near_dedup" -> streamNearDedupSql,
+    "stream_near_dedup_bootstrap" -> streamNearDedupBootstrapSql,
   )
 }
 

@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSpec {
       "fixture produced zero near-dup drops — collision path untested")
   }
 
+  test("index-bootstrapped near-dedup: seeded state equals the full-stream verdicts and is load-bearing") {
+    import graft.streaming.StreamOps
+    def perDoc(df: org.apache.spark.sql.DataFrame): Array[(Long, Boolean)] =
+      df.groupBy(col("doc_id")).agg(max(col("collide")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    // batch half streamed against state seeded from the persisted index
+    val boot = perDoc(
+      StreamOps.streamNearDedupBootstrapVerdicts(spark, sf0001, 1, 1 << 14))
+    // the SAME docs' verdicts when the whole corpus streams through and
+    // the state is built arrival-by-arrival — the seed must be exactly
+    // the exact-dup-collapsed state those corpus arrivals leave behind
+    val full = perDoc(
+      StreamOps.streamNearDedupVerdicts(spark, sf0001, 1, 1 << 14, 0L)
+        .filter(col("doc_id") >= 400))
+    assert(boot.nonEmpty && boot.sameElements(full),
+      "seeded-state verdicts diverged from the streamed-corpus verdicts")
+    // corpus partners must be recognized from the FIRST micro-batch
+    // (shard 0 = docs 400-424; its drops have corpus-only partners)
+    val dropped = boot.filter(_._2).map(_._1).toSet
+    assert(dropped.exists(_ < 425),
+      "no first-shard doc dropped — bootstrap not visible in batch 1")
+    // control: a cold (unseeded) run must lose the corpus-partner drops
+    // but keep the within-stream ones — the seed is load-bearing
+    val cold = perDoc(StreamOps.streamNearDedupBootstrapVerdicts(
+      spark, sf0001, 1, 1 << 14, seed = false))
+    val coldDropped = cold.filter(_._2).map(_._1).toSet
+    assert(coldDropped.subsetOf(dropped) && coldDropped.size < dropped.size,
+      s"seed not load-bearing: cold=$coldDropped seeded=$dropped")
+  }
+
   test("near-dedup bucket state: exact-dup collapse, agreement boundary, LRU cap") {
     import graft.streaming.{SigEntry, StreamOps}
     val base = Array.tabulate(32)(i => 1000L + i)

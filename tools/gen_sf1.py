@@ -29,6 +29,13 @@ K = int(os.environ.get("GRAFT_SCALE_COPIES", "10"))
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
+# Stream COPY row groups to disk as they are produced instead of
+# materializing the whole result first: at GRAFT_SCALE_COPIES=1000 the
+# replicated lineitem is ~600M rows, which otherwise buffers ~60 GB of
+# RSS before the first byte lands. Row order within the parquet files is
+# irrelevant to every consumer (bench queries aggregate/sort; the DuckDB
+# twins scan the same files).
+con.execute("SET preserve_insertion_order=false")
 con.execute(f"CREATE VIEW r AS SELECT range AS k FROM range({K})")
 
 
