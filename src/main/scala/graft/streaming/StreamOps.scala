@@ -870,7 +870,9 @@ object StreamOps {
     * projection into the state store, after which steady-state cost is
     * the arriving batch only. On a real cluster the same query points
     * at the production index path and a RocksDB state store — the
-    * local[32] gate differs only in paths. */
+    * local[32] gate differs only in paths (provider portability,
+    * including this seeding path, is spec-pinned: the RocksDB run is
+    * verdict-identical to the heap default). */
   val streamNearDedupBootstrap: Q = (s, dir) => {
     val cap = confLong(s, "spark.graft.streamNearDedup.maxSigsPerBucket",
       1L << 14, min = 1L).min(Int.MaxValue.toLong).toInt

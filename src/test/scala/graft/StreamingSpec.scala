@@ -231,6 +231,44 @@ class StreamingSpec extends SparkSpec {
       s"seed not load-bearing: cold=$coldDropped seeded=$dropped")
   }
 
+  test("near-dedup stream is state-store-provider-portable: RocksDB run (incl. seeded bootstrap) equals heap run") {
+    // The documented live-crawl posture (SURVEY §2C, r14 verdict) is a
+    // RocksDB state store — per-bucket signature memory off-heap, spill
+    // to local disk, cap defaults sized for it. The gate's plan must be
+    // provider-PORTABLE: the provider is a session conf the query picks
+    // up at start, and verdicts must be bit-identical to the heap
+    // (HDFSBackedStateStoreProvider) default — including the
+    // initialState seeding path, which distributes the persisted index
+    // into the RocksDB instances at query start.
+    import graft.streaming.StreamOps
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def perDoc(df: org.apache.spark.sql.DataFrame): Array[(Long, Boolean)] =
+      df.groupBy(col("doc_id")).agg(max(col("collide")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    val heapFull = perDoc(
+      StreamOps.streamNearDedupVerdicts(spark, sf0001, 1, 1 << 14, 0L))
+    val heapBoot = perDoc(
+      StreamOps.streamNearDedupBootstrapVerdicts(spark, sf0001, 1, 1 << 14))
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val rocksFull = perDoc(
+        StreamOps.streamNearDedupVerdicts(spark, sf0001, 1, 1 << 14, 0L))
+      assert(rocksFull.nonEmpty && rocksFull.sameElements(heapFull),
+        "RocksDB state store changed the near-dedup verdicts")
+      val rocksBoot = perDoc(
+        StreamOps.streamNearDedupBootstrapVerdicts(spark, sf0001, 1, 1 << 14))
+      assert(rocksBoot.nonEmpty && rocksBoot.sameElements(heapBoot),
+        "RocksDB + initialState bootstrap diverged from the heap run")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("near-dedup bucket state: exact-dup collapse, agreement boundary, LRU cap") {
     import graft.streaming.{SigEntry, StreamOps}
     val base = Array.tabulate(32)(i => 1000L + i)
