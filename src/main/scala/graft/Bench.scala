@@ -168,23 +168,46 @@ object Bench {
     }
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(1L, math.min(cpus.toLong, inputBytes / (10L << 20))).toString)
-    val spark = SparkSession.builder()
+    // Scale profile (SPARK_GRAFT_SCALE_PROFILE=1, default auto: input
+    // > 4 GiB). The default session profile below is tuned for the
+    // MB-scale latency benches: AQE off (per-stage replanning is pure
+    // latency when shuffles carry kilobytes) and shuffle/spill codecs
+    // off (codec + checksum time exceeds the bytes moved in-process).
+    // The r15 sf100 run (17 GiB) demonstrated exactly where that
+    // profile stops being right: 4-wide shuffles sort-spilled the big
+    // joins/aggs UNCOMPRESSED to one local disk, and the spill-bound
+    // keys went 20-100x instead of 10x (BASELINE.md sf100 section).
+    // At real scale the cluster posture is the opposite — compression
+    // on, AQE on (coalesce + skew split), wide initial shuffles — so
+    // that is what the scale profile sets, and the rest of the library
+    // never assumes either profile.
+    val scaleProfile = sys.env.get("SPARK_GRAFT_SCALE_PROFILE") match {
+      case Some(v) => v == "1"
+      case None => inputBytes > (4L << 30)
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.locality.wait", "0")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
-      // At bench scale (MBs) AQE's per-stage replanning is pure latency;
-      // on a real cluster it goes back on (skew splits, partition
-      // coalescing only pay off when shuffles carry real data).
-      .config("spark.sql.adaptive.enabled", "false")
-      // Kilobyte shuffle blocks: codec + checksum time exceeds the bytes
-      // moved (in-process transport, nothing crosses a wire here).
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder =
+      if (scaleProfile) builder0
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (cpus.toInt * 4).toString)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.shuffle.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
+      else builder0
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+    val spark = builder.getOrCreate()
+    System.err.println(s"[bench] profile=${if (scaleProfile) "scale" else "latency"} " +
+      s"cpus=$cpus shuffle=$shuffleParts inputMB=${inputBytes >> 20}")
     spark.sparkContext.setLogLevel("WARN")
     // Materialize each table once before timing (BASELINE.md measures warm
     // medians and allows cached reads): CacheManager then substitutes the
