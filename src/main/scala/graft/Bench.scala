@@ -279,7 +279,14 @@ object Bench {
       // simultaneous peak — fine for the flat-sf1-vs-sf10 regression flag.
       heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
-      val res = headline.filter(qs.contains).map(n => n -> queryOnce(n))
+      // SPARK_GRAFT_KEYS=a,b,c restricts every one-pass group to the
+      // named keys — the re-measurement tool for forensics on a single
+      // slow key without paying the full multi-hundred-second pass.
+      val onlyKeys = sys.env.get("SPARK_GRAFT_KEYS")
+        .map(_.split(",").filter(_.nonEmpty).toSet)
+      def keep(n: String): Boolean = onlyKeys.forall(_.contains(n))
+      val res = headline.filter(qs.contains).filter(keep)
+        .map(n => n -> queryOnce(n))
       val wall = (System.nanoTime() - t0) / 1e9
       // LLM group in the same pass (round 11 — the sf10 dedup artifact:
       // banding miscalibration shows up as superlinear candidate growth,
@@ -288,25 +295,29 @@ object Bench {
       var llmOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1") {
         val lt0 = System.nanoTime()
-        val lres = llmHeadline.filter(qs.contains).map(n => n -> queryOnce(n))
+        val lres = llmHeadline.filter(qs.contains).filter(keep)
+          .map(n => n -> queryOnce(n))
         // Scaled-K SemDeDup (r12, judge item #2): the production K rule
         // (kmeansK ≈ ⌈N/5000⌉) instead of the gated key's oracle K=10 —
         // at sf10 this is the row proving the cluster-bounded quadratic
         // stays in band when K tracks the corpus.
-        val embRows = try Tables.t(spark, sfDir, "embeddings").count()
+        val runScaledK = keep("semantic_dedup_scaledK")
+        val embRows = if (!runScaledK) 0L
+          else try Tables.t(spark, sfDir, "embeddings").count()
           catch { case _: Throwable => 0L }
         val scaledK = queries.Similarity.kmeansK(embRows)
         val skt0 = System.nanoTime()
-        try queries.Similarity.semanticDedupWith(
-            Tables.t(spark, sfDir, "embeddings"), scaledK).count()
-        catch {
-          case e: Throwable =>
-            failed += "semantic_dedup_scaledK"
-            System.err.println(s"[bench] semantic_dedup_scaledK FAILED: ${e.getMessage}")
-        }
+        if (runScaledK)
+          try queries.Similarity.semanticDedupWith(
+              Tables.t(spark, sfDir, "embeddings"), scaledK).count()
+          catch {
+            case e: Throwable =>
+              failed += "semantic_dedup_scaledK"
+              System.err.println(s"[bench] semantic_dedup_scaledK FAILED: ${e.getMessage}")
+          }
         val skT = (System.nanoTime() - skt0) / 1e9
         val lwall = (System.nanoTime() - lt0) / 1e9
-        val lj = (lres :+ ("semantic_dedup_scaledK" -> skT))
+        val lj = (if (runScaledK) lres :+ ("semantic_dedup_scaledK" -> skT) else lres)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         llmOnepass = s""","llm":$lj,"llm_wall":$lwall,"scaled_k":$scaledK"""
       }
@@ -317,7 +328,8 @@ object Bench {
       var curOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_CURATION", "1") == "1") {
         val ct0 = System.nanoTime()
-        val cres = curationHeadline.filter(qs.contains).map(n => n -> queryOnce(n))
+        val cres = curationHeadline.filter(qs.contains).filter(keep)
+          .map(n => n -> queryOnce(n))
         val cwall = (System.nanoTime() - ct0) / 1e9
         val cj = cres.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
