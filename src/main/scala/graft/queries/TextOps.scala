@@ -163,8 +163,53 @@ object TextOps {
   // ------------------------------------------------------ tf-idf
   /** Per-source top-2 terms by summed tf-idf (idf = ln(N/df) over the whole
     * corpus). Scores are rounded to 6 decimals before ranking so the
-    * cross-engine double noise (~1e-15) cannot flip the order. */
+    * cross-engine double noise (~1e-15) cannot flip the order.
+    *
+    * EXACT-DUP COLLAPSE (r15, same design as the near-dup keys): tf and
+    * df are pure functions of a doc's TEXT, so verbatim copies — the
+    * dominant redundancy in crawl corpora — need tokenizing once, not
+    * per copy. Docs group to distinct texts keyed by md5 (128-bit; the
+    * raw string never rides a shuffle as a key), multiplicities are
+    * carried as weights, and every downstream count becomes a weighted
+    * sum: df(term) = Σ ktext over texts containing term ≡
+    * countDistinct(doc_id); the per-source score sum Σ_docs tf·idf ≡
+    * Σ_texts ks·tf·idf. Explode/tokenize work drops from O(corpus) to
+    * O(distinct content); both shuffles ahead of the explode carry
+    * (md5, count) partials that map-side combine collapses, so a 1000×
+    * duplicated corpus shuffles ~its distinct share. At zero duplication
+    * the plan degrades to the naive cost plus one md5 pass. Equality
+    * with the naive form is spec-pinned on a duplicated fixture
+    * (TextOpsSpec); the DuckDB oracle keeps the naive shape. */
   val tfidfTopTerms: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    val base = docs.select(col("source"), col("text"), md5(col("text")).as("tid"))
+    // per-(source, distinct text) doc count: the tf-sum weight
+    val grouped = base.groupBy(col("source"), col("tid")).agg(count(lit(1)).as("ks"))
+    // one representative text per tid + total doc count: the df weight
+    val texts = base.groupBy(col("tid"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+    val tfText = texts.select(col("tid"), col("ktext"), explode(toks).as("term"))
+      .groupBy(col("tid"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("ktext")).as("ktext"))
+    val df_ = tfText.groupBy(col("term")).agg(sum(col("ktext")).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tfText.join(grouped, "tid")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("source"), col("term"))
+      .agg(round(sum(col("ks") * col("tf") * log(col("n") / col("df"))), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("source"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** The pre-r15 uncollapsed tf-idf — kept as the spec twin so the
+    * collapse is pinned EXACT (same rows, same round-6 scores) on
+    * duplicated and dup-free fixtures. */
+  private[graft] val tfidfTopTermsNaive: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
     val tf = docs.select(col("doc_id"), col("source"), explode(toks).as("term"))
@@ -1481,8 +1526,50 @@ object TextOps {
 
   /** [[lineDedupDocs]] over an arbitrary (doc_id, text) frame — segments
     * ARE the '\n'-split lines; the spec runs it on a hand-built
-    * multi-line boilerplate corpus to pin reassembly order. */
+    * multi-line boilerplate corpus to pin reassembly order.
+    *
+    * EXACT-DUP COLLAPSE (r15, the tfidf design): given the global shared
+    * set, a doc's (n_segs, n_removed, clean_text) is a pure function of
+    * its TEXT, and the shared set itself only needs per-distinct-text
+    * doc multiplicities (nd(seg) = Σ ktext over distinct texts whose
+    * distinct-seg set contains seg ≡ countDistinct(doc_id)). So the
+    * segment explode, the nd count, the probe, and the reassembly all
+    * run over DISTINCT texts (md5-keyed, multiplicity-weighted), and
+    * per-doc rows come back through one (doc_id → tid) expansion join
+    * against the per-text results. A 1000×-duplicated corpus explodes
+    * and reassembles its distinct share only; verbatim-duplicate
+    * clean_texts are computed once, not per copy. Equality with the
+    * per-doc form is spec-pinned (TextOpsSpec) on duplicated fixtures. */
   private[graft] def lineDedupOver(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), md5(col("text")).as("tid"), col("text"))
+    val texts = base.groupBy(col("tid"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+    val segs = texts
+      .select(col("tid"), col("ktext"), posexplode(split(col("text"), "\n"))
+        .as(Seq("seg_idx", "seg")))
+    // nd = docs containing the seg: distinct per text, weighted by ktext
+    val shared = segs.select(col("tid"), col("ktext"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(sum(col("ktext")).as("nd"))
+      .filter(col("nd") >= 4)
+      .select(col("seg"), lit(1).as("is_dup"))
+    val perText = sharedSetProbe(segs, shared, "seg")
+      // kept: NULL for dropped segments (collect_list skips nulls),
+      // (seg_idx, seg) struct otherwise — array_sort restores doc order
+      .withColumn("kept",
+        when(col("is_dup").isNull, struct(col("seg_idx"), col("seg"))))
+      .groupBy(col("tid"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_dup").cast("long"), lit(0L))).as("n_removed"),
+        array_join(expr("transform(array_sort(collect_list(kept)), p -> p.seg)"), "\n")
+          .as("clean_text"))
+    base.select(col("doc_id"), col("tid")).join(perText, "tid")
+      .select(col("doc_id"), col("n_segs"), col("n_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pre-r15 per-doc line dedup — the spec twin pinning the collapse
+    * exact (same rows incl. clean_text) on duplicated fixtures. */
+  private[graft] def lineDedupOverNaive(docs: DataFrame): DataFrame = {
     val segs = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
         .as(Seq("seg_idx", "seg")))
@@ -1491,8 +1578,6 @@ object TextOps {
       .filter(col("nd") >= 4)
       .select(col("seg"), lit(1).as("is_dup"))
     sharedSetProbe(segs, shared, "seg")
-      // kept: NULL for dropped segments (collect_list skips nulls),
-      // (seg_idx, seg) struct otherwise — array_sort restores doc order
       .withColumn("kept",
         when(col("is_dup").isNull, struct(col("seg_idx"), col("seg"))))
       .groupBy(col("doc_id"))
@@ -1558,7 +1643,61 @@ object TextOps {
     * oracle replays the augmentation; grams spanning the original-text
     * boundary stay unique per doc, pinning that removal clips at the
     * run edge. */
+  /** EXACT-DUP COLLAPSE (r15, the line-dedup design): given the global
+    * shared-gram set, a doc's (n_tokens, n_removed, clean_text) is a
+    * function of its (augmented) TEXT, and nd(gram) re-weights by text
+    * multiplicity — Σ ktext over distinct texts whose distinct-gram set
+    * contains the gram ≡ countDistinct(doc_id). Note the self-collision
+    * semantics carry over exactly: a text with ktext ≥ 2 pushes all its
+    * grams to nd ≥ 2, so verbatim copies come out fully covered
+    * (clean_text empty) just as the per-doc form scores them. Gram
+    * explode, coverage expansion, and reassembly run once per DISTINCT
+    * text; per-doc rows return through the (doc_id → tid) expansion
+    * join. Equality with the per-doc twin spec-pinned (TextOpsSpec). */
   val exactSubstringDedup: Q = (s, dir) => {
+    val k = 8
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" all rights reserved unauthorized reproduction strictly prohibited by law"))
+          .otherwise(lit(""))).as("text"))
+    val base = aug.select(col("doc_id"), md5(col("text")).as("tid"))
+    val texts = aug.select(md5(col("text")).as("tid"), col("text"))
+      .groupBy(col("tid"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+    val withT = texts.select(col("tid"), col("ktext"), toks.as("t"))
+    val grams = withT.filter(size(col("t")) >= k)
+      .select(col("tid"), col("ktext"), posexplode(expr(
+        s"transform(sequence(0, size(t)-$k), i -> md5(concat_ws(' ', slice(t, i+1, $k))))"))
+        .as(Seq("s", "gram")))
+    val shared = grams.select(col("tid"), col("ktext"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(sum(col("ktext")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1).as("is_dup"))
+    val covered = sharedSetProbe(grams, shared, "gram")
+      .filter(col("is_dup").isNotNull)
+      .select(col("tid"), explode(expr(s"sequence(s, s + ${k - 1})")).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val perText = withT.select(col("tid"), posexplode(col("t")).as(Seq("p", "tok")))
+      .join(covered, Seq("tid", "p"), "left_outer")
+      .withColumn("kept", when(col("cov").isNull, struct(col("p"), col("tok"))))
+      .groupBy(col("tid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr("transform(array_sort(collect_list(kept)), q -> q.tok)"), " ")
+          .as("clean_text"))
+    base.join(perText, "tid")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pre-r15 per-doc exact-substring dedup — the spec twin pinning
+    * the collapse exact on duplicated fixtures. */
+  private[graft] val exactSubstringDedupNaive: Q = (s, dir) => {
     val k = 8
     val aug = t(s, dir, "documents").select(col("doc_id"),
       concat(col("text"),

@@ -63,6 +63,78 @@ class TextOpsSpec extends SparkSpec {
     assert(pf == naive, s"missing=${naive -- pf} extra=${pf -- naive}")
   }
 
+  test("tfidf exact-dup collapse equals the naive per-doc form, dup-free and duplicated") {
+    // r15: tf/df are functions of the text alone, so the collapsed plan
+    // (md5-keyed distinct texts, multiplicity-weighted sums) must be
+    // row-identical to the per-doc explode — on the dup-free corpus
+    // (weights all 1: the degenerate case) AND on a 3x-duplicated one
+    // (where df and the tf sums are genuinely weighted)
+    def rows(dir: String, q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      q(spark, dir).collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(rows(sf0001, TextOps.tfidfTopTerms) == rows(sf0001, TextOps.tfidfTopTermsNaive))
+    val docs = Tables.t(spark, sf0001, "documents")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_duptfidf").toFile
+    dir.deleteOnExit()
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = rows(dir.toString, TextOps.tfidfTopTerms)
+    assert(got == rows(dir.toString, TextOps.tfidfTopTermsNaive))
+    assert(got.nonEmpty)
+  }
+
+  test("line dedup exact-dup collapse equals the per-doc form, dup-free and duplicated") {
+    // r15: (n_segs, n_removed, clean_text) are functions of the text
+    // given the global shared set, and nd weights by text multiplicity —
+    // the collapsed pipeline must be row-identical to the per-doc one.
+    // The duplicated fixture's copies land in different doc_id %3/%4
+    // augmentation classes, so tid groups mix multiplicities.
+    def rows(docs: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(docs).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val aug0 = TextOps.augmentLines(Tables.t(spark, sf0001, "documents"))
+    assert(rows(aug0, TextOps.lineDedupOver) == rows(aug0, TextOps.lineDedupOverNaive))
+    val docs = Tables.t(spark, sf0001, "documents")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val aug = TextOps.augmentLines(dup)
+    val got = rows(aug, TextOps.lineDedupOver)
+    assert(got == rows(aug, TextOps.lineDedupOverNaive))
+    assert(got.exists(_._3 > 0), "fixture removed zero segments — shared path untested")
+  }
+
+  test("exact-substring dedup collapse equals the per-doc form; copies come out fully covered") {
+    // r15: same collapse as line dedup — plus the self-collision edge:
+    // a duplicated text's grams are shared BY ITS OWN COPIES (weighted
+    // nd >= 2), so verbatim copies must come out with empty clean_text
+    // exactly as the per-doc countDistinct form scores them.
+    def rows(dir: String, q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      q(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows(sf0001, TextOps.exactSubstringDedup)
+      == rows(sf0001, TextOps.exactSubstringDedupNaive))
+    val docs = Tables.t(spark, sf0001, "documents")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // shift by 15*shift so doc_id % 3 and % 5 classes are PRESERVED —
+    // every copy gets the identical augmented text, making whole-doc
+    // self-collision the dominant shape (the sf10/sf100 generator's)
+    val dup = (0 until 3).map(kk =>
+        docs.withColumn("doc_id", col("doc_id") + lit(kk * 15L * shift)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupsub").toFile
+    dir.deleteOnExit()
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = rows(dir.toString, TextOps.exactSubstringDedup)
+    assert(got == rows(dir.toString, TextOps.exactSubstringDedupNaive))
+    assert(got.forall(r => r._4.isEmpty && r._3 == r._2),
+      "every doc is a verbatim copy — all tokens must be covered")
+  }
+
   test("incremental_near_dedup: skew-guarded collapse equals the unguarded join on a duplicated batch/index") {
     // r13 task #3: a duplicated batch used to land batch_k × index_k
     // signature pairs on one (band, bucket) reducer. The guard collapses
