@@ -186,9 +186,11 @@ object TextOps {
     val base = docs.select(col("source"), col("text"), md5(col("text")).as("tid"))
     // per-(source, distinct text) doc count: the tf-sum weight
     val grouped = base.groupBy(col("source"), col("tid")).agg(count(lit(1)).as("ks"))
+      .localCheckpoint(true) // distinct (source, text)-sized; barrier
     // one representative text per tid + total doc count: the df weight
     val texts = base.groupBy(col("tid"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+      .localCheckpoint(true) // distinct-content-sized; pushdown barrier
     val tfText = texts.select(col("tid"), col("ktext"), explode(toks).as("term"))
       .groupBy(col("tid"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("ktext")).as("ktext"))
@@ -1513,16 +1515,21 @@ object TextOps {
     * far over the ≥4-doc bar, and SPANS docs the way real web
     * boilerplate does). */
   private[graft] def augmentLines(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), concat(
-      array_join(expr(
-        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) AS INT) - 1)," +
-          " i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"), "\n"),
-      when(col("doc_id") % 3 === 0,
-        lit("\nsubscribe to our newsletter\nfollow us on social media"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 4 === 0,
-        lit("\nall rights reserved\nterms of service apply"))
-        .otherwise(lit(""))).as("text"))
+    // the token array binds ONCE per doc (r15): with split(text) inline
+    // inside the transform lambda Catalyst re-evaluates it per LINE —
+    // O(lines × tokens) per doc, measured as the dominant cost of every
+    // line-keyed bench key; bound to a column it is O(tokens)
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), concat(
+        array_join(expr(
+          "transform(sequence(0, cast(ceil(size(t) / 3.0) AS INT) - 1)," +
+            " i -> array_join(slice(t, i * 3 + 1, 3), ' '))"), "\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter\nfollow us on social media"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nall rights reserved\nterms of service apply"))
+          .otherwise(lit(""))).as("text"))
 
   /** [[lineDedupDocs]] over an arbitrary (doc_id, text) frame — segments
     * ARE the '\n'-split lines; the spec runs it on a hand-built
@@ -1541,9 +1548,22 @@ object TextOps {
     * clean_texts are computed once, not per copy. Equality with the
     * per-doc form is spec-pinned (TextOpsSpec) on duplicated fixtures. */
   private[graft] def lineDedupOver(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), md5(col("text")).as("tid"), col("text"))
-    val texts = base.groupBy(col("tid"))
+    // The (doc_id → tid) mapping is MATERIALIZED (narrow: 40 B/doc):
+    // left lazy, the expansion join's isnotnull(tid) pushes below the
+    // scan's repartition with the whole augment+md5 expression inlined
+    // into the parquet filter — re-evaluated per consumer at the FILE's
+    // split parallelism (these small-footprint/high-row fixtures scan
+    // as ONE task), measured as 51 of the key's 75 s at sf10.
+    val base = docs.select(col("doc_id"), md5(col("text")).as("tid"))
+      .localCheckpoint(true)
+    // texts is DISTINCT-CONTENT-sized — materializing it is the
+    // collapse's design point, and it stops the join's isnotnull(tid)
+    // pushing the inlined augment+md5 below the repartition on this
+    // side too (same single-split trap as base)
+    val texts = docs.select(md5(col("text")).as("tid"), col("text"))
+      .groupBy(col("tid"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+      .localCheckpoint(true)
     val segs = texts
       .select(col("tid"), col("ktext"), posexplode(split(col("text"), "\n"))
         .as(Seq("seg_idx", "seg")))
@@ -1664,10 +1684,13 @@ object TextOps {
         when(col("doc_id") % 5 === 0,
           lit(" all rights reserved unauthorized reproduction strictly prohibited by law"))
           .otherwise(lit(""))).as("text"))
+    // materialized for the same pushdown reason as lineDedupOver's base
     val base = aug.select(col("doc_id"), md5(col("text")).as("tid"))
+      .localCheckpoint(true)
     val texts = aug.select(md5(col("text")).as("tid"), col("text"))
       .groupBy(col("tid"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
+      .localCheckpoint(true) // distinct-content-sized; pushdown barrier
     val withT = texts.select(col("tid"), col("ktext"), toks.as("t"))
     val grams = withT.filter(size(col("t")) >= k)
       .select(col("tid"), col("ktext"), posexplode(expr(
