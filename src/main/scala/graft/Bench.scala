@@ -245,6 +245,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // In the uncached one-pass, several keys localCheckpoint
+    // intermediates (collapse reps, candidate sets, distinct-text
+    // aggregates); left persisted they accumulate across the 37-key
+    // pass and the tail keys run against a storage-full heap (r15
+    // sf100: 91 GB peak, tail keys 5-10x their standalone walls).
+    // Keys are independent, so drop everything persisted after each —
+    // only when NO tables were cached (normal mode must keep them).
+    val dropPersistedPerKey =
+      sys.env.contains("SPARK_GRAFT_ONEPASS") && cacheList.isEmpty
     def queryOnce(name: String): Double = {
       val fn = qs(name)
       val t0 = System.nanoTime()
@@ -255,7 +264,10 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if (dropPersistedPerKey)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t
     }
     def queryMedian3(name: String): Double =
       Seq(queryOnce(name), queryOnce(name), queryOnce(name)).sorted.apply(1)
