@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecMean)
     ext.injectFunction(GraftExtensions.countIn)
     ext.injectFunction(GraftExtensions.misraGries)
+    ext.injectFunction(GraftExtensions.bloomFilterAgg)
+    ext.injectFunction(GraftExtensions.mightContain)
     ext.injectFunction(GraftExtensions.topkRows)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
@@ -80,6 +82,37 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
     (es: Seq[Expression]) => MisraGries(es.head).toAggregateExpression())
 
+  // Spark's OWN bloom machinery (BloomFilterAggregate /
+  // BloomFilterMightContain — the expressions InjectRuntimeFilter plants),
+  // absent from the public function registry — exposed here so
+  // bloom_prune_join probes natively: BloomFilterMightContain has
+  // doGenCode, so the probe stays inside whole-stage codegen instead of
+  // a black-box Scala UDF over a driver-built sketch (r16, verdict #5).
+  val bloomFilterAgg: FnDesc = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (es: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val agg = es.length match {
+        case 1 => new BloomFilterAggregate(es(0))
+        case 2 => new BloomFilterAggregate(es(0), es(1))
+        case 3 => new BloomFilterAggregate(es(0), es(1), es(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes (hash[, numItems[, numBits]]); got $n args")
+      }
+      agg.toAggregateExpression()
+    })
+
+  val mightContain: FnDesc = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (es: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -92,7 +125,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, bloomFilterAgg, mightContain, topkRows))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

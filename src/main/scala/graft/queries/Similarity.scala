@@ -138,6 +138,68 @@ object Similarity {
     interG.unionByName(intraG).orderBy(col("va"), col("vb"))
   }
 
+  /** VERDICT-ONLY twin of [[embeddingNearDup]] — the 100 TB posture
+    * (r16, verdict #6). The pair-list key is output-bound by its own
+    * semantics at extreme duplication (~10⁹ rows at sf100's 1000×
+    * dup-factor: C(k,2) per duplicate group); a deployment wants the
+    * keep/drop verdict per vector, which is LINEAR in the corpus no
+    * matter how heavy the duplication. Shape: exact-dup collapse →
+    * banded-LSH candidates over REPS only → cosine verify → a rep
+    * drops iff it verified against a smaller rep; members expand
+    * through the group map (a non-rep drops iff its group self-cosine
+    * clears the threshold, i.e. the group vector is nonzero — the rep,
+    * an earlier identical copy, is its witness). No pair list is ever
+    * materialized: state is reps + one boolean per vector. Verdict
+    * semantics match the pair list exactly: drop(v) ⇔ ∃ u < v with
+    * cos(u, v) ≥ 0.40 — which the oracle replays all-pairs. */
+  val embeddingNearDupVerdict: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val e = t(s, dir, "embeddings")
+    val keyed = e.select(col("vec_id"), col("label"), col("embedding"))
+    val reps = keyed.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val mapping = keyed.join(reps, Seq("label", "embedding"))
+      .select(col("vec_id"), col("rep"))
+    val repE = e.join(reps.select(col("rep").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val cand = embeddingLshCandidates(repE).localCheckpoint(true)
+    val ve = repE.select(col("vec_id"), col("embedding"))
+    // verified (va < vb by construction): vb loses to the earlier va
+    val droppedReps = cand
+      .join(ve.as("ea"), col("va") === col("ea.vec_id"))
+      .join(ve.as("eb"), col("vb") === col("eb.vec_id"))
+      .filter(round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4) >= 0.40)
+      .select(col("vb").as("rep")).distinct()
+      .withColumn("rep_dropped", lit(true))
+    // a group's intra-witness: the rep's self-cosine (1.0 for any
+    // nonzero vector; NaN — excluded — for the zero vector, whose
+    // copies therefore all KEEP, matching the all-pairs oracle)
+    val selfOk = reps.select(col("rep"),
+      (round(expr("cosine_sim(embedding, embedding)"), 4) >= 0.40).as("self_ok"))
+    mapping
+      .join(selfOk, Seq("rep"))
+      .join(droppedReps, Seq("rep"), "left_outer")
+      .select(col("vec_id"),
+        (!when(col("vec_id") === col("rep"),
+            coalesce(col("rep_dropped"), lit(false)))
+          .otherwise(col("self_ok") || coalesce(col("rep_dropped"), lit(false))))
+          .as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** All-pairs replay of the verdict semantics: v drops iff it appears
+    * as the LARGER id of any qualifying pair. */
+  val embeddingNearDupVerdictSql: String =
+    """WITH pairs AS (
+      |  SELECT b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40)
+      |SELECT vec_id, vec_id NOT IN (SELECT vb FROM pairs) AS keep
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** The 64×64 fract-sin plane matrix, MATERIALIZED ONCE driver-side —
     * w(p, d) = fract(sin(p·64+d)·43758.5453)·2−1, the same double-op
     * sequence the SQL form computed (java.lang.Math.sin both ways, so
@@ -790,6 +852,7 @@ object Similarity {
     "cosine_topk_hof" -> cosineTopk,
     "ann_hyperplane_topk" -> annHyperplaneTopk,
     "embedding_near_dup" -> embeddingNearDup,
+    "embedding_near_dup_verdict" -> embeddingNearDupVerdict,
     "ivf_centroid_stats" -> ivfCentroidStats,
     "ivf_cosine_topk" -> ivfCosineTopk,
   )
@@ -801,6 +864,7 @@ object Similarity {
     "cosine_topk_hof" -> cosineTopkSql,
     "ann_hyperplane_topk" -> annHyperplaneTopkSql,
     "embedding_near_dup" -> embeddingNearDupSql,
+    "embedding_near_dup_verdict" -> embeddingNearDupVerdictSql,
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
     "ivf_cosine_topk" -> ivfCosineTopkSql,
   )

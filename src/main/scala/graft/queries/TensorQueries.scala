@@ -812,6 +812,60 @@ object TensorQueries {
        |SELECT CAST(64 - 1 - g.j AS INT) AS i, CAST(g.i AS INT) AS j, round(g.v, 4) AS v
        |FROM grid g ORDER BY i, j""".stripMargin
 
+  /** rotate 30° with reshape, order 1 — the ARBITRARY-angle gate (r16):
+    * closes the §2A partial where only the degenerate 90° permutation
+    * was oracled. Every output pixel takes a genuine 4-tap bilinear
+    * blend at an irrational source coordinate, so the hash pins the
+    * rotation matrix, center convention, reshape bbox (48×64 → 74×79),
+    * block gather, and blend arithmetic end to end. */
+  val tensorRotate30: Q = (s, dir) => {
+    val out = Interp.rotate(Images.eventsRaster(s, dir), 2, 30.0,
+      axes = (0, 1), reshape = true, order = 1, cval = 0.0)
+    pixelsOut(out)
+  }
+
+  /** Formula-replay oracle: the inverse map in = R·(out − outC) + inC and
+    * the floor-corner bilinear blend, replayed relationally. The matrix /
+    * offset constants are EMBEDDED as full-precision double literals
+    * computed by the same Scala expressions [[graft.tensor.Interp]] uses
+    * (Double.toString round-trips, DuckDB parses to the identical bits),
+    * and the blend accumulates in the kernel's corner order — so the two
+    * engines run bit-identical arithmetic up to the round(…, 4). */
+  val tensorRotate30Sql: String = {
+    val rad = math.toRadians(30.0)
+    val c = math.cos(rad); val sn = math.sin(rad)
+    val (h, w) = (48, 64)
+    val oh = math.round(h * math.abs(c) + w * math.abs(sn)).toInt
+    val ow = math.round(h * math.abs(sn) + w * math.abs(c)).toInt
+    val inC0 = (h - 1) / 2.0; val inC1 = (w - 1) / 2.0
+    val outC0 = (oh - 1) / 2.0; val outC1 = (ow - 1) / 2.0
+    val off0 = inC0 - c * outC0 - sn * outC1
+    val off1 = inC1 + sn * outC0 - c * outC1
+    s"""WITH $gridCte,
+       |oc AS (SELECT CAST(a.i AS INT) AS oi, CAST(b.j AS INT) AS oj
+       |       FROM (SELECT unnest(range(0, $oh)) AS i) a
+       |       CROSS JOIN (SELECT unnest(range(0, $ow)) AS j) b),
+       |f AS (SELECT oi, oj, x0, x1,
+       |        CAST(floor(x0) AS INT) AS f0, CAST(floor(x1) AS INT) AS f1
+       |      FROM (SELECT oi, oj,
+       |              (CAST('$off0' AS DOUBLE) + CAST('$c' AS DOUBLE) * oi)
+       |                + CAST('$sn' AS DOUBLE) * oj AS x0,
+       |              (CAST('$off1' AS DOUBLE) + CAST('${-sn}' AS DOUBLE) * oi)
+       |                + CAST('$c' AS DOUBLE) * oj AS x1
+       |            FROM oc))
+       |SELECT f.oi AS i, f.oj AS j,
+       |  round(((1 - (x0 - f0)) * (1 - (x1 - f1))) * coalesce(p00.v, 0) +
+       |        ((1 - (x0 - f0)) * (x1 - f1)) * coalesce(p01.v, 0) +
+       |        ((x0 - f0) * (1 - (x1 - f1))) * coalesce(p10.v, 0) +
+       |        ((x0 - f0) * (x1 - f1)) * coalesce(p11.v, 0), 4) + 0.0 AS v
+       |FROM f
+       |LEFT JOIN grid p00 ON p00.i = f0     AND p00.j = f1
+       |LEFT JOIN grid p01 ON p01.i = f0     AND p01.j = f1 + 1
+       |LEFT JOIN grid p10 ON p10.i = f0 + 1 AND p10.j = f1
+       |LEFT JOIN grid p11 ON p11.i = f0 + 1 AND p11.j = f1 + 1
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ------------------------------------------------------ 3-d pipeline
   /** 3-d gate: events rasterized onto (user%12, hour%16, weekday-ish%4)
     * and smoothed with a 3×3×3 box — proves the halo exchange + kernels
@@ -1264,6 +1318,7 @@ object TensorQueries {
     "tensor_affine_shift" -> tensorAffineShift,
     "tensor_affine_u8" -> tensorAffineU8,
     "tensor_rotate90" -> tensorRotate90,
+    "tensor_rotate30" -> tensorRotate30,
     "tensor_rank3" -> tensorRank3,
     "tensor_percentile30" -> tensorPercentile30,
     "tensor_generic_range" -> tensorGenericRange,
@@ -1298,6 +1353,7 @@ object TensorQueries {
     "tensor_affine_shift" -> tensorAffineShiftSql,
     "tensor_affine_u8" -> tensorAffineU8Sql,
     "tensor_rotate90" -> tensorRotate90Sql,
+    "tensor_rotate30" -> tensorRotate30Sql,
     "tensor_uniform3" -> tensorUniform3Sql,
     "tensor_gaussian" -> tensorGaussianSql,
     "tensor_minmax3" -> tensorMinmax3Sql,

@@ -822,15 +822,30 @@ object StreamOps {
   // ---------------------- stream near-dedup, index-BOOTSTRAPPED state
   /** Seed per-bucket state from a persisted signature index scan
     * ([[graft.sources.SigIndex]] layout): each bucket's rows collapse
-    * to DISTINCT signatures (keep-first doc id, lastHit 0 — the
-    * bucket's logical clock resumes at 0, so every live arrival's hit
-    * outranks every seeded stamp under the LRU), sorted by firstId so
-    * the seeded entry list is deterministic. Built as a
+    * to DISTINCT signatures (keep-first doc id), CAPPED at `cap`
+    * entries (r16, per ADVICE — an uncapped seed violated the
+    * bounded-state invariant whenever a bucket's distinct index
+    * signatures exceeded the cap, and its all-zero lastHit stamps made
+    * later LRU evictions tie-break on list position instead of
+    * recency). Under cap pressure the seed keeps the `cap`
+    * MOST-RECENT signatures (recency = the signature's latest copy's
+    * doc id — what the stream's LRU clock retains for entries whose
+    * only hits are their own exact copies), stamped with NEGATIVE
+    * recency ranks so (a) every live arrival's hit outranks every
+    * seeded stamp and (b) seed-vs-seed eviction follows seeded
+    * recency deterministically. NOTE the scoped identity claim: the
+    * seeded run's verdicts equal the full-stream run's exactly for
+    * buckets whose distinct-signature count stays ≤ cap (every spec'd
+    * and gated configuration); past the cap a full stream evicts
+    * MID-corpus and can re-admit a signature under a later firstId,
+    * which no post-hoc index collapse can reconstruct — the seed is
+    * then the documented LRU-consistent approximation. Built as a
     * KeyValueGroupedDataset: Spark shuffles the index scan by bucket
     * into the state-store partitions at query start — the seed is
     * distributed exactly like a data micro-batch, never through the
     * driver. */
-  private[graft] def indexSeedState(s: SparkSession, path: String)
+  private[graft] def indexSeedState(s: SparkSession, path: String,
+      cap: Int = Int.MaxValue)
       : org.apache.spark.sql.KeyValueGroupedDataset[String, BucketState] = {
     val spark = s
     import spark.implicits._
@@ -839,12 +854,21 @@ object StreamOps {
       .as[(String, Long, Seq[Long])]
       .groupByKey(_._1)
       .mapGroups { (bucket, it) =>
-        val firstBySig = scala.collection.mutable.Map.empty[Seq[Long], Long]
+        // sig -> (min doc id = keep-first owner, max doc id = recency)
+        val bySig = scala.collection.mutable.Map.empty[Seq[Long], (Long, Long)]
         it.foreach { case (_, id, sig) =>
-          if (firstBySig.get(sig).forall(id < _)) firstBySig(sig) = id
+          bySig.get(sig) match {
+            case None => bySig(sig) = (id, id)
+            case Some((lo, hi)) =>
+              bySig(sig) = (math.min(lo, id), math.max(hi, id))
+          }
         }
-        val entries = firstBySig.toList.sortBy(_._2)
-          .map { case (sig, id) => SigEntry(id, 0L, sig.toArray) }
+        // ascending recency; cap keeps the most recent, stamps are the
+        // negative ranks −size … −1 (max stays < any arrival's clock)
+        val kept = bySig.toList.sortBy(_._2._2).takeRight(cap)
+        val entries = kept.zipWithIndex.map { case ((sig, (lo, _)), i) =>
+          SigEntry(lo, (i + 1).toLong - kept.size - 1L, sig.toArray)
+        }
         (bucket, BucketState(entries))
       }
       .groupByKey(_._1).mapValues(_._2)
@@ -861,9 +885,12 @@ object StreamOps {
     * that near-dups an indexed corpus doc is dropped in its FIRST
     * micro-batch, with the corpus text never read and no warm-up
     * stream. Verdict semantics are identical to running the whole
-    * corpus through the stream (spec-pinned per-doc): the seeded
-    * entries are exactly the exact-dup-collapsed state the corpus
-    * arrivals would have built.
+    * corpus through the stream (spec-pinned per-doc) for every bucket
+    * whose distinct-signature count stays within the cap — the seeded
+    * entries are then exactly the exact-dup-collapsed state the corpus
+    * arrivals would have built; past the cap the seed is the
+    * LRU-consistent cap-most-recent subset (see [[indexSeedState]] for
+    * why exact reconstruction is impossible there).
     *
     * 100 TB shape: the index is bucket-partitioned parquet (512 fixed
     * directories); the seed is ONE shuffle of the ~300 B/doc signature
@@ -900,7 +927,7 @@ object StreamOps {
       graft.sources.SigIndex.write(
         nearDupBand(nearDupSigs(docs.filter(col("doc_id") < 400))),
         idxPath, "overwrite")
-      Some(indexSeedState(s, idxPath))
+      Some(indexSeedState(s, idxPath, cap))
     } else None
     val inDir = freshDir(dir, "neardup_boot_stream")
     writeDocShards(s, dir, inDir, _ >= 400): Unit

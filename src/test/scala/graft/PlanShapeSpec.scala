@@ -349,4 +349,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no shuffle join on the raw token key:\n$p")
   }
+
+  test("q3_bucketed: the bucketed lake layout deletes every hash exchange from q3") {
+    // THE 100 TB relational lever (r16): both facts are bucketed+sorted
+    // on their orderkey, so the fact-fact join rides the storage layout
+    // and the orderkey group-by reuses it — zero hash exchanges at any
+    // sf (at toy sf a broadcast may replace the SMJ; still zero).
+    val p = plan("q3_bucketed")
+    assert(hashExchanges(p) == 0,
+      s"bucketed q3 must need no shuffle — the layout IS the exchange:\n$p")
+    assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"),
+      s"scan does not report bucketed read:\n$p")
+  }
+
+  test("bloom_prune_join: native might_contain probe — no Scala UDF, codegen survives") {
+    val p = plan("bloom_prune_join")
+    assert(p.contains("might_contain"),
+      s"native BloomFilterMightContain missing from the probe:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"black-box UDF survived the nativization:\n$p")
+  }
+
+  test("window_rank: topk semi-agg prunes the fact BEFORE the rank window — one hash shuffle") {
+    // The r15 sf100 cliff: rank() over the raw fact full-sorts every
+    // customer's orders inside the window (150M-row spill sort). Pin the
+    // fixed shape: the bounded topk aggregate sits BELOW the Window, and
+    // the Window reuses the aggregate's hash partitioning (exactly one
+    // hash exchange end-to-end — the final orderBy is a range exchange).
+    val p = plan("window_rank")
+    assert(p.contains("topk"), s"bounded topk semi-agg missing:\n$p")
+    assert(p.contains("Window"), s"genuine rank() window missing:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("topk"),
+      s"topk agg must run below (after in-plan-text: before) the Window:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"window must reuse the aggregate's o_custkey partitioning (1 hash shuffle total):\n$p")
+  }
 }

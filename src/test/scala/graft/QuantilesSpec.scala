@@ -26,8 +26,19 @@ class QuantilesSpec extends SparkSpec {
   }
 
   test("approx_quantiles tracks exact within 1% relative error at accuracy 10000") {
+    // r16: the GATED key now emits the in-band verdicts (bounds oracle);
+    // this spec keeps bounding the RAW sketch values against exact, so
+    // it recomputes the sketch directly with the gate's parameters.
     val exact = byFlag(graft.queries.Relational.groupedQuantiles(spark, sf001).collect())
-    val approx = byFlag(graft.queries.Relational.approxQuantiles(spark, sf001).collect())
+    val approx = byFlag(Tables.t(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p90"),
+        element_at(col("q"), 3).as("p99"))
+      .collect())
     assert(exact.keySet == approx.keySet)
     for ((flag, (e50, e90, e99)) <- exact) {
       val (a50, a90, a99) = approx(flag)
@@ -39,5 +50,11 @@ class QuantilesSpec extends SparkSpec {
       assert(relErr(e90, a90) < 0.01, s"$flag p90: exact=$e90 approx=$a90")
       assert(relErr(e99, a99) < 0.01, s"$flag p99: exact=$e99 approx=$a99")
     }
+    // and the gated key's verdict columns are all-true at this sf
+    val gate = graft.queries.Relational.approxQuantiles(spark, sf001).collect()
+    assert(gate.nonEmpty && gate.forall(r =>
+      r.getBoolean(r.fieldIndex("p50_in_band")) &&
+        r.getBoolean(r.fieldIndex("p90_in_band")) &&
+        r.getBoolean(r.fieldIndex("p99_in_band"))))
   }
 }

@@ -231,6 +231,46 @@ class StreamingSpec extends SparkSpec {
       s"seed not load-bearing: cold=$coldDropped seeded=$dropped")
   }
 
+  test("index seed honors the bucket cap: most-recent signatures kept, negative recency stamps") {
+    // r16, per ADVICE: an uncapped seed broke the bounded-state
+    // invariant and its all-zero stamps made later LRU evictions
+    // tie-break on list position. Pin the capped seed at the unit seam:
+    // one bucket, 5 distinct sigs with copy-recency A(1,50) B(2) C(3,10)
+    // D(4) E(5); cap 3 must keep {A, C, E} (recency 50/10/5), firstId =
+    // each sig's keep-first owner, stamps = negative ascending-recency
+    // ranks (E=-3, C=-2, A=-1) so every live arrival outranks them.
+    import graft.streaming.StreamOps
+    val s = spark
+    import s.implicits._
+    def sig(tag: Long): Seq[Long] = Seq.tabulate(32)(i => tag * 1000 + i)
+    val rows = Seq( // (doc_id, sig-tag)
+      (1L, 1L), (50L, 1L), (2L, 2L), (3L, 3L), (10L, 3L), (4L, 4L), (5L, 5L))
+    val banded = rows.map { case (id, tg) => (id, "s", sig(tg), 0, "0|u") }
+      .toDF("doc_id", "source", "sig", "band", "bucket")
+    val path = java.nio.file.Files.createTempDirectory("graft_seed_cap").toString
+    graft.sources.SigIndex.write(banded, path, "overwrite")
+    val seeded = StreamOps.indexSeedState(spark, path, cap = 3)
+      .mapGroups((k, it) => (k, it.next().entries.map(e =>
+        (e.firstId, e.lastHit, e.sig(0))).toList))
+      .collect().toMap
+    val entries = seeded("0|u")
+    assert(entries.map(_._3).toSet == Set(1000L, 3000L, 5000L),
+      s"cap must keep the most-RECENT sigs (A,C,E): $entries")
+    assert(entries == List((5L, -3L, 5000L), (3L, -2L, 3000L), (1L, -1L, 1000L)),
+      s"firstId/stamp order wrong: $entries")
+    // uncapped: all 5 survive, stamps still negative (arrivals outrank)
+    val full = StreamOps.indexSeedState(spark, path)
+      .mapGroups((k, it) => (k, it.next().entries)).collect().toMap
+    assert(full("0|u").size == 5 && full("0|u").forall(_.lastHit < 0))
+    // end-to-end at cap 1: the seeded gate run must hold EVERY bucket at
+    // ≤ 1 entry (the invariant the uncapped seed violated) and complete
+    val v = StreamOps.streamNearDedupBootstrapVerdicts(spark, sf0001, 1, 1)
+      .select(col("doc_id"), col("n_state")).collect()
+    assert(v.nonEmpty && v.forall(_.getInt(1) <= 1),
+      s"cap-1 seeded run exceeded the bounded-state cap: " +
+        s"max=${v.map(_.getInt(1)).max}")
+  }
+
   test("near-dedup stream is state-store-provider-portable: RocksDB run (incl. seeded bootstrap) equals heap run") {
     // The documented live-crawl posture (SURVEY §2C, r14 verdict) is a
     // RocksDB state store — per-bucket signature memory off-heap, spill
