@@ -203,6 +203,13 @@ object Bench {
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.shuffle.compress", "true")
         .config("spark.shuffle.spill.compress", "true")
+        // zstd over the lz4 default at scale: row-oriented shuffle of a
+        // wide fact runs 2-4x the parquet bytes, and on a single spill
+        // disk the transient footprint is the binding constraint (the
+        // sf100 bucketed-layout build overflowed 60 GB of free disk on
+        // lz4; zstd halves it). Same posture as a production cluster,
+        // where shuffle bytes cross a network.
+        .config("spark.io.compression.codec", "zstd")
       else builder0
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.shuffle.compress", "false")
@@ -522,11 +529,17 @@ object Bench {
     // the curation group that its own quiet re-pass disproved — the
     // main pass's floor verdict cannot cover groups that run minutes
     // later. Each group now interleaves its OWN floor probes and
-    // retries on a contended floor (lowest-floor pass kept, same rules
-    // as the main pass), so the shipped group total IS the quiet number
-    // — one unambiguous continuity figure per round.
+    // retries on a contended floor (lowest-floor pass kept), so the
+    // shipped group total IS the quiet number — one unambiguous
+    // continuity figure per round. Contention test is the floor MEDIAN
+    // only, unlike the main pass: group floor probes sit right after
+    // multi-second GC-churning keys (minhash, substring dedup), so a
+    // single probe spiking on a collection pause is the NORMAL quiet
+    // state here and the IQR would flag forever; the median is robust
+    // to those spikes and still moves when the machine is genuinely
+    // busy. The IQR ships in the JSON for forensics, unjudged.
     def guardedGroup(tag: String, names: Seq[String])
-        : (Seq[(String, Double)], Double, Boolean, Int) = {
+        : (Seq[(String, Double)], Double, Double, Boolean, Int) = {
       def pass(): (Seq[(String, Double)], Seq[Double]) = {
         val floors = scala.collection.mutable.ArrayBuffer(floorOnce())
         val res = names.zipWithIndex.map { case (name, i) =>
@@ -547,12 +560,12 @@ object Bench {
         val p = pass()
         val fm = median(p._2)
         if (fm < bestFloor) { bestFloor = fm; best = p }
-        cont = bestFloor > 3 * floorRef || iqr(best._2) > iqrRef
+        cont = bestFloor > 3 * floorRef
         if (cont) System.err.println(
-          f"[bench] $tag attempt $a contended: floor median $fm%.3f s / " +
-            f"iqr ${iqr(best._2)}%.3f s")
+          f"[bench] $tag attempt $a contended: floor median $fm%.3f s " +
+            f"(limit ${3 * floorRef}%.2f)")
       }
-      (reprobeSpikes(best._1), bestFloor, cont, a)
+      (reprobeSpikes(best._1), bestFloor, iqr(best._2), cont, a)
     }
 
     // ------------------------------------------------ LLM-pipeline group
@@ -562,12 +575,13 @@ object Bench {
     val llmOn = sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1"
     var llmJson = ""
     if (llmOn) {
-      val (llm, lFloor, lCont, lAtt) =
+      val (llm, lFloor, lIqr, lCont, lAtt) =
         guardedGroup("llm", llmHeadline.filter(qs.contains))
       val lj = llm.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       llmJson = s""","llm":$lj,"llm_total":${llm.map(_._2).sum},""" +
-        s""""llm_floor":$lFloor,"llm_contended":$lCont,"llm_attempts":$lAtt"""
+        s""""llm_floor":$lFloor,"llm_floor_iqr":$lIqr,""" +
+        s""""llm_contended":$lCont,"llm_attempts":$lAtt"""
     }
 
     // ------------------------------------------------ curation group
@@ -577,13 +591,13 @@ object Bench {
     val curOn = sys.env.getOrElse("SPARK_GRAFT_CURATION", "1") == "1"
     var curJson = ""
     if (curOn) {
-      val (cur, cFloor, cCont, cAtt) =
+      val (cur, cFloor, cIqr, cCont, cAtt) =
         guardedGroup("curation", curationHeadline.filter(qs.contains))
       val cj = cur.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       curJson = s""","curation":$cj,"curation_total":${cur.map(_._2).sum},""" +
-        s""""curation_floor":$cFloor,"curation_contended":$cCont,""" +
-        s""""curation_attempts":$cAtt"""
+        s""""curation_floor":$cFloor,"curation_floor_iqr":$cIqr,""" +
+        s""""curation_contended":$cCont,"curation_attempts":$cAtt"""
     }
 
     // --------------------------- heavy hitters at HIGH cardinality

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomFilterAgg)
     ext.injectFunction(GraftExtensions.mightContain)
     ext.injectFunction(GraftExtensions.topkRows)
+    ext.injectFunction(GraftExtensions.top2By)
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
   }
 }
@@ -113,6 +114,11 @@ object GraftExtensions {
     (es: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
 
+  val top2By: FnDesc = (
+    FunctionIdentifier("top2_by"),
+    new ExpressionInfo(classOf[Top2By].getName, "top2_by"),
+    (es: Seq[Expression]) => Top2By(es(0), es(1)).toAggregateExpression())
+
   val topkRows: FnDesc = (
     FunctionIdentifier("topk"),
     new ExpressionInfo(classOf[TopKRows].getName, "topk"),
@@ -125,7 +131,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, bloomFilterAgg, mightContain, topkRows))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, bloomFilterAgg, mightContain, topkRows, top2By))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -250,21 +250,26 @@ object Relational {
     *
     * Scale shape (r16): rank()-over-the-raw-fact full-sorts every
     * customer's orders inside the window operator — a 150M-row spill
-    * sort at sf100 (109–219 s measured). Instead the bounded `topk`
-    * semi-agg prunes each customer to its 2 candidate rows first
-    * (map-side partial state is ≤ k rows per group, merged
-    * associatively), and the genuine rank() window runs over the winner
-    * set only. Window.partitionBy(o_custkey) reuses the aggregate's
-    * hash partitioning, so the whole key is ONE shuffle and the only
-    * window sort is over ≤ 2 rows per customer. */
+    * sort at sf100 (109–219 s measured). Instead the bounded `top2_by`
+    * DECLARATIVE aggregate ([[graft.functions.Top2By]]) prunes each
+    * customer to its 2 candidate rows first, and the genuine rank()
+    * window runs over the winner set only.
+    * Window.partitionBy(o_custkey) reuses the aggregate's hash
+    * partitioning, so the whole key is ONE shuffle and the only window
+    * sort is over ≤ 2 rows per customer. Declarative (fixed-width
+    * primitive buffer → HashAggregateExec, whole-stage codegen) rather
+    * than the generic `topk` TypedImperativeAggregate: the object-agg
+    * form falls back to SORT-BASED aggregation past 128 distinct group
+    * keys per task, which on 15M customers re-creates the full fact
+    * sort this key exists to delete (measured: 35 GB spill at sf100). */
   val windowRank: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     val winners = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(expr("topk(struct(-o_totalprice AS np, o_orderkey AS ok), 2)").as("top"))
+      .agg(expr("top2_by(o_totalprice, o_orderkey)").as("top"))
       .select(col("o_custkey"), explode(col("top")).as("r"))
-      .select(col("o_custkey"), (-col("r.np")).as("o_totalprice"),
-        col("r.ok").as("o_orderkey"))
+      .select(col("o_custkey"), col("r.v").as("o_totalprice"),
+        col("r.k").as("o_orderkey"))
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     winners

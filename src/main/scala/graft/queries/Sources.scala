@@ -176,6 +176,39 @@ object SourceQueries {
     }
   }
 
+  /** documents → 32 deliberately tiny parquet files → [[graft.sources.Lake.compact]]
+    * (size-targeted, range-partitioned on doc_id, sorted within files) →
+    * read-back → per-lang reduction. Compaction is the lake hygiene pass
+    * a 100 TB corpus runs continuously behind streaming sinks and
+    * incremental ingest — thousands of small files per micro-batch decay
+    * scan parallelism and NameNode/manifest pressure until a compactor
+    * rewrites them at the target size. The gate hashes CONTENT
+    * preservation through the rewrite (count, sums, and an order-exact
+    * doc_id checksum, so a dropped, duplicated, or reordered-within-key
+    * row breaks it); LakeSpec pins the layout mechanics (file-count
+    * reduction, disjoint contiguous key ranges per file — the
+    * query-time file-pruning property). */
+  val lakeCompactRoundtrip: Q = (s, dir) => {
+    val in = tmp(s, dir, "compact_in")
+    val out = tmp(s, dir, "compact_out")
+    t(s, dir, "documents").repartition(32).write.mode("overwrite").parquet(in)
+    graft.sources.Lake.compact(s, in, out, sortKey = "doc_id", targetMb = 4)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id") * col("doc_id")).as("id_checksum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  val lakeCompactRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id * doc_id) AS BIGINT) AS id_checksum,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val warcWetIngest: Q = (s, dir) => {
     val out = tmp(s, dir, "wet")
     writeWetShards(s, dir, out)
@@ -197,6 +230,7 @@ object SourceQueries {
     "csv_source_roundtrip" -> csvRoundtrip,
     "orc_source_roundtrip" -> orcRoundtrip,
     "partitioned_lake_prune" -> partitionedPrune,
+    "lake_compact_roundtrip" -> lakeCompactRoundtrip,
     "warc_wet_ingest" -> warcWetIngest,
   )
 
@@ -205,6 +239,7 @@ object SourceQueries {
     "csv_source_roundtrip" -> csvRoundtripSql,
     "orc_source_roundtrip" -> orcRoundtripSql,
     "partitioned_lake_prune" -> partitionedPruneSql,
+    "lake_compact_roundtrip" -> lakeCompactRoundtripSql,
     "warc_wet_ingest" -> warcWetIngestSql,
   )
 }

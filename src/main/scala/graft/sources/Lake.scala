@@ -16,9 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table.
+    *
+    * The `repartition(buckets, key)` BEFORE the bucketed write is
+    * load-bearing: Spark's bucket id is `pmod(murmur3(key), buckets)` —
+    * the same function HashPartitioning computes — so after the
+    * repartition every write task holds exactly ONE bucket's rows.
+    * Without it, each of the N input tasks writes into all `buckets`
+    * files (N×buckets small files; at 600M rows / sf100 that is ~4000
+    * files whose per-task sorts collectively spill the whole fact
+    * uncompressed) and, worse for the READ side, each bucket is split
+    * across N files — Spark only treats a bucketed table's sort order
+    * as usable when each bucket holds a single file, so the sortBy
+    * metadata would be dead weight and every join would re-sort. One
+    * file per bucket keeps the write sort to rows-per-bucket and lets
+    * the sort-merge join read both sides sort-free. */
   def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -278,4 +278,35 @@ class FunctionsSpec extends SparkSpec {
       .select(size(col("top"))).collect().head.getInt(0)
     assert(small == 2)
   }
+
+  test("top2_by: declarative top-2 equals sort-and-take-2 across partitions; plans as HashAggregate") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    // duplicate scores within groups so the k-ASC tiebreak is exercised;
+    // group 99 has a single row (one-entry array); null score rows skip
+    val rows = (1 to 600).map(i => (i % 11L, (rnd.nextInt(9) + 1).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id")
+      .unionByName(Seq((99L, 7.0, 9001L)).toDF("g", "score", "id"))
+      .unionByName(Seq((0L, Option.empty[Double], 9002L)).toDF("g", "score", "id"))
+      .repartition(8)
+    val agg = df.groupBy("g").agg(expr("top2_by(score, id)").as("top"))
+    val got = agg
+      .select(col("g"), posexplode(col("top")).as(Seq("p", "r")))
+      .select(col("g"), col("p"), col("r.v"), col("r.k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val want = (rows :+ ((99L, 7.0, 9001L)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._2, t._3)).take(2).map(t => (t._2, t._3)).toSeq).toMap
+    assert(got == want, "top2_by disagrees with sort-and-take-2")
+    assert(got(99L) == Seq((7.0, 9001L)), "single-row group must emit one entry")
+    // the scale contract: fixed-width buffer → HashAggregate (codegen,
+    // no object-agg 128-key sort fallback)
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"top2_by must plan as fixed-width HashAggregate:\n$p")
+  }
 }

@@ -370,17 +370,23 @@ class PlanShapeSpec extends SparkSpec {
       s"black-box UDF survived the nativization:\n$p")
   }
 
-  test("window_rank: topk semi-agg prunes the fact BEFORE the rank window — one hash shuffle") {
+  test("window_rank: top2_by semi-agg prunes the fact BEFORE the rank window — one hash shuffle, no object agg") {
     // The r15 sf100 cliff: rank() over the raw fact full-sorts every
     // customer's orders inside the window (150M-row spill sort). Pin the
-    // fixed shape: the bounded topk aggregate sits BELOW the Window, and
-    // the Window reuses the aggregate's hash partitioning (exactly one
-    // hash exchange end-to-end — the final orderBy is a range exchange).
+    // fixed shape: the bounded top2_by aggregate sits BELOW the Window,
+    // and the Window reuses the aggregate's hash partitioning (exactly
+    // one hash exchange end-to-end — the final orderBy is a range
+    // exchange). It must plan as HashAggregate, NOT ObjectHashAggregate:
+    // the object form silently falls back to sort-based aggregation past
+    // 128 distinct keys per task, re-creating the fact sort (35 GB spill
+    // at sf100, r16).
     val p = plan("window_rank")
-    assert(p.contains("topk"), s"bounded topk semi-agg missing:\n$p")
+    assert(p.contains("top2_by"), s"bounded top2_by semi-agg missing:\n$p")
     assert(p.contains("Window"), s"genuine rank() window missing:\n$p")
-    assert(p.indexOf("Window") < p.indexOf("topk"),
-      s"topk agg must run below (after in-plan-text: before) the Window:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("top2_by"),
+      s"top2_by agg must run below (after in-plan-text: before) the Window:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"top2_by must use the fixed-width HashAggregate path (no sort fallback):\n$p")
     assert(hashExchanges(p) == 1,
       s"window must reuse the aggregate's o_custkey partitioning (1 hash shuffle total):\n$p")
   }
