@@ -24,7 +24,8 @@ object Bench {
     * total comparable round-over-round. Same protocol; the DuckDB twin
     * runs the same keys' oracle SQL (tools/bench_duckdb.py --llm). */
   val llmHeadline: Seq[String] = Seq(
-    "minhash_near_dup", "embedding_near_dup", "tfidf_top_terms",
+    "minhash_near_dup", "embedding_near_dup", "embedding_near_dup_verdict",
+    "tfidf_top_terms",
     "pack_sequences", "shuffle_shards", "line_dedup_docs", "semantic_dedup")
 
   /** The curation headliners (round 12): the data-curation operators a
