@@ -17,8 +17,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", {
+        // per-run temp warehouse, deleted at exit (same rationale as
+        // Bench: stranded graft_wh* dirs accumulate bucketed/partitioned
+        // fact copies in /tmp across runs)
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+        queries.TmpCleanup.register(wh)
+        wh.toString
+      })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -116,7 +116,16 @@ object GraftExtensions {
 
   val top2By: FnDesc = (
     FunctionIdentifier("top2_by"),
-    new ExpressionInfo(classOf[Top2By].getName, "top2_by"),
+    // the sentinel restriction lives in the USAGE string (r17, per
+    // ADVICE): a SQL user sees it in DESCRIBE FUNCTION instead of only
+    // in a Scaladoc they never read
+    new ExpressionInfo(classOf[Top2By].getName, null, "top2_by",
+      "top2_by(v, k) - top-2 (v DOUBLE, k BIGINT) pairs of the group, " +
+        "ordered v DESC then k ASC, as ARRAY<STRUCT<v, k>>. RESTRICTION: " +
+        "empty buffer slots are the sentinel (-Infinity, Long.MaxValue), " +
+        "so rows with v = -Infinity (and the exact pair " +
+        "(-Infinity, Long.MaxValue)) are dropped from the output; use the " +
+        "generic topk aggregate when -Infinity is a live value.", ""),
     (es: Seq[Expression]) => Top2By(es(0), es(1)).toAggregateExpression())
 
   val topkRows: FnDesc = (

@@ -133,9 +133,16 @@ object Relational {
     * count. Full-width tables, not query-specific projections: a real
     * lake buckets the table once for EVERY orderkey-joining query, and
     * parquet column pruning keeps the probe narrow regardless. */
+  /** The per-dir bucketed fact table names — factored so Bench's
+    * DROP-before-build uses the identical suffix (a drifted copy of the
+    * suffix math would silently skip the drop and bench a stale build). */
+  private[graft] def bucketedFactNames(dir: String): (String, String) = {
+    val sfx = graft.sources.Lake.dirSuffix(dir)
+    (s"graft_b_lineitem_$sfx", s"graft_b_orders_$sfx")
+  }
+
   private[graft] def bucketedFacts(s: SparkSession, dir: String): (String, String) = {
-    val sfx = math.abs(dir.hashCode).toString
-    val (lTab, oTab) = (s"graft_b_lineitem_$sfx", s"graft_b_orders_$sfx")
+    val (lTab, oTab) = bucketedFactNames(dir)
     if (!s.catalog.tableExists(lTab))
       graft.sources.Lake.bucketize(t(s, dir, "lineitem"), lTab, "l_orderkey", 32)
     if (!s.catalog.tableExists(oTab))
@@ -503,6 +510,72 @@ object Relational {
     """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
       |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------- time-partitioned lake twins
+  /** Month-partitioned lineitem, built once per (session, dir) via
+    * [[graft.sources.Lake.datePartitionByMonth]] — the TIME-axis lake
+    * layout (r16 verdict #1: every remaining sf100 relational wall is a
+    * time-keyed scan; layout, not plan surgery, is the lever, exactly as
+    * `q3_bucketed` proved for the join axis). The layout lives under the
+    * session's warehouse dir, so it shares the warehouse lifecycle
+    * (per-run isolation; cleaned by the Bench/Verify exit hook). At
+    * cluster scale this is the catalog table's declared partitioning —
+    * built once at ingest, amortized over every time-sliced query. */
+  private val monthLineitemBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  private[graft] def monthLineitem(s: SparkSession, dir: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath = // warehouse conf may be a URI (file:/…) or a bare path
+      try Option(new java.net.URI(wh).getPath).filter(_.nonEmpty).getOrElse(wh)
+      catch { case _: java.net.URISyntaxException => wh }
+    val out = new java.io.File(whPath,
+      s"graft_month_lineitem_${graft.sources.Lake.dirSuffix(dir)}").toString
+    if (monthLineitemBuilt.add((s, dir)))
+      graft.sources.Lake.datePartitionByMonth(
+        t(s, dir, "lineitem"), out, "l_shipdate", "ship_month")
+    s.read.parquet(out)
+  }
+
+  /** [[dateTruncAgg]] over the month-partitioned layout — same oracle
+    * (layout never changes answers). The grouping key is the PARTITION
+    * column: it comes from directory metadata, so the scan's ReadSchema
+    * is l_quantity alone — no timestamp decode at all, where the flat
+    * key decodes 600M timestamps at sf100 just to truncate them
+    * (PlanShapeSpec pins the pruned ReadSchema). */
+  val dateTruncAggPartitioned: Q = (s, dir) => {
+    monthLineitem(s, dir)
+      .groupBy(col("ship_month"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** [[q1PricingSummary]] over the month-partitioned layout — same
+    * oracle. The shipdate cut lands twice: as a PartitionFilter on
+    * ship_month (directory pruning — months past the cut are never
+    * listed, let alone read) and as the exact pushed parquet predicate
+    * on l_shipdate within the boundary month. At TPC-H's 7-year span the
+    * cut prunes ~4 of 84 months; the structural win is that ANY
+    * time-sliced query (a quarter, a month, a day's reprocess) over this
+    * layout reads only its slice — the dominant query class against a
+    * 100 TB time-series fact. */
+  val q1Partitioned: Q = (s, dir) => {
+    val cut = lit("1998-09-02").cast("timestamp")
+    monthLineitem(s, dir)
+      .filter(col("ship_month") <= to_date(cut) && col("l_shipdate") <= cut)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   // ------------------------------------------------------ JSON fns
   /** JSON path extraction from the events.props payload (codegen'd
@@ -1068,6 +1141,8 @@ object Relational {
     "set_ops" -> setOps,
     "string_funcs" -> stringFuncs,
     "date_trunc_agg" -> dateTruncAgg,
+    "date_trunc_agg_partitioned" -> dateTruncAggPartitioned,
+    "q1_partitioned" -> q1Partitioned,
     "json_extract" -> jsonExtract,
     "props_map" -> propsMap,
     "tumbling_window" -> tumblingWindow,
@@ -1106,6 +1181,10 @@ object Relational {
     "set_ops" -> setOpsSql,
     "string_funcs" -> stringFuncsSql,
     "date_trunc_agg" -> dateTruncAggSql,
+    // layout twins share the flat keys' oracles: storage layout never
+    // changes answers
+    "date_trunc_agg_partitioned" -> dateTruncAggSql,
+    "q1_partitioned" -> q1PricingSummarySql,
     "json_extract" -> jsonExtractSql,
     "props_map" -> propsMapSql,
     "tumbling_window" -> tumblingWindowSql,

@@ -31,6 +31,16 @@ object Similarity {
 
   private val vecD: Column = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
 
+  /** The near-dup threshold test with the zero-vector edge EXPLICIT
+    * (r17, per ADVICE): cosine_sim(zero, ·) is NaN, and Spark's
+    * comparison semantics order NaN ABOVE every numeric — a bare
+    * `cos >= τ` silently treats the undefined cosine as a match, while
+    * DuckDB's 0/0 yields NULL (no match) on non-IEEE configs. This
+    * guard pins the documented semantics — an undefined cosine never
+    * matches — independent of either engine's NaN ordering; the oracle
+    * SQL carries the matching `NOT isnan(…)` guard. */
+  private def clearsTau(cos: Column): Column = !isnan(cos) && cos >= 0.40
+
   // ------------------------------------------------------ brute-force top-k
   /** Top-10 cosine neighbors of vector vec_id=0 — exact brute force, the
     * correctness baseline for any ANN variant. One scan, broadcast query,
@@ -119,7 +129,7 @@ object Similarity {
       .join(ve.as("eb"), col("vb") === col("eb.vec_id"))
       .select(col("va"), col("vb"),
         round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4).as("cos"))
-      .filter(col("cos") >= 0.40)
+      .filter(clearsTau(col("cos")))
     val interG = verified
       .join(mapping.as("ma"), col("va") === col("ma.rep"))
       .join(mapping.as("mb"), col("vb") === col("mb.rep"))
@@ -130,7 +140,7 @@ object Similarity {
     val selfCos = reps
       .select(col("rep").as("srep"),
         round(expr("cosine_sim(embedding, embedding)"), 4).as("cos"))
-      .filter(col("cos") >= 0.40)
+      .filter(clearsTau(col("cos")))
     val intraG = mapping.as("x").join(mapping.as("y"),
         col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
       .join(selfCos, col("x.rep") === col("srep"))
@@ -168,14 +178,14 @@ object Similarity {
     val droppedReps = cand
       .join(ve.as("ea"), col("va") === col("ea.vec_id"))
       .join(ve.as("eb"), col("vb") === col("eb.vec_id"))
-      .filter(round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4) >= 0.40)
+      .filter(clearsTau(round(expr("cosine_sim(ea.embedding, eb.embedding)"), 4)))
       .select(col("vb").as("rep")).distinct()
       .withColumn("rep_dropped", lit(true))
     // a group's intra-witness: the rep's self-cosine (1.0 for any
     // nonzero vector; NaN — excluded — for the zero vector, whose
     // copies therefore all KEEP, matching the all-pairs oracle)
     val selfOk = reps.select(col("rep"),
-      (round(expr("cosine_sim(embedding, embedding)"), 4) >= 0.40).as("self_ok"))
+      clearsTau(round(expr("cosine_sim(embedding, embedding)"), 4)).as("self_ok"))
     mapping
       .join(selfOk, Seq("rep"))
       .join(droppedReps, Seq("rep"), "left_outer")
@@ -196,7 +206,10 @@ object Similarity {
       |    ON a.label = b.label AND a.vec_id < b.vec_id
       |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40)
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40
+      |    AND NOT isnan(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))))
       |SELECT vec_id, vec_id NOT IN (SELECT vb FROM pairs) AS keep
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
@@ -244,7 +257,7 @@ object Similarity {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(expr("cosine_sim(a.embedding, b.embedding)"), 4).as("cos"))
-      .filter(col("cos") >= 0.40)
+      .filter(clearsTau(col("cos")))
       .orderBy(col("va"), col("vb"))
   }
 
@@ -258,6 +271,9 @@ object Similarity {
       |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
       |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40
+      |  AND NOT isnan(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))
       |ORDER BY va, vb""".stripMargin
 
   // ------------------------------------------------------ IVF (k-means)
@@ -768,11 +784,13 @@ object Similarity {
     * also passes ≥ τ, exactly as it would in the naive pair filter) and
     * is dropped, and (b) a rep's remover set is exactly the earlier
     * reps (any earlier member's cos equals its rep's cos). So survivors
-    * are precisely the un-removed reps. Zero/overflowing vectors are
-    * out of scope for the CROSS-ENGINE gate, as in every cosine path
-    * here (Spark's NaN compares ≥ τ where DuckDB's zero-division NULL
-    * does not); the in-engine collapse≡naive equivalence above holds
-    * for them regardless, and SimilaritySpec pins it. */
+    * are precisely the un-removed reps. The zero-vector edge is pinned
+    * EXPLICITLY on both engines (r17, per ADVICE): [[clearsTau]] rejects
+    * the NaN self/cross cosine here, and the oracle's `NOT isnan(…)`
+    * guard rejects it there — an undefined cosine never removes anyone,
+    * regardless of either engine's NaN-vs-NULL division behavior. The
+    * in-engine collapse≡naive equivalence holds regardless, and
+    * SimilaritySpec pins it. */
   val semanticDedup: Q = (s, dir) =>
     semanticDedupWith(t(s, dir, "embeddings"), K)
 
@@ -804,7 +822,7 @@ object Similarity {
       .localCheckpoint(true)
     val removedReps = repRows.as("a").join(repRows.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 4) >= 0.40)
+      .filter(clearsTau(round(expr("cosine_sim(a.embedding, b.embedding)"), 4)))
       .select(col("b.vec_id").as("vec_id")).distinct()
     repRows.select(col("vec_id"), col("cluster"))
       .join(removedReps, Seq("vec_id"), "left_anti")
@@ -825,7 +843,7 @@ object Similarity {
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val dropped = av.as("a").join(av.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 4) >= 0.40)
+      .filter(clearsTau(round(expr("cosine_sim(a.embedding, b.embedding)"), 4)))
       .select(col("b.vec_id").as("vec_id")).distinct()
     av.select(col("vec_id"), col("cluster"))
       .join(dropped, Seq("vec_id"), "left_anti")
@@ -842,7 +860,10 @@ object Similarity {
       |  WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id
       |    AND round(list_dot_product(u.embedding::DOUBLE[], v.embedding::DOUBLE[])
       |      / (sqrt(list_dot_product(u.embedding::DOUBLE[], u.embedding::DOUBLE[]))
-      |         * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 4) >= 0.40)
+      |         * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 4) >= 0.40
+      |    AND NOT isnan(list_dot_product(u.embedding::DOUBLE[], v.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(u.embedding::DOUBLE[], u.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))))
       |ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -11,7 +11,7 @@ package graft.queries
   * which bounds disk growth at one fixture set per crash rather than one
   * per run.
   */
-private[queries] object TmpCleanup {
+private[graft] object TmpCleanup {
   private val dirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 

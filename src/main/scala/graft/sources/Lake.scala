@@ -16,6 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** Stable identifier-safe suffix for per-dataset table/dir names.
+    *
+    * md5 of the CANONICAL path (symlink/`..`-normalized), hex-truncated:
+    * never negative (the old `math.abs(hashCode)` emitted an invalid
+    * `-214…` identifier for Int.MinValue) and collision-safe across sf
+    * dirs (a 32-bit hashCode collision between two dirs would silently
+    * reuse the wrong-scale bucketed tables within a session). 12 hex
+    * chars = 48 bits — collision odds are negligible at
+    * handfuls-of-dirs cardinality. */
+  def dirSuffix(dir: String): String = {
+    val canonical =
+      try new java.io.File(dir).getCanonicalPath catch { case _: java.io.IOException => dir }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Write `df` date-partitioned by calendar month of `tsCol` — the
+    * TIME-axis lake layout (the bucketed layout's twin for scans instead
+    * of joins). The derived `monthCol` becomes a hive-style partition
+    * directory (`ship_month=1995-02-01/`), so:
+    *
+    *  - a month-grouped aggregate reads the grouping key from DIRECTORY
+    *    METADATA — the timestamp column never appears in the scan's
+    *    ReadSchema (at 100 TB, decoding 600B timestamps IS the wall);
+    *  - any time-range predicate lands as a PartitionFilter — directory
+    *    pruning, zero foreign files opened, the same mechanism
+    *    `partitioned_lake_prune` gates for categorical keys.
+    *
+    * `tsCol` itself is RETAINED in the data files: month is the
+    * partition grain, finer predicates (a specific cut date) still push
+    * down as parquet filters within the selected months.
+    *
+    * The `repartition(col(monthCol))` before the write is load-bearing
+    * the same way [[bucketize]]'s is: it hash-clusters each month into
+    * exactly one task, so every partition directory holds ONE file
+    * (~84 months × 1 instead of tasks × months small files — at
+    * streaming-sink file counts the lake would need [[compact]]). */
+  def datePartitionByMonth(df: DataFrame, outDir: String, tsCol: String,
+      monthCol: String): Unit =
+    df.withColumn(monthCol, to_date(date_trunc("month", col(tsCol))))
+      .repartition(col(monthCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(monthCol)
+      .parquet(outDir)
+
   /** Write `df` as a bucketed, sorted managed table.
     *
     * The `repartition(buckets, key)` BEFORE the bucketed write is

@@ -103,4 +103,65 @@ class LakeSpec extends SparkSpec {
       case _ => true
     }, "output files overlap in key range")
   }
+
+  test("datePartitionByMonth: hive month dirs, ONE file per month, ts retained, content preserved") {
+    val out = java.nio.file.Files.createTempDirectory("graft_month_test").toString
+    val orders = Tables.t(spark, sf001, "orders")
+    Lake.datePartitionByMonth(orders, out, "o_orderdate", "order_month")
+    val dirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("order_month="))
+    assert(dirs.length > 12, s"expected many month dirs, got ${dirs.length}")
+    // the repartition-before-write property: one data file per month dir
+    // (N×months small files would decay scan parallelism at lake scale)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} holds ${files.length} files, want 1")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count(), "row count changed through the layout")
+    // the ts column is RETAINED in the data files (finer-than-month
+    // predicates still push down within selected months)
+    assert(back.columns.contains("o_orderdate"))
+    // every row sits in the directory its month says it should
+    val misplaced = back.filter(
+      to_date(date_trunc("month", col("o_orderdate"))) =!= col("order_month")).count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong month partition")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => p.toFile.delete())
+  }
+
+  test("dirSuffix: identifier-safe hex, canonicalization-stable, distinct per dir") {
+    val a = Lake.dirSuffix("/root/testdata/sf0.01")
+    assert(a.matches("[0-9a-f]{12}"), s"suffix not identifier-safe hex: $a")
+    // `..` round-trip canonicalizes to the same suffix (the old
+    // math.abs(hashCode) differed here and could also go negative)
+    assert(a == Lake.dirSuffix("/root/testdata/../testdata/sf0.01"))
+    assert(a != Lake.dirSuffix("/root/testdata/sf0.001"))
+  }
+
+  test("preferBucketed conf: the FLAT q3 key silently rides the bucketed layout — zero hash exchanges, same answer") {
+    // verdict item (r16 #6): the layout must be the default read path
+    // once built, not an opt-in twin key
+    val flat = SparkEntry.queries("q3_top_orders")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    queries.Relational.bucketedFacts(spark, sf001) // build (or reuse)
+    try {
+      spark.conf.set("graft.lake.preferBucketed", "true")
+      val df = SparkEntry.queries("q3_top_orders")(spark, sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"flat q3 under preferBucketed must need no hash shuffle:\n$p")
+      assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"),
+        s"flat q3 under preferBucketed does not read the bucketed tables:\n$p")
+      assert(df.collect().map(_.toSeq).toSeq == flat,
+        "layout changed the answer")
+    } finally spark.conf.unset("graft.lake.preferBucketed")
+    // conf off again: the flat key is back on the flat files
+    val p2 = SparkEntry.queries("q3_top_orders")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Bucketed: true"),
+      s"conf unset must restore the flat read:\n$p2")
+  }
 }

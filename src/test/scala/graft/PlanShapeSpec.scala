@@ -22,6 +22,43 @@ class PlanShapeSpec extends SparkSpec {
       "q1 scan reads join keys the query never touches — column pruning lost")
   }
 
+  test("date_trunc_agg_partitioned: grouping key from directory metadata — no timestamp in ReadSchema") {
+    // the r17 time-axis lake lever: the month-partitioned layout serves
+    // ship_month from partition dirs, so the scan decodes ONLY
+    // l_quantity — the flat key decodes 600M timestamps at sf100 just
+    // to truncate them (75.8 s wall, r16 verdict #2)
+    val p = plan("date_trunc_agg_partitioned")
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"),
+      s"scan must read l_quantity alone (month comes from the dirs):\n$p")
+    assert(!p.contains("l_shipdate"),
+      s"timestamp column must not appear anywhere in the partitioned plan:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"one partial->final agg shuffle, nothing else:\n$p")
+  }
+
+  test("q1_partitioned: month cut is a PartitionFilter, exact cut pushed within the boundary month") {
+    val p = plan("q1_partitioned")
+    assert("PartitionFilters: \\[[^\\]]*ship_month".r.findFirstIn(p).isDefined,
+      s"ship_month cut must land as a PartitionFilter (directory pruning):\n$p")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"exact shipdate cut must still push into parquet:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"q1 over the layout still shuffles exactly once (the group agg):\n$p")
+  }
+
+  test("quality_c4: map-side HOF line stats — no explode, no doc-keyed exchange") {
+    // r17 rewrite (verdict #3): per-doc n_keep/n_lines fold inside the
+    // scan projection via size(filter(split(…))); the old explode →
+    // doc-keyed regroup materialized every line as a row (37 s at sf10
+    // vs ≤10 s for every other curation key)
+    val p = plan("quality_c4")
+    assert(!p.contains("Generate"),
+      s"no explode may survive the HOF rewrite:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"only the source-keyed agg may shuffle (no doc_id exchange):\n$p")
+    assert(!p.contains("Join"), s"c4 filter must not join:\n$p")
+  }
+
   test("q3: customer broadcast, at most one hash shuffle, top-k via TakeOrderedAndProject") {
     val p = plan("q3_top_orders")
     // Scale-safe pin (r12, judge's note on PlanShapeSpec:27): at test sf
@@ -208,14 +245,9 @@ class PlanShapeSpec extends SparkSpec {
       s"stop-word counting must run the native codegen expression:\n$p")
   }
 
-  test("quality_c4: one doc-keyed shuffle + the tiny source agg, no join") {
-    val p = plan("quality_c4")
-    assert(hashExchanges(p) <= 2,
-      s"c4 filter must shuffle at most twice (doc agg + source agg):\n$p")
-    assert(!p.contains("Join"), s"c4 filter must not join:\n$p")
-    assert(p.contains("Generate explode"),
-      s"line flags must ride exploded rows (distributed line work):\n$p")
-  }
+  // (the pre-r17 "one doc-keyed shuffle + Generate explode" quality_c4
+  // pin is superseded by the HOF-rewrite pin near the top of this spec:
+  // the explode form now lives only as the TextOpsSpec equality twin)
 
   test("multimodal_av_container: the one-container A/V sync is join-free and shuffle-free") {
     // The scale argument for container assets: both tracks come out of

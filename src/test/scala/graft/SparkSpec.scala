@@ -15,8 +15,11 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", {
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+        queries.TmpCleanup.register(wh)
+        wh.toString
+      })
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)

@@ -799,4 +799,26 @@ class TextOpsSpec extends SparkSpec {
       } finally spark.conf.unset("graft.tiers.rankBuckets")
     }
   }
+
+  test("quality_c4: map-side HOF form row-identical to the explode→regroup twin, plain and duplicated") {
+    // r17 rewrite: n_keep/n_lines are per-doc functions of the text, so
+    // folding them map-side (size(filter(split(…)))) must reproduce the
+    // exploded aggregate exactly — including on a corpus where the line
+    // and doc-flag classes repeat across many doc_ids.
+    def rows(docs: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(docs).collect().map(_.toSeq).toSeq
+    val aug = TextOps.augmentC4(Tables.t(spark, sf0001, "documents"))
+    val hof = rows(aug, TextOps.c4QualityOver)
+    assert(hof == rows(aug, TextOps.c4QualityExploded))
+    assert(hof.nonEmpty)
+    val docs = Tables.t(spark, sf0001, "documents")
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dup = (0 until 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * shift)))
+      .reduce(_ unionByName _)
+    val augDup = TextOps.augmentC4(dup)
+    assert(rows(augDup, TextOps.c4QualityOver)
+      == rows(augDup, TextOps.c4QualityExploded))
+  }
 }
