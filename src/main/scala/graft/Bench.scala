@@ -453,6 +453,7 @@ object Bench {
           keep("stream_throughput")) {
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProv = spark.conf.getOption(provKey)
+        val prevShufflePart = spark.conf.get("spark.sql.shuffle.partitions")
         try {
           val docs = Tables.t(spark, sfDir, "documents")
           val nDocs = docs.count()
@@ -465,6 +466,16 @@ object Bench {
           docs.repartition(8).write.mode("overwrite").parquet(inDir)
           spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
             ".state.RocksDBStateStoreProvider")
+          // State width is sized to the STATE (20 groups), not the batch:
+          // a stateful query spins one RocksDB instance per shuffle
+          // partition, and each instance pays snapshot+commit EVERY
+          // micro-batch — at the scale profile's 32-wide shuffle that
+          // fixed cost measured ~10 s/batch for a 20-row aggregate
+          // (sf10, r17), 32 RocksDB maintenance cycles to move 20 rows.
+          // Production rule at 100 TB: state partitions track state
+          // cardinality; scan/map parallelism still follows file splits.
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.min(8, cpus.toInt).toString)
           val stream = spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
           val agg = queries.TextOps.gopherOver(
@@ -477,6 +488,8 @@ object Bench {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           try q.awaitTermination() finally q.stop()
+          // restore full width BEFORE the batch twin measurement
+          spark.conf.set("spark.sql.shuffle.partitions", prevShufflePart)
           val wall = (System.nanoTime() - t0) / 1e9
           val progress = q.recentProgress.toSeq
           val batches = progress.count(_.numInputRows > 0)
@@ -506,9 +519,12 @@ object Bench {
           case e: Throwable =>
             failed += "stream_throughput"
             System.err.println(s"[bench] onepass streaming FAILED: ${e.getMessage}")
-        } finally prevProv match {
-          case Some(v) => spark.conf.set(provKey, v)
-          case None => spark.conf.unset(provKey)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShufflePart)
+          prevProv match {
+            case Some(v) => spark.conf.set(provKey, v)
+            case None => spark.conf.unset(provKey)
+          }
         }
       }
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
