@@ -397,51 +397,12 @@ object Bench {
           .mkString("{", ",", "}")
         curOnepass = s""","curation":$cj,"curation_wall":$cwall"""
       }
-      // Bucketed-lake leg in the one-pass artifact (r16, verdict #2):
-      // at sf10/sf100 this is where q3's shuffle-spill wall actually
-      // hurts, so the layout demonstration belongs in the same artifact
-      // — build cost reported separately from the probe, never hidden.
-      var bucketedOnepass = ""
-      if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") == "1" &&
-          keep("q3_bucketed")) {
-        try {
-          val (lTab, oTab) = queries.Relational.bucketedFactNames(sfDir)
-          spark.sql(s"DROP TABLE IF EXISTS $lTab")
-          spark.sql(s"DROP TABLE IF EXISTS $oTab")
-          val b0 = System.nanoTime()
-          queries.Relational.bucketedFacts(spark, sfDir)
-          val buildS = (System.nanoTime() - b0) / 1e9
-          val qT = queryOnce("q3_bucketed")
-          bucketedOnepass =
-            s""","bucketed":{"build_s":$buildS,"q3_bucketed_s":$qT}"""
-        } catch {
-          case e: Throwable =>
-            failed += "q3_bucketed"
-            System.err.println(s"[bench] onepass bucketed FAILED: ${e.getMessage}")
-        }
-      }
-      // Time-partitioned lake leg (r17, verdict #1): the month layout's
-      // build cost and the two pruned-scan twins, reported next to the
-      // flat keys in the same artifact — the time-axis analog of the
-      // bucketed leg above.
-      var partitionedOnepass = ""
-      if (sys.env.getOrElse("SPARK_GRAFT_PARTITIONED", "1") == "1" &&
-          keep("date_trunc_agg_partitioned")) {
-        try {
-          val b0 = System.nanoTime()
-          queries.Relational.monthLineitem(spark, sfDir)
-          val buildS = (System.nanoTime() - b0) / 1e9
-          val dT = queryOnce("date_trunc_agg_partitioned")
-          val qT = queryOnce("q1_partitioned")
-          partitionedOnepass = s""","partitioned":{"build_s":$buildS,""" +
-            s""""date_trunc_agg_partitioned_s":$dT,"q1_partitioned_s":$qT}"""
-        } catch {
-          case e: Throwable =>
-            failed += "date_trunc_agg_partitioned"
-            System.err.println(s"[bench] onepass partitioned FAILED: ${e.getMessage}")
-        }
-      }
       // Streaming throughput probe (r17, verdict #8): the quality-gate
+      // — deliberately ORDERED BEFORE the bucketed/partitioned layout
+      // legs: their builds rewrite a full fact table and the probe's
+      // micro-batch reads would otherwise measure that writeback
+      // aftermath (in-pass 38 s vs 15 s standalone, r17), the same
+      // context tax window_rank pays after q3's spill.
       // stream over the scale corpus — 8 parquet shards drained one per
       // micro-batch through the Gopher filter with the RocksDB state
       // store (the cluster provider). Reports rows/s, batch count, and
@@ -525,6 +486,58 @@ object Bench {
             case Some(v) => spark.conf.set(provKey, v)
             case None => spark.conf.unset(provKey)
           }
+        }
+      }
+      // Bucketed-lake leg in the one-pass artifact (r16, verdict #2):
+      // at sf10/sf100 this is where q3's shuffle-spill wall actually
+      // hurts, so the layout demonstration belongs in the same artifact
+      // — build cost reported separately from the probe, never hidden.
+      var bucketedOnepass = ""
+      if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") == "1" &&
+          keep("q3_bucketed")) {
+        try {
+          val (lTab, oTab) = queries.Relational.bucketedFactNames(sfDir)
+          spark.sql(s"DROP TABLE IF EXISTS $lTab")
+          spark.sql(s"DROP TABLE IF EXISTS $oTab")
+          val b0 = System.nanoTime()
+          queries.Relational.bucketedFacts(spark, sfDir)
+          val buildS = (System.nanoTime() - b0) / 1e9
+          val qT = queryOnce("q3_bucketed")
+          bucketedOnepass =
+            s""","bucketed":{"build_s":$buildS,"q3_bucketed_s":$qT}"""
+        } catch {
+          case e: Throwable =>
+            failed += "q3_bucketed"
+            System.err.println(s"[bench] onepass bucketed FAILED: ${e.getMessage}")
+        }
+      }
+      // Time-partitioned lake leg (r17, verdict #1): the month layout's
+      // build cost and the two pruned-scan twins, reported next to the
+      // flat keys in the same artifact — the time-axis analog of the
+      // bucketed leg above.
+      var partitionedOnepass = ""
+      if (sys.env.getOrElse("SPARK_GRAFT_PARTITIONED", "1") == "1" &&
+          keep("date_trunc_agg_partitioned")) {
+        try {
+          // the layout is durable across runs (content-fingerprinted):
+          // a reuse run reports build_s ≈ 0 with reused=true, and its
+          // probe walls are the honest layout numbers — a same-JVM
+          // build-then-probe measures the build's page-cache eviction
+          // instead (r17 sf100: twin probes read COLD at ~flat-key walls
+          // right after the 1172 s build)
+          val reused = queries.Relational.monthLayoutExists(sfDir)
+          val b0 = System.nanoTime()
+          queries.Relational.monthLineitem(spark, sfDir)
+          val buildS = (System.nanoTime() - b0) / 1e9
+          val dT = queryOnce("date_trunc_agg_partitioned")
+          val qT = queryOnce("q1_partitioned")
+          partitionedOnepass = s""","partitioned":{"build_s":$buildS,""" +
+            s""""reused":$reused,""" +
+            s""""date_trunc_agg_partitioned_s":$dT,"q1_partitioned_s":$qT}"""
+        } catch {
+          case e: Throwable =>
+            failed += "date_trunc_agg_partitioned"
+            System.err.println(s"[bench] onepass partitioned FAILED: ${e.getMessage}")
         }
       }
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
@@ -914,6 +927,7 @@ object Bench {
         }
         def med3(f: => Unit): Double =
           Seq(timed(f), timed(f), timed(f)).sorted.apply(1)
+        val reused = queries.Relational.monthLayoutExists(sfDir)
         val b0 = System.nanoTime()
         queries.Relational.monthLineitem(spark, sfDir)
         val buildS = (System.nanoTime() - b0) / 1e9
@@ -928,6 +942,7 @@ object Bench {
         if (!noTs) System.err.println(
           "[bench] date_trunc_agg_partitioned FLAG: timestamp column survived in the scan")
         partitionedJson = s""","partitioned":{"build_s":$buildS,""" +
+          s""""reused":$reused,""" +
           s""""date_trunc_agg_partitioned_s":$dS,"q1_partitioned_s":$q1S,""" +
           s""""no_ts_scan_ok":$noTs}"""
       } catch {

@@ -512,29 +512,68 @@ object Relational {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------- time-partitioned lake twins
-  /** Month-partitioned lineitem, built once per (session, dir) via
+  /** Month-partitioned lineitem via
     * [[graft.sources.Lake.datePartitionByMonth]] — the TIME-axis lake
     * layout (r16 verdict #1: every remaining sf100 relational wall is a
     * time-keyed scan; layout, not plan surgery, is the lever, exactly as
-    * `q3_bucketed` proved for the join axis). The layout lives under the
-    * session's warehouse dir, so it shares the warehouse lifecycle
-    * (per-run isolation; cleaned by the Bench/Verify exit hook). At
-    * cluster scale this is the catalog table's declared partitioning —
-    * built once at ingest, amortized over every time-sliced query. */
-  private val monthLineitemBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    * `q3_bucketed` proved for the join axis). At cluster scale this is
+    * the catalog table's declared partitioning — built once at ingest,
+    * amortized over every time-sliced query.
+    *
+    * The layout is DURABLE across runs (r17, per ADVICE and for honest
+    * benching: probing a 12 GB layout in the same JVM that just built it
+    * measures the build's page-cache eviction, not the layout): a fixed
+    * per-source dir in java.io.tmpdir, keyed by a CONTENT FINGERPRINT
+    * (canonical path + size + mtime of the source parquet), so a
+    * regenerated testdata file can never be served a stale layout.
+    * Build is race-safe for concurrent Bench/Verify: each builder writes
+    * an app-id-suffixed temp dir and atomically renames it in; the
+    * rename loser deletes its copy and reads the winner's. Stale
+    * fingerprints of the same source dir are swept before building —
+    * disk is bounded at one live layout per source file. */
+  private[graft] def monthLayoutDir(dir: String): java.io.File = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val canonical =
+      try src.getCanonicalPath catch { case _: java.io.IOException => src.getPath }
+    val fp = graft.sources.Lake.keySuffix(
+      s"$canonical:${src.length}:${src.lastModified}")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_month_lineitem_${graft.sources.Lake.dirSuffix(dir)}_$fp")
+  }
+
+  /** True iff the durable month layout for `dir` is already built. */
+  private[graft] def monthLayoutExists(dir: String): Boolean =
+    new java.io.File(monthLayoutDir(dir), "_SUCCESS").isFile
+
+  private def deleteTree(d: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => p.toFile.delete())
+    }
+  }
 
   private[graft] def monthLineitem(s: SparkSession, dir: String): DataFrame = {
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val whPath = // warehouse conf may be a URI (file:/…) or a bare path
-      try Option(new java.net.URI(wh).getPath).filter(_.nonEmpty).getOrElse(wh)
-      catch { case _: java.net.URISyntaxException => wh }
-    val out = new java.io.File(whPath,
-      s"graft_month_lineitem_${graft.sources.Lake.dirSuffix(dir)}").toString
-    if (monthLineitemBuilt.add((s, dir)))
+    val root = monthLayoutDir(dir)
+    if (!monthLayoutExists(dir)) {
+      // sweep stale fingerprints of this source dir (regenerated testdata)
+      val prefix = root.getName.dropRight(12) // strip the fp suffix
+      Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
+        .foreach(deleteTree)
+      val tmp = new java.io.File(root.getParentFile,
+        s"${root.getName}_tmp_${s.sparkContext.applicationId}")
       graft.sources.Lake.datePartitionByMonth(
-        t(s, dir, "lineitem"), out, "l_shipdate", "ship_month")
-    s.read.parquet(out)
+        t(s, dir, "lineitem"), tmp.toString, "l_shipdate", "ship_month")
+      if (!tmp.renameTo(root)) {
+        // lost the build race — the winner's layout must be complete
+        deleteTree(tmp)
+        require(monthLayoutExists(dir),
+          s"month layout rename failed and no complete layout at $root")
+      }
+    }
+    s.read.parquet(root.toString)
   }
 
   /** [[dateTruncAgg]] over the month-partitioned layout — same oracle

@@ -28,10 +28,15 @@ object Lake {
   def dirSuffix(dir: String): String = {
     val canonical =
       try new java.io.File(dir).getCanonicalPath catch { case _: java.io.IOException => dir }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    keySuffix(canonical)
   }
+
+  /** md5-hex-12 of an arbitrary key string — the same identifier-safe
+    * suffix for keys that are not paths (content fingerprints). */
+  def keySuffix(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 
   /** Write `df` date-partitioned by calendar month of `tsCol` — the
     * TIME-axis lake layout (the bucketed layout's twin for scans instead
