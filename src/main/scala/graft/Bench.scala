@@ -425,6 +425,17 @@ object Bench {
           queries.TmpCleanup.register(inDir)
           queries.TmpCleanup.register(ckpt)
           docs.repartition(8).write.mode("overwrite").parquet(inDir)
+          // batch twin FIRST, over the SAME shard files the stream will
+          // read (r17 sf100: a twin on the original table measured warm
+          // page cache against the stream's cold shard copy and flagged
+          // a phantom 66× — same bytes, same layout, same cache state,
+          // so the band isolates micro-batch overhead, the thing it
+          // exists to judge)
+          val bt0 = System.nanoTime()
+          try queries.TextOps.gopherOver(queries.TextOps.augmentSymbols(
+            spark.read.parquet(inDir))).count()
+          catch { case _: Throwable => () }
+          val batchS = (System.nanoTime() - bt0) / 1e9
           spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
             ".state.RocksDBStateStoreProvider")
           // State width is sized to the STATE (20 groups), not the batch:
@@ -458,9 +469,6 @@ object Bench {
             .find(_.stateOperators.nonEmpty).toSeq.flatMap(_.stateOperators.toSeq)
           val stateRows = stateOps.map(_.numRowsTotal).sum
           val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
-          val bt0 = System.nanoTime()
-          try qs("quality_gopher")(spark, sfDir).count() catch { case _: Throwable => () }
-          val batchS = (System.nanoTime() - bt0) / 1e9
           // flag band: 5× the batch twin's operator work plus ~1.5 s per
           // micro-batch (job dispatch + state-store commit are a FIXED
           // per-trigger cost — measured ~0.9 s/batch at toy sf, where

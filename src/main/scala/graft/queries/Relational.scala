@@ -616,6 +616,33 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Narrow time-slice over the month layout — THE dominant query class
+    * against a 100 TB time-series fact: one quarter's revenue. The
+    * BETWEEN on ship_month is PURE directory pruning (3 of ~84 month
+    * dirs listed, zero foreign files opened — PlanShapeSpec pins the
+    * PartitionFilters), so cost scales with the SLICE, not the table;
+    * the flat oracle decodes every row's timestamp to find the same
+    * three months. ship_month bounds ⇔ l_shipdate ∈ [Jan 1, Apr 1):
+    * month-floor is monotone and partition values are month starts. */
+  val timeSliceQuarter: Q = (s, dir) => {
+    monthLineitem(s, dir)
+      .filter(col("ship_month").between(
+        lit("1995-01-01").cast("date"), lit("1995-03-01").cast("date")))
+      .groupBy(col("ship_month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("ship_month"))
+  }
+
+  val timeSliceQuarterSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ JSON fns
   /** JSON path extraction from the events.props payload (codegen'd
     * get_json_object — no UDF). */
@@ -1182,6 +1209,7 @@ object Relational {
     "date_trunc_agg" -> dateTruncAgg,
     "date_trunc_agg_partitioned" -> dateTruncAggPartitioned,
     "q1_partitioned" -> q1Partitioned,
+    "time_slice_quarter" -> timeSliceQuarter,
     "json_extract" -> jsonExtract,
     "props_map" -> propsMap,
     "tumbling_window" -> tumblingWindow,
@@ -1224,6 +1252,7 @@ object Relational {
     // changes answers
     "date_trunc_agg_partitioned" -> dateTruncAggSql,
     "q1_partitioned" -> q1PricingSummarySql,
+    "time_slice_quarter" -> timeSliceQuarterSql,
     "json_extract" -> jsonExtractSql,
     "props_map" -> propsMapSql,
     "tumbling_window" -> tumblingWindowSql,

@@ -243,6 +243,55 @@ object StreamOps {
       |HAVING bucket + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
       |ORDER BY 1""".stripMargin
 
+  /** Streaming parquet sink PARTITIONED by event date — the ingest
+    * shape that FEEDS the time-partitioned lake
+    * ([[graft.sources.Lake.datePartitionByMonth]]'s layout, landed live):
+    * a crawl/event feed writes hive date dirs directly, so downstream
+    * time-sliced readers prune at the directory level from the first
+    * micro-batch, with no post-hoc re-layout pass. The gate drains the
+    * events stream into the partitioned sink, then reads ONE day back
+    * through a partition filter (directory pruning — StreamingSpec pins
+    * the PartitionFilters and the hive dir layout) and reduces; the
+    * oracle replays that day from the flat events table. */
+  val streamPartitionedSink: Q = (s, dir) => {
+    val outDir = freshDir(dir, "psink")
+    val ckpt = freshDir(dir, "psink_ckpt")
+    val rows = eventsStream(s, dir)
+      .select(col("user_id"), col("value"), col("ts"),
+        to_date(col("ts")).as("event_date"))
+    val q = rows.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    partitionedSinkDayRead(s, outDir)
+  }
+
+  /** The one-day pruned read-back, factored un-aggregated-path so
+    * StreamingSpec can assert the PartitionFilters plan shape. */
+  private[graft] def partitionedSinkDaySlice(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+
+  private def partitionedSinkDayRead(s: SparkSession, outDir: String): DataFrame =
+    partitionedSinkDaySlice(s, outDir)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_date"))
+
+  val streamPartitionedSinkSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- foreachBatch upsert
   /** foreachBatch upsert sink — the production pattern for maintaining a
     * queryable aggregate table from a stream when the store has no
@@ -975,6 +1024,7 @@ object StreamOps {
     "stream_state_sessions" -> streamStateSessions,
     "stream_raster_pixels" -> streamRasterPixels,
     "stream_file_sink" -> streamFileSink,
+    "stream_partitioned_sink" -> streamPartitionedSink,
     "stream_join" -> streamJoin,
     "stream_dedup" -> streamDedup,
     "stream_foreach_batch" -> streamForeachBatch,
@@ -994,6 +1044,7 @@ object StreamOps {
     "stream_session" -> graft.queries.Relational.sessionGapSql,
     "stream_state_sessions" -> graft.queries.Relational.sessionGapSql,
     "stream_file_sink" -> streamFileSinkSql,
+    "stream_partitioned_sink" -> streamPartitionedSinkSql,
     "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_foreach_batch" -> streamForeachBatchSql,

@@ -46,6 +46,18 @@ class PlanShapeSpec extends SparkSpec {
       s"q1 over the layout still shuffles exactly once (the group agg):\n$p")
   }
 
+  test("time_slice_quarter: the quarter BETWEEN is pure directory pruning — timestamp never read") {
+    // the dominant 100 TB time-series query class: cost must scale with
+    // the SLICE (3 month dirs), not the table
+    val p = plan("time_slice_quarter")
+    assert("PartitionFilters: \\[[^\\]]*ship_month".r.findFirstIn(p).isDefined,
+      s"quarter bounds must land as PartitionFilters:\n$p")
+    assert(!p.contains("l_shipdate"),
+      s"slice must never touch the timestamp column:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"one partial->final agg shuffle, nothing else:\n$p")
+  }
+
   test("quality_c4: map-side HOF line stats — no explode, no doc-keyed exchange") {
     // r17 rewrite (verdict #3): per-doc n_keep/n_lines fold inside the
     // scan projection via size(filter(split(…))); the old explode →

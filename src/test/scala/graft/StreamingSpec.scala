@@ -442,4 +442,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch),
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
+
+  test("stream_partitioned_sink: hive date dirs on disk, pruned day read-back, batch-replay equal") {
+    import org.apache.spark.sql.functions._
+    val gate = graft.streaming.StreamOps.queries("stream_partitioned_sink")(spark, sf0001)
+    val rows = gate.collect()
+    assert(rows.length == 1, s"one day sliced, got ${rows.length} rows")
+    // the sink landed hive-style event_date= directories
+    val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_psink_${math.abs(sf0001.hashCode)}")
+    val dayDirs = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dayDirs.length > 5,
+      s"expected many event_date= dirs, got ${dayDirs.length} in $outDir")
+    // the day read-back prunes at the directory level
+    val p = graft.streaming.StreamOps.partitionedSinkDaySlice(spark, outDir.toString)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      s"day filter must land as a PartitionFilter on the sink read:\n$p")
+    // streamed slice equals the batch replay of the same day
+    val b = Tables.t(spark, sf0001, "events")
+      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("s"),
+        countDistinct(col("user_id")).as("u")).collect().head
+    val r = rows.head
+    assert(r.getLong(1) == b.getLong(0) && r.getDouble(2) == b.getDouble(1)
+      && r.getLong(3) == b.getLong(2),
+      s"streamed slice $r != batch replay $b")
+  }
 }
