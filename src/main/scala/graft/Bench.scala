@@ -539,9 +539,11 @@ object Bench {
           val buildS = (System.nanoTime() - b0) / 1e9
           val dT = queryOnce("date_trunc_agg_partitioned")
           val qT = queryOnce("q1_partitioned")
+          val sT = queryOnce("time_slice_quarter")
           partitionedOnepass = s""","partitioned":{"build_s":$buildS,""" +
             s""""reused":$reused,""" +
-            s""""date_trunc_agg_partitioned_s":$dT,"q1_partitioned_s":$qT}"""
+            s""""date_trunc_agg_partitioned_s":$dT,"q1_partitioned_s":$qT,""" +
+            s""""time_slice_quarter_s":$sT}"""
         } catch {
           case e: Throwable =>
             failed += "date_trunc_agg_partitioned"
@@ -941,9 +943,11 @@ object Bench {
         val buildS = (System.nanoTime() - b0) / 1e9
         val dDf = qs("date_trunc_agg_partitioned")(spark, sfDir)
         val qDf = qs("q1_partitioned")(spark, sfDir)
-        dDf.count(); qDf.count() // warm
+        val sDf = qs("time_slice_quarter")(spark, sfDir)
+        dDf.count(); qDf.count(); sDf.count() // warm
         val dS = med3 { dDf.count(): Unit }
         val q1S = med3 { qDf.count(): Unit }
+        val sS = med3 { sDf.count(): Unit }
         // structural claim on the executed plan: the partitioned
         // date_trunc scan must never decode the timestamp column
         val noTs = !dDf.queryExecution.executedPlan.toString.contains("l_shipdate")
@@ -952,7 +956,7 @@ object Bench {
         partitionedJson = s""","partitioned":{"build_s":$buildS,""" +
           s""""reused":$reused,""" +
           s""""date_trunc_agg_partitioned_s":$dS,"q1_partitioned_s":$q1S,""" +
-          s""""no_ts_scan_ok":$noTs}"""
+          s""""time_slice_quarter_s":$sS,"no_ts_scan_ok":$noTs}"""
       } catch {
         case e: Throwable =>
           failed += "partitioned_bench"
