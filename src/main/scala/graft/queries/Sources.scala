@@ -209,6 +209,37 @@ object SourceQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** events → hive date-partitioned parquet with MANY small files per
+    * day dir (8-way pre-repartition, the streaming-sink decay shape) →
+    * [[graft.sources.Lake.compactPartitioned]] (size-targeted,
+    * layout-preserving, sorted within files) → read-back → per-day
+    * reduction. The gate hashes content preservation THROUGH the
+    * partition-preserving rewrite; LakeSpec pins the layout mechanics
+    * (per-dir file collapse, hive dirs intact, partition pruning still
+    * landing on the compacted output). */
+  val lakeCompactPartitioned: Q = (s, dir) => {
+    val in = tmp(s, dir, "pcompact_in")
+    val out = tmp(s, dir, "pcompact_out")
+    t(s, dir, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("event_date"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_date").parquet(in)
+    graft.sources.Lake.compactPartitioned(s, in, out,
+      partitionCol = "event_date", sortKey = "user_id", targetMb = 4)
+    s.read.parquet(out)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        sum(col("user_id")).as("uid_checksum"))
+      .orderBy(col("event_date"))
+  }
+
+  val lakeCompactPartitionedSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_checksum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val warcWetIngest: Q = (s, dir) => {
     val out = tmp(s, dir, "wet")
     writeWetShards(s, dir, out)
@@ -231,6 +262,7 @@ object SourceQueries {
     "orc_source_roundtrip" -> orcRoundtrip,
     "partitioned_lake_prune" -> partitionedPrune,
     "lake_compact_roundtrip" -> lakeCompactRoundtrip,
+    "lake_compact_partitioned" -> lakeCompactPartitioned,
     "warc_wet_ingest" -> warcWetIngest,
   )
 
@@ -240,6 +272,7 @@ object SourceQueries {
     "orc_source_roundtrip" -> orcRoundtripSql,
     "partitioned_lake_prune" -> partitionedPruneSql,
     "lake_compact_roundtrip" -> lakeCompactRoundtripSql,
+    "lake_compact_partitioned" -> lakeCompactPartitionedSql,
     "warc_wet_ingest" -> warcWetIngestSql,
   )
 }

@@ -117,6 +117,39 @@ object Lake {
     nFiles.toLong
   }
 
+  /** Compact a HIVE-PARTITIONED dataset while PRESERVING its partition
+    * layout — the hygiene pass behind a date-partitioned streaming sink
+    * (every micro-batch strews a small file into each day dir it
+    * touches; at 100 TB that decays both scan parallelism and manifest
+    * pressure until a compactor rewrites it).
+    *
+    * One distributed pass, no per-partition driver loop: rows are
+    * range-partitioned on (partitionCol, sortKey) into size-targeted
+    * tasks — ranges keep partition values CONTIGUOUS across tasks, so
+    * each task writes into at most two partition dirs and each dir ends
+    * up with ceil(dirBytes/targetMb) files (±1 at a range boundary),
+    * sorted by sortKey within each file (query-time file pruning within
+    * the dir, same property as [[compact]]). The partitionBy write
+    * re-lands the hive layout, so partition pruning on the compacted
+    * output is unchanged. */
+  def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
+      partitionCol: String, sortKey: String, targetMb: Int = 128): Long = {
+    val df = spark.read.parquet(inDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1L, bytes / (targetMb.toLong << 20) +
+      (if (bytes % (targetMb.toLong << 20) == 0) 0 else 1)).toInt
+    df.repartitionByRange(nFiles, col(partitionCol), col(sortKey))
+      .sortWithinPartitions(col(partitionCol), col(sortKey))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(outDir)
+    nFiles.toLong
+  }
+
   /** Join `left` (large, possibly skewed on `leftKey`) with `right` on
     * equality, salting the right side `salt` ways so one hot key spreads
     * over `salt` tasks. Result equals the plain equi-join.

@@ -132,6 +132,46 @@ class LakeSpec extends SparkSpec {
       .iterator().asScala.foreach(p => p.toFile.delete())
   }
 
+  test("compactPartitioned: per-dir files collapse, hive layout intact, pruning lands, content exact") {
+    val in = java.nio.file.Files.createTempDirectory("graft_pcomp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_pcomp_out").toString
+    // streaming-sink decay shape: 8 writers strew files into every day dir
+    Tables.t(spark, sf001, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("event_date"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_date").parquet(in)
+    def dayDirs(root: String) = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_date="))
+    def filesIn(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = dayDirs(in)
+    assert(before.length > 20 && before.forall(filesIn(_) >= 4),
+      s"fixture not decayed enough: ${before.map(filesIn).mkString(",")}")
+    Lake.compactPartitioned(spark, in, out, "event_date", "user_id", targetMb = 128)
+    val after = dayDirs(out)
+    // same partition dirs survive; each collapses to 1 file (+1 tolerance
+    // at a range boundary)
+    assert(after.map(_.getName).sorted.sameElements(before.map(_.getName).sorted),
+      "partition dirs changed through compaction")
+    assert(after.forall(filesIn(_) <= 2),
+      s"per-dir files not collapsed: ${after.map(d => d.getName + ':' + filesIn(d)).mkString(",")}")
+    // content preserved exactly
+    val a = spark.read.parquet(in).orderBy("event_date", "user_id", "value").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("event_date", "user_id", "value").collect().toSeq
+    assert(a == b, "compaction changed the data")
+    // partition pruning still lands on the compacted output
+    val p = spark.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      s"pruning lost through compaction:\n$p")
+    import scala.jdk.CollectionConverters._
+    Seq(in, out).foreach { r =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(pp => pp.toFile.delete())
+    }
+  }
+
   test("dirSuffix: identifier-safe hex, canonicalization-stable, distinct per dir") {
     val a = Lake.dirSuffix("/root/testdata/sf0.01")
     assert(a.matches("[0-9a-f]{12}"), s"suffix not identifier-safe hex: $a")
