@@ -111,6 +111,25 @@ object Bench {
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } catch { case _: Throwable => Thread.sleep(500) }
 
+  /** SPARK_GRAFT_COLD_GROUPS=1 (one-pass mode): sync + drop the OS page
+    * cache before each group, so every group measures from the same
+    * cold-disk state a standalone run sees. The default pass leaves each
+    * group reading the previous group's cache/writeback aftermath — the
+    * recurring "in-pass context tax" that made minhash read 208 s
+    * in-pass vs 71 s standalone (r17) and window_rank 93 s vs 37 s
+    * (r16), and that costs a forensics re-run every round. Root-only
+    * (/proc/sys/vm/drop_caches); silently a no-op when not writable, so
+    * artifacts are comparable by the env flag, not the platform. */
+  private def coldGroup(tag: String): Unit =
+    if (sys.env.getOrElse("SPARK_GRAFT_COLD_GROUPS", "0") == "1") {
+      try {
+        new ProcessBuilder("sync").start().waitFor()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+        System.err.println(s"[bench] cold-groups: caches dropped before $tag")
+      } catch { case _: Throwable => () }
+    }
+
   private def binarizeB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]) =
     graft.tensor.Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
 
@@ -343,6 +362,7 @@ object Bench {
           s"SPARK_GRAFT_KEYS names no known query: ${unknown.mkString(",")}")
       }
       def keep(n: String): Boolean = onlyKeys.forall(_.contains(n))
+      coldGroup("headline")
       val res = headline.filter(qs.contains).filter(keep)
         .map(n => n -> queryOnce(n))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -352,6 +372,7 @@ object Bench {
       // 16-key row stays comparable to prior rounds.
       var llmOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1") {
+        coldGroup("llm")
         val lt0 = System.nanoTime()
         val lres = llmHeadline.filter(qs.contains).filter(keep)
           .map(n => n -> queryOnce(n))
@@ -389,6 +410,7 @@ object Bench {
       // where a broadcast-budget miscalibration would show.
       var curOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_CURATION", "1") == "1") {
+        coldGroup("curation")
         val ct0 = System.nanoTime()
         val cres = curationHeadline.filter(qs.contains).filter(keep)
           .map(n => n -> queryOnce(n))
@@ -415,6 +437,7 @@ object Bench {
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProv = spark.conf.getOption(provKey)
         val prevShufflePart = spark.conf.get("spark.sql.shuffle.partitions")
+        coldGroup("streaming")
         try {
           val docs = Tables.t(spark, sfDir, "documents")
           val nDocs = docs.count()
@@ -503,6 +526,7 @@ object Bench {
       var bucketedOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") == "1" &&
           keep("q3_bucketed")) {
+        coldGroup("bucketed")
         try {
           val (lTab, oTab) = queries.Relational.bucketedFactNames(sfDir)
           spark.sql(s"DROP TABLE IF EXISTS $lTab")
@@ -526,6 +550,7 @@ object Bench {
       var partitionedOnepass = ""
       if (sys.env.getOrElse("SPARK_GRAFT_PARTITIONED", "1") == "1" &&
           keep("date_trunc_agg_partitioned")) {
+        coldGroup("partitioned")
         try {
           // the layout is durable across runs (content-fingerprinted):
           // a reuse run reports build_s ≈ 0 with reused=true, and its
