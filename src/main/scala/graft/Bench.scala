@@ -447,7 +447,13 @@ object Bench {
           val (inDir, ckpt) = (base + "_in", base + "_ckpt")
           queries.TmpCleanup.register(inDir)
           queries.TmpCleanup.register(ckpt)
-          docs.repartition(8).write.mode("overwrite").parquet(inDir)
+          // 32 shard files, 8 per trigger: each micro-batch's scan holds
+          // ≥ cpus splits, so the batch feeds the whole machine — with
+          // 1 big file per trigger a 12-split scan left 2/3 of the cores
+          // idle every batch (sf100, r17: 106k rows/s vs the batch
+          // plan's full-width scan). The production rule: size the
+          // TRIGGER to the cluster, not to latency alone.
+          docs.repartition(32).write.mode("overwrite").parquet(inDir)
           // batch twin FIRST, over the SAME shard files the stream will
           // read (r17 sf100: a twin on the original table measured warm
           // page cache against the stream's cold shard copy and flagged
@@ -472,7 +478,7 @@ object Bench {
           spark.conf.set("spark.sql.shuffle.partitions",
             math.min(8, cpus.toInt).toString)
           val stream = spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .option("maxFilesPerTrigger", "8").parquet(inDir)
           val agg = queries.TextOps.gopherOver(
             queries.TextOps.augmentSymbols(stream))
           val t0 = System.nanoTime()

@@ -557,10 +557,16 @@ object Relational {
   private[graft] def monthLineitem(s: SparkSession, dir: String): DataFrame = {
     val root = monthLayoutDir(dir)
     if (!monthLayoutExists(dir)) {
-      // sweep stale fingerprints of this source dir (regenerated testdata)
+      // sweep stale fingerprints of this source dir (regenerated
+      // testdata). Match ONLY completed layout dirs — exactly prefix +
+      // 12 hex — never `_tmp_<app>` dirs: a concurrent builder's
+      // in-progress temp matches the bare prefix and deleting it would
+      // kill its build mid-write.
       val prefix = root.getName.dropRight(12) // strip the fp suffix
+      val stale = s"${java.util.regex.Pattern.quote(prefix)}[0-9a-f]{12}".r
       Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
+        .filter(f => stale.pattern.matcher(f.getName).matches()
+          && f.getName != root.getName)
         .foreach(deleteTree)
       val tmp = new java.io.File(root.getParentFile,
         s"${root.getName}_tmp_${s.sparkContext.applicationId}")

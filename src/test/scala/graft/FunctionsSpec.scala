@@ -309,4 +309,14 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
       s"top2_by must plan as fixed-width HashAggregate:\n$p")
   }
+
+  test("top2_by DESCRIBE FUNCTION surfaces the -Infinity sentinel restriction") {
+    // r17, per ADVICE: the restriction must be visible to SQL users, not
+    // only in a Scaladoc they never read
+    graft.functions.GraftExtensions.install(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED top2_by")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("RESTRICTION") && desc.contains("-Infinity"),
+      s"usage string lost the sentinel restriction:\n$desc")
+  }
 }
