@@ -469,5 +469,22 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(1) == b.getLong(0) && r.getDouble(2) == b.getDouble(1)
       && r.getLong(3) == b.getLong(2),
       s"streamed slice $r != batch replay $b")
+    // the full ingest cycle: the sink's per-batch files compact through
+    // the layout-preserving pass with the hive dirs, their pruning, and
+    // the day slice's content all intact — live feed → date dirs →
+    // hygiene, end to end
+    val compacted = java.nio.file.Files.createTempDirectory("graft_psink_comp").toString
+    graft.sources.Lake.compactPartitioned(spark, outDir.toString, compacted,
+      partitionCol = "event_date", sortKey = "user_id", targetMb = 128)
+    val cSlice = graft.streaming.StreamOps.partitionedSinkDaySlice(spark, compacted)
+    val cPlan = cSlice.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(cPlan).isDefined,
+      s"pruning lost through sink compaction:\n$cPlan")
+    assert(cSlice.count() == b.getLong(0),
+      "sink compaction changed the day slice")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(compacted))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => p.toFile.delete())
   }
 }
