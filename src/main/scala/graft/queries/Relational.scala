@@ -126,13 +126,6 @@ object Relational {
       .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("o_orderdate"))
   }
 
-  /** Build the bucketed fact tables for `dir` unless this session
-    * already has them (names keyed by dir so different sf dirs
-    * coexist). 32 buckets — matches the session's shuffle parallelism;
-    * at cluster scale this is the table's catalog-declared bucket
-    * count. Full-width tables, not query-specific projections: a real
-    * lake buckets the table once for EVERY orderkey-joining query, and
-    * parquet column pruning keeps the probe narrow regardless. */
   /** The per-dir bucketed fact table names — factored so Bench's
     * DROP-before-build uses the identical suffix (a drifted copy of the
     * suffix math would silently skip the drop and bench a stale build). */
@@ -141,6 +134,13 @@ object Relational {
     (s"graft_b_lineitem_$sfx", s"graft_b_orders_$sfx")
   }
 
+  /** Build the bucketed fact tables for `dir` unless this session
+    * already has them (names keyed by dir so different sf dirs
+    * coexist). 32 buckets — matches the session's shuffle parallelism;
+    * at cluster scale this is the table's catalog-declared bucket
+    * count. Full-width tables, not query-specific projections: a real
+    * lake buckets the table once for EVERY orderkey-joining query, and
+    * parquet column pruning keeps the probe narrow regardless. */
   private[graft] def bucketedFacts(s: SparkSession, dir: String): (String, String) = {
     val (lTab, oTab) = bucketedFactNames(dir)
     if (!s.catalog.tableExists(lTab))
