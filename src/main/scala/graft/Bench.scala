@@ -506,7 +506,8 @@ object Bench {
           if (!ok) {
             failed += "stream_throughput"
             System.err.println(f"[bench] stream_throughput FLAG: streamed " +
-              f"$wall%.1f s vs batch twin $batchS%.1f s — past the 5x+5s band")
+              f"$wall%.1f s vs batch twin $batchS%.1f s — past the " +
+              "5x + 1.5s/batch band")
           }
           streamingOnepass = s""","streaming":{"rows":$nDocs,""" +
             s""""batches":$batches,"wall_s":$wall,""" +
