@@ -535,8 +535,11 @@ object Relational {
     val src = new java.io.File(s"$dir/lineitem.parquet")
     val canonical =
       try src.getCanonicalPath catch { case _: java.io.IOException => src.getPath }
+    // the trailing tag is the LAYOUT VERSION — bump it when the write
+    // format changes (v2: ts-sorted within month files for row-group
+    // pruning), so stale-format builds are swept like stale-source ones
     val fp = graft.sources.Lake.keySuffix(
-      s"$canonical:${src.length}:${src.lastModified}")
+      s"$canonical:${src.length}:${src.lastModified}:month-v2")
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_month_lineitem_${graft.sources.Lake.dirSuffix(dir)}_$fp")
   }

@@ -58,11 +58,19 @@ object Lake {
     * the same way [[bucketize]]'s is: it hash-clusters each month into
     * exactly one task, so every partition directory holds ONE file
     * (~84 months × 1 instead of tasks × months small files — at
-    * streaming-sink file counts the lake would need [[compact]]). */
+    * streaming-sink file counts the lake would need [[compact]]).
+    *
+    * Rows are additionally SORTED by `tsCol` within each task, so the
+    * month file's parquet row groups carry tight min/max stats on the
+    * timestamp — a day-grain predicate inside a month (the residual cut
+    * `q1_partitioned` pushes) prunes at the ROW-GROUP level after the
+    * directory level, finishing the pruning hierarchy: dir → row group
+    * → page. */
   def datePartitionByMonth(df: DataFrame, outDir: String, tsCol: String,
       monthCol: String): Unit =
     df.withColumn(monthCol, to_date(date_trunc("month", col(tsCol))))
       .repartition(col(monthCol))
+      .sortWithinPartitions(col(monthCol), col(tsCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(monthCol)
       .parquet(outDir)

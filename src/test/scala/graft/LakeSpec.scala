@@ -126,6 +126,17 @@ class LakeSpec extends SparkSpec {
     val misplaced = back.filter(
       to_date(date_trunc("month", col("o_orderdate"))) =!= col("order_month")).count()
     assert(misplaced == 0, s"$misplaced rows in the wrong month partition")
+    // rows within a month file are ts-sorted — tight parquet row-group
+    // min/max stats, so day-grain cuts inside a month prune row groups
+    val oneFile = dirs.minBy(_.getName).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ts = spark.read.parquet(oneFile.getPath)
+      .select(col("o_orderdate").cast("string")) // ISO — lexicographic == temporal
+      .collect().map(_.getString(0))
+    assert(ts.length > 1 && ts.sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    }, "month file not ts-sorted")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(out))
       .sorted(java.util.Comparator.reverseOrder())
