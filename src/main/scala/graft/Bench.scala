@@ -133,6 +133,25 @@ object Bench {
   private def binarizeB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]) =
     graft.tensor.Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
 
+  /** Locale-stable fixed-precision double for the compact driver line —
+    * 4 decimals (0.1 ms) is below every band this artifact carries. */
+  private def r4(v: Double): String =
+    "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Print the artifact: the FULL JSON line first, then a COMPACT
+    * driver-contract line LAST. The driver keeps only the final ~2000
+    * chars of stdout and sbt appends its own `[success]` line after us,
+    * so rounds 1–17 all shipped `parsed: null`: the full line is ~3 KB
+    * and its head fell out of the capture window. The compact line
+    * (headline keys at 4 decimals, failures, group totals) stays well
+    * under the window, so the driver's tail scan finds one complete
+    * parseable JSON line; the full line stays first for the committed
+    * artifacts (take stdout line 1). */
+  private def emit(full: String, compact: String): Unit = {
+    println(full)
+    println(compact)
+  }
+
   /** Shared body of the big-grid tensor smoke (standalone
     * SPARK_GRAFT_TENSOR_SMOKE mode AND the merged one-pass artifact):
     * gaussian5 + label_stats + affine_u8 ONCE over a side² grid in
@@ -345,7 +364,6 @@ object Bench {
       // occur at different instants is still an upper bound on the true
       // simultaneous peak — fine for the flat-sf1-vs-sf10 regression flag.
       heapPools.foreach(_.resetPeakUsage())
-      val t0 = System.nanoTime()
       // SPARK_GRAFT_KEYS=a,b,c restricts every one-pass group to the
       // named keys — the re-measurement tool for forensics on a single
       // slow key without paying the full multi-hundred-second pass.
@@ -356,13 +374,18 @@ object Bench {
       // with every group empty — the opposite of what a forensics
       // re-measurement is for
       onlyKeys.foreach { ks =>
-        val known = qs.keySet + "semantic_dedup_scaledK" + "stream_throughput"
+        val known = qs.keySet + "semantic_dedup_scaledK" + "stream_throughput" +
+          "stream_stateful_throughput"
         val unknown = ks.filterNot(known.contains)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_KEYS names no known query: ${unknown.mkString(",")}")
       }
       def keep(n: String): Boolean = onlyKeys.forall(_.contains(n))
+      // cache drop BEFORE t0 (r17, per ADVICE): the other groups take
+      // their timestamps after their coldGroup call — billing the sync +
+      // drop into the headline wall made it incomparable under the flag
       coldGroup("headline")
+      val t0 = System.nanoTime()
       val res = headline.filter(qs.contains).filter(keep)
         .map(n => n -> queryOnce(n))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -460,10 +483,13 @@ object Bench {
           // a phantom 66× — same bytes, same layout, same cache state,
           // so the band isolates micro-batch overhead, the thing it
           // exists to judge)
+          // the twin's failure PROPAGATES to the probe's outer catch
+          // (r17, per ADVICE): a swallowed twin yielded batchS ≈ 0,
+          // which flagged the stream unconditionally and shipped a bogus
+          // batch_twin_s with no sign the twin never ran
           val bt0 = System.nanoTime()
-          try queries.TextOps.gopherOver(queries.TextOps.augmentSymbols(
+          queries.TextOps.gopherOver(queries.TextOps.augmentSymbols(
             spark.read.parquet(inDir))).count()
-          catch { case _: Throwable => () }
           val batchS = (System.nanoTime() - bt0) / 1e9
           spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
             ".state.RocksDBStateStoreProvider")
@@ -526,6 +552,76 @@ object Bench {
           }
         }
       }
+      // Stateful streaming throughput (r18, verdict #5): the stateless
+      // probe above judges micro-batch overhead; this leg drives the
+      // LIVE-CRAWL posture — the near-dedup flatMapGroupsWithState with
+      // RocksDB state — over the same 32-shard corpus and reports
+      // rows/s plus the state the stream actually carried. State WIDTH
+      // tracks STATE CARDINALITY (the r17 rule): the near-dedup state is
+      // one entry per (band, distinct-signature) bucket — thousands of
+      // groups, not 20 — so the stateful shuffle keeps the cluster width
+      // instead of the 8-way squeeze the tiny-state gate needs.
+      var statefulOnepass = ""
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAMING_STATEFUL",
+            sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1")) == "1" &&
+          keep("stream_stateful_throughput")) {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = spark.conf.getOption(provKey)
+        val prevShufflePart = spark.conf.get("spark.sql.shuffle.partitions")
+        coldGroup("streaming_stateful")
+        try {
+          val docs = Tables.t(spark, sfDir, "documents")
+            .select("doc_id", "source", "text")
+          val nDocs = docs.count()
+          val base = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_bench_sstream_${graft.sources.Lake.dirSuffix(sfDir)}" +
+              s"_${spark.sparkContext.applicationId}").toString
+          val (inDir, ckpt) = (base + "_in", base + "_ckpt")
+          queries.TmpCleanup.register(inDir)
+          queries.TmpCleanup.register(ckpt)
+          // distributed shard write (the verdict-path writeDocShards is a
+          // driver collect — test plumbing, not a scale fixture)
+          docs.repartition(32).write.mode("overwrite").json(inDir)
+          spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+            ".state.RocksDBStateStoreProvider")
+          val width = sys.env.getOrElse("SPARK_GRAFT_STATE_WIDTH",
+            cpus).toInt
+          spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+          val verdicts = graft.streaming.StreamOps.nearDedupVerdictStream(
+            spark, inDir, filesPerTrigger = 8, maxSigsPerBucket = 1 << 14,
+            ttlMs = 0L)
+          val t0 = System.nanoTime()
+          val q = verdicts.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+          val batches = progress.count(_.numInputRows > 0)
+          val stateOps = progress.reverse
+            .find(_.stateOperators.nonEmpty).toSeq.flatMap(_.stateOperators.toSeq)
+          val stateRows = stateOps.map(_.numRowsTotal).sum
+          val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
+          statefulOnepass = s""","streaming_stateful":{"rows":$nDocs,""" +
+            s""""batches":$batches,"wall_s":$wall,""" +
+            s""""rows_per_s":${nDocs / math.max(wall, 1e-9)},""" +
+            s""""state_rows":$stateRows,"state_mem_mb":$stateMb,""" +
+            s""""state_width":$width}"""
+        } catch {
+          case e: Throwable =>
+            failed += "stream_stateful_throughput"
+            System.err.println(
+              s"[bench] onepass stateful streaming FAILED: ${e.getMessage}")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShufflePart)
+          prevProv match {
+            case Some(v) => spark.conf.set(provKey, v)
+            case None => spark.conf.unset(provKey)
+          }
+        }
+      }
       // Bucketed-lake leg in the one-pass artifact (r16, verdict #2):
       // at sf10/sf100 this is where q3's shuffle-spill wall actually
       // hurts, so the layout demonstration belongs in the same artifact
@@ -535,15 +631,17 @@ object Bench {
           keep("q3_bucketed")) {
         coldGroup("bucketed")
         try {
-          val (lTab, oTab) = queries.Relational.bucketedFactNames(sfDir)
-          spark.sql(s"DROP TABLE IF EXISTS $lTab")
-          spark.sql(s"DROP TABLE IF EXISTS $oTab")
+          // the layout is durable across runs (r18, verdict #3 — same
+          // contract as the partitioned leg): a reuse run registers the
+          // external tables at build_s ≈ 0 with reused=true, and its
+          // probe is the honest layout number
+          val reused = queries.Relational.bucketedLayoutExists(sfDir)
           val b0 = System.nanoTime()
           queries.Relational.bucketedFacts(spark, sfDir)
           val buildS = (System.nanoTime() - b0) / 1e9
           val qT = queryOnce("q3_bucketed")
           bucketedOnepass =
-            s""","bucketed":{"build_s":$buildS,"q3_bucketed_s":$qT}"""
+            s""","bucketed":{"build_s":$buildS,"reused":$reused,"q3_bucketed_s":$qT}"""
         } catch {
           case e: Throwable =>
             failed += "q3_bucketed"
@@ -572,10 +670,20 @@ object Bench {
           val dT = queryOnce("date_trunc_agg_partitioned")
           val qT = queryOnce("q1_partitioned")
           val sT = queryOnce("time_slice_quarter")
+          val dayT = queryOnce("time_slice_day")
+          // the events day layout rides the same leg: build cost
+          // reported, then the day-sliced sessionization probe
+          val eReused = queries.Relational.dayEventsLayoutExists(sfDir)
+          val e0 = System.nanoTime()
+          queries.Relational.dayEvents(spark, sfDir)
+          val eBuildS = (System.nanoTime() - e0) / 1e9
+          val sgT = queryOnce("session_gap_day")
           partitionedOnepass = s""","partitioned":{"build_s":$buildS,""" +
             s""""reused":$reused,""" +
             s""""date_trunc_agg_partitioned_s":$dT,"q1_partitioned_s":$qT,""" +
-            s""""time_slice_quarter_s":$sT}"""
+            s""""time_slice_quarter_s":$sT,"time_slice_day_s":$dayT,""" +
+            s""""events_build_s":$eBuildS,"events_reused":$eReused,""" +
+            s""""session_gap_day_s":$sgT}"""
         } catch {
           case e: Throwable =>
             failed += "date_trunc_agg_partitioned"
@@ -597,8 +705,13 @@ object Bench {
       }
       val qj = res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
-        s""""failed":$fj$llmOnepass$curOnepass$bucketedOnepass$partitionedOnepass$streamingOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
+      val cqj = res.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+        .mkString("{", ",", "}")
+      emit(
+        s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
+          s""""failed":$fj$llmOnepass$curOnepass$bucketedOnepass$partitionedOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
+        s"""{"metric":"onepass","value":${r4(wall)},"unit":"sec","queries":$cqj,""" +
+          s""""failed":$fj,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -757,6 +870,7 @@ object Bench {
     // continuity artifact is untouched.
     val llmOn = sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1"
     var llmJson = ""
+    var compactTotals = ""
     if (llmOn) {
       val (llm, lFloor, lIqr, lCont, lAtt) =
         guardedGroup("llm", llmHeadline.filter(qs.contains))
@@ -765,6 +879,7 @@ object Bench {
       llmJson = s""","llm":$lj,"llm_total":${llm.map(_._2).sum},""" +
         s""""llm_floor":$lFloor,"llm_floor_iqr":$lIqr,""" +
         s""""llm_contended":$lCont,"llm_attempts":$lAtt"""
+      compactTotals += s""","llm_total":${r4(llm.map(_._2).sum)}"""
     }
 
     // ------------------------------------------------ curation group
@@ -781,6 +896,7 @@ object Bench {
       curJson = s""","curation":$cj,"curation_total":${cur.map(_._2).sum},""" +
         s""""curation_floor":$cFloor,"curation_floor_iqr":$cIqr,""" +
         s""""curation_contended":$cCont,"curation_attempts":$cAtt"""
+      compactTotals += s""","curation_total":${r4(cur.map(_._2).sum)}"""
     }
 
     // --------------------------- heavy hitters at HIGH cardinality
@@ -921,10 +1037,9 @@ object Bench {
           f
           drainListenerBus(spark); shuffleBytes.get()
         }
-        // build: drop any prior tables so build_s measures the real write
-        val (lTab, oTab) = queries.Relational.bucketedFactNames(sfDir)
-        spark.sql(s"DROP TABLE IF EXISTS $lTab")
-        spark.sql(s"DROP TABLE IF EXISTS $oTab")
+        // durable layout (r18, verdict #3): build_s is the real write on
+        // the first-ever run and DDL replay (≈0) with reused=true after
+        val reused = queries.Relational.bucketedLayoutExists(sfDir)
         val buildS = timed { queries.Relational.bucketedFacts(spark, sfDir); () }
         val bDf = qs("q3_bucketed")(spark, sfDir)
         val fDf = qs("q3_top_orders")(spark, sfDir)
@@ -943,7 +1058,8 @@ object Bench {
             .contains("Exchange hashpartitioning")
           if (!noExchange) System.err.println(
             "[bench] q3_bucketed FLAG: hash exchange survived the bucketed layout")
-          bucketedJson = s""","bucketed":{"build_s":$buildS,"q3_bucketed_s":$bS,""" +
+          bucketedJson = s""","bucketed":{"build_s":$buildS,"reused":$reused,""" +
+            s""""q3_bucketed_s":$bS,""" +
             s""""q3_flat_s":$fS,"q3_bucketed_shuffle_mb":${bBytes / 1e6},""" +
             s""""q3_flat_shuffle_mb":${fBytes / 1e6},"no_exchange_ok":$noExchange}"""
         } finally spark.sparkContext.removeSparkListener(listener)
@@ -976,10 +1092,20 @@ object Bench {
         val dDf = qs("date_trunc_agg_partitioned")(spark, sfDir)
         val qDf = qs("q1_partitioned")(spark, sfDir)
         val sDf = qs("time_slice_quarter")(spark, sfDir)
-        dDf.count(); qDf.count(); sDf.count() // warm
+        val dayDf = qs("time_slice_day")(spark, sfDir)
+        dDf.count(); qDf.count(); sDf.count(); dayDf.count() // warm
         val dS = med3 { dDf.count(): Unit }
         val q1S = med3 { qDf.count(): Unit }
         val sS = med3 { sDf.count(): Unit }
+        val dayS = med3 { dayDf.count(): Unit }
+        // the events day layout rides the same leg
+        val eReused = queries.Relational.dayEventsLayoutExists(sfDir)
+        val e0 = System.nanoTime()
+        queries.Relational.dayEvents(spark, sfDir)
+        val eBuildS = (System.nanoTime() - e0) / 1e9
+        val sgDf = qs("session_gap_day")(spark, sfDir)
+        sgDf.count() // warm
+        val sgS = med3 { sgDf.count(): Unit }
         // structural claim on the executed plan: the partitioned
         // date_trunc scan must never decode the timestamp column
         val noTs = !dDf.queryExecution.executedPlan.toString.contains("l_shipdate")
@@ -988,7 +1114,9 @@ object Bench {
         partitionedJson = s""","partitioned":{"build_s":$buildS,""" +
           s""""reused":$reused,""" +
           s""""date_trunc_agg_partitioned_s":$dS,"q1_partitioned_s":$q1S,""" +
-          s""""time_slice_quarter_s":$sS,"no_ts_scan_ok":$noTs}"""
+          s""""time_slice_quarter_s":$sS,"time_slice_day_s":$dayS,""" +
+          s""""events_build_s":$eBuildS,"events_reused":$eReused,""" +
+          s""""session_gap_day_s":$sgS,"no_ts_scan_ok":$noTs}"""
       } catch {
         case e: Throwable =>
           failed += "partitioned_bench"
@@ -1043,6 +1171,7 @@ object Bench {
         "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
       }.mkString("{", ",", "}")
       annJson = s""","ann":$aj,"ann_total":${ann.map(_._2).sum},"ann_recall":$rj"""
+      compactTotals += s""","ann_total":${r4(ann.map(_._2).sum)}"""
     }
 
     // ---------------------------------------------- ingest (stage zero)
@@ -1298,10 +1427,17 @@ object Bench {
     // the raw total remains the headline "value" for continuity.
     val adjusted = math.max(0.0, total - floorTotal)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
-      s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
-      s""""contended":$contended,"attempts":$attempt$llmJson$curJson$hhJson$bucketedJson$partitionedJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""")
+    val cq = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    emit(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+        s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +
+        s""""floor_total":$floorTotal,"adjusted_total":$adjusted,""" +
+        s""""contended":$contended,"attempts":$attempt$llmJson$curJson$hhJson$bucketedJson$partitionedJson$annJson$ingestJson$tensorJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$cq,""" +
+        s""""failed":$failedJson,"floor_per_query":${r4(floorMed)},""" +
+        s""""adjusted_total":${r4(adjusted)},""" +
+        s""""contended":$contended$compactTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,11 +81,25 @@ object Tables {
     if (spark.catalog.tableExists(tab)) Some(tab) else None
   }
 
+  /** The bucketed table's BUILD GENERATION — its catalog createTime.
+    * Part of the cache key (r17, per ADVICE): the name alone covers the
+    * None→Some transition but not rebuild-under-the-same-name (DROP +
+    * rebuild in one session), where a name-keyed cache would keep
+    * serving a frame whose analyzed plan pins the dropped build's file
+    * listing. */
+  private def tableGen(spark: SparkSession, tab: String): Long =
+    try spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tab)).createTime
+    catch { case _: Throwable => 0L }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // the bucketed choice is part of the cache key: flipping the conf
-    // (or building the tables) mid-session must not serve a stale frame
+    // the bucketed choice — name AND build generation — is part of the
+    // cache key: flipping the conf, building, or REBUILDING the tables
+    // mid-session must not serve a stale frame
     val bucketed = bucketedFor(spark, dir, name)
-    cache.computeIfAbsent((spark, dir, name + bucketed.fold("")("@" + _)), { _ =>
+    val key = name + bucketed.fold("")(tab =>
+      "@" + tab + "@" + tableGen(spark, tab))
+    cache.computeIfAbsent((spark, dir, key), { _ =>
       bucketed match {
         case Some(tab) => spark.table(tab)
         case None =>

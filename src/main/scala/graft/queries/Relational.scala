@@ -134,19 +134,57 @@ object Relational {
     (s"graft_b_lineitem_$sfx", s"graft_b_orders_$sfx")
   }
 
-  /** Build the bucketed fact tables for `dir` unless this session
-    * already has them (names keyed by dir so different sf dirs
-    * coexist). 32 buckets — matches the session's shuffle parallelism;
-    * at cluster scale this is the table's catalog-declared bucket
-    * count. Full-width tables, not query-specific projections: a real
-    * lake buckets the table once for EVERY orderkey-joining query, and
-    * parquet column pruning keeps the probe narrow regardless. */
+  /** The per-fact durable bucketed layout dir — fingerprinted exactly
+    * like the month layout, so a regenerated source parquet can never
+    * be served a stale bucketed build. */
+  private[graft] def bucketedLayoutDir(dir: String, src: String): java.io.File = {
+    val f = new java.io.File(s"$dir/$src.parquet")
+    val fp = graft.sources.Lake.layoutFingerprint(f, "bucket32-v2")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bucketed_${src}_${graft.sources.Lake.dirSuffix(dir)}_$fp")
+  }
+
+  /** True iff both facts' durable bucketed layouts are already built
+    * (the bench legs' `reused` flag). */
+  private[graft] def bucketedLayoutExists(dir: String): Boolean =
+    graft.sources.Lake.layoutComplete(bucketedLayoutDir(dir, "lineitem")) &&
+      graft.sources.Lake.layoutComplete(bucketedLayoutDir(dir, "orders"))
+
+  private def ensureBucketedFact(s: SparkSession, dir: String, tab: String,
+      src: String, key: String): Unit = {
+    if (s.catalog.tableExists(tab)) return
+    val root = bucketedLayoutDir(dir, src)
+    graft.sources.Lake.ensureLayout(s, root) { tmp =>
+      // build under a throwaway catalog name pointed at the temp dir;
+      // dropping the EXTERNAL entry keeps the files, so the rename-in
+      // hands a complete bucketed layout to the durable location
+      val tmpTab = s"${tab}_build_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $tmpTab")
+      graft.sources.Lake.bucketizeExternal(
+        t(s, dir, src), tmpTab, key, 32, tmp.toString)
+      s.sql(s"DROP TABLE $tmpTab")
+    }
+    graft.sources.Lake.registerBucketed(
+      s, tab, t(s, dir, src).schema.toDDL, key, 32, root.toString)
+  }
+
+  /** Make the bucketed fact tables for `dir` available in this session
+    * (names keyed by dir so different sf dirs coexist). The LAYOUT is
+    * durable across runs (r17 verdict #3: the 575–830 s sf100 rebuild
+    * per bench pass was the un-amortized half of the lake economics —
+    * build once, reuse forever, exactly as the month layout already
+    * did); only the catalog registration is per-session, and that is
+    * DDL replay at build_s ≈ 0. 32 buckets — matches the session's
+    * shuffle parallelism; at cluster scale this is the table's
+    * catalog-declared bucket count. Full-width tables, not
+    * query-specific projections: a real lake buckets the table once for
+    * EVERY orderkey-joining query, and parquet column pruning keeps the
+    * probe narrow regardless. */
   private[graft] def bucketedFacts(s: SparkSession, dir: String): (String, String) = {
     val (lTab, oTab) = bucketedFactNames(dir)
-    if (!s.catalog.tableExists(lTab))
-      graft.sources.Lake.bucketize(t(s, dir, "lineitem"), lTab, "l_orderkey", 32)
-    if (!s.catalog.tableExists(oTab))
-      graft.sources.Lake.bucketize(t(s, dir, "orders"), oTab, "o_orderkey", 32)
+    ensureBucketedFact(s, dir, lTab, "lineitem", "l_orderkey")
+    ensureBucketedFact(s, dir, oTab, "orders", "o_orderkey")
     (lTab, oTab)
   }
 
@@ -536,51 +574,50 @@ object Relational {
     val canonical =
       try src.getCanonicalPath catch { case _: java.io.IOException => src.getPath }
     // the trailing tag is the LAYOUT VERSION — bump it when the write
-    // format changes (v2: ts-sorted within month files for row-group
-    // pruning), so stale-format builds are swept like stale-source ones
+    // format changes (v2: ts-sorted within month files; v3: timestamps
+    // as INT64 micros, because INT96 — the Spark session default — has
+    // no min/max stats and silently voided v2's row-group pruning), so
+    // stale-format builds are swept like stale-source ones
     val fp = graft.sources.Lake.keySuffix(
-      s"$canonical:${src.length}:${src.lastModified}:month-v2")
+      s"$canonical:${src.length}:${src.lastModified}:month-v3")
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_month_lineitem_${graft.sources.Lake.dirSuffix(dir)}_$fp")
   }
 
   /** True iff the durable month layout for `dir` is already built. */
   private[graft] def monthLayoutExists(dir: String): Boolean =
-    new java.io.File(monthLayoutDir(dir), "_SUCCESS").isFile
-
-  private def deleteTree(d: java.io.File): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (d.exists()) {
-      java.nio.file.Files.walk(d.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => p.toFile.delete())
-    }
-  }
+    graft.sources.Lake.layoutComplete(monthLayoutDir(dir))
 
   private[graft] def monthLineitem(s: SparkSession, dir: String): DataFrame = {
     val root = monthLayoutDir(dir)
-    if (!monthLayoutExists(dir)) {
-      // sweep stale fingerprints of this source dir (regenerated
-      // testdata). Match ONLY completed layout dirs — exactly prefix +
-      // 12 hex — never `_tmp_<app>` dirs: a concurrent builder's
-      // in-progress temp matches the bare prefix and deleting it would
-      // kill its build mid-write.
-      val prefix = root.getName.dropRight(12) // strip the fp suffix
-      val stale = s"${java.util.regex.Pattern.quote(prefix)}[0-9a-f]{12}".r
-      Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => stale.pattern.matcher(f.getName).matches()
-          && f.getName != root.getName)
-        .foreach(deleteTree)
-      val tmp = new java.io.File(root.getParentFile,
-        s"${root.getName}_tmp_${s.sparkContext.applicationId}")
+    graft.sources.Lake.ensureLayout(s, root) { tmp =>
       graft.sources.Lake.datePartitionByMonth(
         t(s, dir, "lineitem"), tmp.toString, "l_shipdate", "ship_month")
-      if (!tmp.renameTo(root)) {
-        // lost the build race — the winner's layout must be complete
-        deleteTree(tmp)
-        require(monthLayoutExists(dir),
-          s"month layout rename failed and no complete layout at $root")
-      }
+    }
+    s.read.parquet(root.toString)
+  }
+
+  /** Durable day-partitioned EVENTS layout — the time-axis lever
+    * extended to the event stream (r17 verdict #4: the streaming sink
+    * already lands `event_date=` dirs; this is the batch-read side of
+    * the same layout, so a day-sliced query's time cut is pure
+    * directory pruning). Same fingerprint/race/sweep machinery as the
+    * month layout ([[graft.sources.Lake.ensureLayout]]). */
+  private[graft] def dayEventsLayoutDir(dir: String): java.io.File = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fp = graft.sources.Lake.layoutFingerprint(src, "day-v2")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_day_events_${graft.sources.Lake.dirSuffix(dir)}_$fp")
+  }
+
+  private[graft] def dayEventsLayoutExists(dir: String): Boolean =
+    graft.sources.Lake.layoutComplete(dayEventsLayoutDir(dir))
+
+  private[graft] def dayEvents(s: SparkSession, dir: String): DataFrame = {
+    val root = dayEventsLayoutDir(dir)
+    graft.sources.Lake.ensureLayout(s, root) { tmp =>
+      graft.sources.Lake.datePartitionBy(
+        t(s, dir, "events"), tmp.toString, "ts", "event_date", "day")
     }
     s.read.parquet(root.toString)
   }
@@ -651,6 +688,33 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Day-grain slice over the month layout — the pruning HIERARCHY's
+    * last level (r17 verdict #2): the ship_month equality prunes to ONE
+    * directory, and because rows within each month file are ts-SORTED
+    * at build (Lake.datePartitionBy), the day cut's parquet min/max
+    * stats skip all but ~1/30 of that file's ROW GROUPS — dir → row
+    * group → page, so a day's reprocess cost scales with the DAY even
+    * inside the boundary month. LakeSpec pins the row-group skip by
+    * bytes-read on a multi-row-group fixture; PlanShapeSpec pins the
+    * PartitionFilter + pushed day predicate. Same-oracle pattern:
+    * layout never changes answers. */
+  val timeSliceDay: Q = (s, dir) => {
+    val d0 = lit("1995-02-14").cast("timestamp")
+    val d1 = lit("1995-02-15").cast("timestamp")
+    monthLineitem(s, dir)
+      .filter(col("ship_month") === lit("1995-02-01").cast("date") &&
+        col("l_shipdate") >= d0 && col("l_shipdate") < d1)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val timeSliceDaySql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-02-14 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-02-15 00:00:00'""".stripMargin
 
   // ------------------------------------------------------ JSON fns
   /** JSON path extraction from the events.props payload (codegen'd
@@ -745,6 +809,43 @@ object Relational {
       |  SELECT user_id, ts,
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** [[sessionGap]] restricted to ONE day, read off the durable
+    * day-partitioned events layout ([[dayEvents]]) — the daily
+    * reprocess shape against a 100 TB event stream: the day cut is an
+    * `event_date=` PartitionFilter (directory pruning; foreign days are
+    * never listed, let alone read — PlanShapeSpec pins it), so the
+    * job's scan cost is the DAY's bytes while the flat key full-scans
+    * the stream to find the same rows. Sessions are day-scoped by
+    * definition here (the lag window sees only the day's events); the
+    * oracle applies the identical cut to the flat table, so the answers
+    * agree exactly. */
+  val sessionGapDay: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    dayEvents(s, dir)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionGapDaySql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-16 00:00:00')
       |SELECT user_id,
       |  CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
@@ -1219,6 +1320,8 @@ object Relational {
     "date_trunc_agg_partitioned" -> dateTruncAggPartitioned,
     "q1_partitioned" -> q1Partitioned,
     "time_slice_quarter" -> timeSliceQuarter,
+    "time_slice_day" -> timeSliceDay,
+    "session_gap_day" -> sessionGapDay,
     "json_extract" -> jsonExtract,
     "props_map" -> propsMap,
     "tumbling_window" -> tumblingWindow,
@@ -1262,6 +1365,8 @@ object Relational {
     "date_trunc_agg_partitioned" -> dateTruncAggSql,
     "q1_partitioned" -> q1PricingSummarySql,
     "time_slice_quarter" -> timeSliceQuarterSql,
+    "time_slice_day" -> timeSliceDaySql,
+    "session_gap_day" -> sessionGapDaySql,
     "json_extract" -> jsonExtractSql,
     "props_map" -> propsMapSql,
     "tumbling_window" -> tumblingWindowSql,

@@ -2010,7 +2010,13 @@ object TextOps {
     * classes, plus a lorem-ipsum line (doc_id % 53 == 0) and a code
     * line containing '{' (doc_id % 47 == 0). The oracle replays it. */
   private[graft] def augmentC4(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("doc_id"), toks.as("t"))
+    // text coalesced to '' (r17, per ADVICE): on a NULL text the HOF
+    // form of the filter keeps the row with NULL flags while the
+    // exploded twin drops the doc entirely — the row-identity contract
+    // TextOpsSpec pins would otherwise silently depend on every fixture
+    // being non-null
+    docs.withColumn("text", coalesce(col("text"), lit("")))
+      .select(col("source"), col("doc_id"), toks.as("t"))
       .select(col("source"), col("doc_id"), concat(
         array_join(expr(
           "transform(sequence(0, cast(ceil(size(t) / 5.0) AS INT) - 1)," +

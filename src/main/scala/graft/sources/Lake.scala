@@ -38,6 +38,70 @@ object Lake {
       .digest(key.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
 
+  // ------------------------------------------------- durable layouts
+  /** Content fingerprint of a layout's source file: canonical path +
+    * size + mtime + a LAYOUT-VERSION tag (bump the tag when the write
+    * format changes, so stale-format builds are swept like stale-source
+    * ones). A regenerated source file can never be served a stale
+    * layout. */
+  def layoutFingerprint(src: java.io.File, versionTag: String): String = {
+    val canonical =
+      try src.getCanonicalPath catch { case _: java.io.IOException => src.getPath }
+    keySuffix(s"$canonical:${src.length}:${src.lastModified}:$versionTag")
+  }
+
+  /** True iff the durable layout at `root` finished building. */
+  def layoutComplete(root: java.io.File): Boolean =
+    new java.io.File(root, "_SUCCESS").isFile
+
+  private[graft] def deleteTree(d: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => p.toFile.delete())
+    }
+  }
+
+  /** Build-if-absent harness for a durable fingerprinted layout dir
+    * (`<prefix>_<fp12>` — the shared machinery behind the month
+    * lineitem, day events, and bucketed fact layouts). Durability is
+    * the honest-bench requirement: probing a multi-GB layout in the
+    * same JVM that just built it measures the build's page-cache
+    * eviction, not the layout (BASELINE.md, r17 measurement lesson).
+    *
+    * Race-safe for concurrent Bench/Verify: each builder writes an
+    * app-id-suffixed temp dir and atomically renames it in; the rename
+    * loser deletes its copy and reads the winner's. Stale fingerprints
+    * of the same prefix are swept AFTER the new layout lands (r17, per
+    * ADVICE: sweeping first widened the window in which a concurrent
+    * older-fingerprint reader loses its files mid-scan). Residual and
+    * documented trade: regenerating the source while an older run is
+    * still executing invalidates that run's layout-backed legs — disk
+    * stays bounded at one live layout per source instead of serving
+    * arbitrarily many stale generations. */
+  def ensureLayout(s: SparkSession, root: java.io.File)(
+      build: java.io.File => Unit): Unit = {
+    if (layoutComplete(root)) return
+    val tmp = new java.io.File(root.getParentFile,
+      s"${root.getName}_tmp_${s.sparkContext.applicationId}")
+    build(tmp)
+    if (!tmp.renameTo(root)) {
+      deleteTree(tmp)
+      require(layoutComplete(root),
+        s"layout rename failed and no complete layout at $root")
+    }
+    // match ONLY completed layout dirs — exactly prefix + 12 hex, never
+    // `_tmp_<app>` dirs: a concurrent builder's in-progress temp matches
+    // the bare prefix and deleting it would kill its build mid-write
+    val prefix = root.getName.dropRight(12)
+    val stale = s"${java.util.regex.Pattern.quote(prefix)}[0-9a-f]{12}".r
+    Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => stale.pattern.matcher(f.getName).matches()
+        && f.getName != root.getName)
+      .foreach(deleteTree)
+  }
+
   /** Write `df` date-partitioned by calendar month of `tsCol` — the
     * TIME-axis lake layout (the bucketed layout's twin for scans instead
     * of joins). The derived `monthCol` becomes a hive-style partition
@@ -68,12 +132,44 @@ object Lake {
     * → page. */
   def datePartitionByMonth(df: DataFrame, outDir: String, tsCol: String,
       monthCol: String): Unit =
-    df.withColumn(monthCol, to_date(date_trunc("month", col(tsCol))))
-      .repartition(col(monthCol))
-      .sortWithinPartitions(col(monthCol), col(tsCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(monthCol)
-      .parquet(outDir)
+    datePartitionBy(df, outDir, tsCol, monthCol, "month")
+
+  /** Run `f` with parquet timestamps written as INT64 micros. Spark's
+    * session default is still INT96 (spark.sql.parquet.
+    * outputTimestampType), and INT96 carries NO usable min/max
+    * statistics — a layout written with the default can never
+    * row-group-prune on its timestamp, which silently voids the whole
+    * point of ts-sorting rows within files (measured: a day cut inside
+    * a 77-row-group month file scanned all 96 768 rows as INT96 vs
+    * 4 364 as INT64 — LakeSpec pins the micros behavior). Every lake
+    * writer in this object goes through here so the layout's pruning
+    * contract never depends on the caller's session conf. */
+  private def withMicrosTimestamps[T](s: org.apache.spark.sql.SparkSession)(
+      f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Grain-parameterized form of [[datePartitionByMonth]] — "day" is
+    * the event-stream grain (a streaming sink's `event_date=` dirs and
+    * the batch day-slice twins read the same layout); every documented
+    * property (one file per partition dir, ts retained and sorted
+    * within files) holds per grain. */
+  def datePartitionBy(df: DataFrame, outDir: String, tsCol: String,
+      partCol: String, grain: String): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.withColumn(partCol, to_date(date_trunc(grain, col(tsCol))))
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(tsCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partCol)
+        .parquet(outDir)
+    }
 
   /** Write `df` as a bucketed, sorted managed table.
     *
@@ -91,12 +187,42 @@ object Lake {
     * file per bucket keeps the write sort to rows-per-bucket and lets
     * the sort-merge join read both sides sort-free. */
   def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.repartition(buckets, col(key))
-      .write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
+    withMicrosTimestamps(df.sparkSession) {
+      df.repartition(buckets, col(key))
+        .write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    }
+
+  /** [[bucketize]] into an EXTERNAL location — the durable-layout form:
+    * the files land at `path` (fingerprinted dir, survives the session)
+    * while the catalog entry is disposable. Spark's bucket id is
+    * carried in the part-file NAMES (`…_00017`), so the files stay a
+    * valid bucketed table through a directory rename and a later
+    * re-registration by [[registerBucketed]]. */
+  def bucketizeExternal(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.repartition(buckets, col(key))
+        .write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    }
+
+  /** Re-register an existing bucketed layout as an external catalog
+    * table — what a persistent metastore gives a cluster for free; the
+    * session-scoped in-memory catalog needs the DDL replayed once per
+    * session (build_s ≈ 0, `reused: true` in the bench artifacts). */
+  def registerBucketed(s: SparkSession, table: String, schemaDDL: String,
+      key: String, buckets: Int, path: String): Unit =
+    s.sql(s"CREATE TABLE $table ($schemaDDL) USING PARQUET " +
+      s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
 
   /** Compact a directory of (typically many small) parquet files into
     * size-targeted output files — the streaming-sink / incremental-ingest
@@ -119,9 +245,11 @@ object Lake {
     }.sum
     val nFiles = math.max(1L, bytes / (targetMb.toLong << 20) +
       (if (bytes % (targetMb.toLong << 20) == 0) 0 else 1)).toInt
-    df.repartitionByRange(nFiles, col(sortKey))
-      .sortWithinPartitions(col(sortKey))
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    withMicrosTimestamps(spark) {
+      df.repartitionByRange(nFiles, col(sortKey))
+        .sortWithinPartitions(col(sortKey))
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+    }
     nFiles.toLong
   }
 
@@ -150,11 +278,13 @@ object Lake {
     }.sum
     val nFiles = math.max(1L, bytes / (targetMb.toLong << 20) +
       (if (bytes % (targetMb.toLong << 20) == 0) 0 else 1)).toInt
-    df.repartitionByRange(nFiles, col(partitionCol), col(sortKey))
-      .sortWithinPartitions(col(partitionCol), col(sortKey))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCol)
-      .parquet(outDir)
+    withMicrosTimestamps(spark) {
+      df.repartitionByRange(nFiles, col(partitionCol), col(sortKey))
+        .sortWithinPartitions(col(partitionCol), col(sortKey))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .parquet(outDir)
+    }
     nFiles.toLong
   }
 

@@ -803,8 +803,12 @@ object StreamOps {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // "*.json*" admits both the test fixtures' hand-written .jsonl
+    // shards and Spark's own .json part files (the bench throughput leg
+    // writes its 32-shard corpus with df.write.json — a driver-side
+    // shard writer would not scale past toy corpora)
     val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "*.jsonl")
+      .option("pathGlobFilter", "*.json*")
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .json(inDir)
     import graft.queries.TextOps.{bandKeysExpr, minhashSigFoldExpr, shingleArrayExpr}

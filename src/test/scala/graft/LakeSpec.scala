@@ -183,6 +183,120 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  /** Rows EMITTED BY THE SCAN for `df` — the row-group-pruning probe:
+    * the vectorized parquet reader emits every row of each surviving
+    * row group (residual filters re-apply above the scan), so the
+    * scan's numOutputRows counts exactly the groups the min/max stats
+    * could not skip. */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    var rows = 0L
+    def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          visit(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          visit(q.plan) // stages hide their subplan (children = Nil)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          rows += s.metrics("numOutputRows").value
+        case _ =>
+      }
+      p.children.foreach(visit)
+    }
+    visit(df.queryExecution.executedPlan)
+    rows
+  }
+
+  test("ts-sorted month files: a day cut inside one month skips row groups — scan rows scale with the day") {
+    // the r17 commit sorted rows by ts within each month file exactly so
+    // day-grain predicates prune at the ROW-GROUP level; this pins the
+    // mechanism on a multi-row-group fixture (the sf testdata is
+    // single-row-group, so the gated time_slice_day key can only pin
+    // the plan shape — PlanShapeSpec — not the skip itself)
+    val out = java.nio.file.Files.createTempDirectory("graft_rg_prune").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hconf.get("parquet.block.size"))
+    // ~64 KB row groups: each month file carries dozens, so the day
+    // cut's min/max stats have something to skip
+    hconf.set("parquet.block.size", (64 * 1024).toString)
+    try {
+      // 300k rows spread evenly over ~87 days (3 month dirs); the md5
+      // payload is incompressible, so row groups carry real bytes —
+      // with delta/RLE-friendly columns alone the whole month encodes
+      // to ~8 KB and the bytes-read figure is all footer
+      val df = spark.range(300000L).selectExpr(
+        "timestampadd(SECOND, CAST(id * 25 AS INT), TIMESTAMP '1995-01-01 00:00:00') AS l_shipdate",
+        "md5(CAST(id AS STRING)) AS payload")
+      Lake.datePartitionBy(df, out, "l_shipdate", "ship_month", "month")
+    } finally {
+      prevBlock match {
+        case Some(v) => hconf.set("parquet.block.size", v)
+        case None => hconf.unset("parquet.block.size")
+      }
+    }
+    val base = spark.read.parquet(out)
+    val feb = col("ship_month") === lit("1995-02-01").cast("date")
+    // both probes carry an l_shipdate predicate (so their plans match);
+    // only the day probe's bounds can prune row groups
+    def probe(extra: org.apache.spark.sql.Column) =
+      base.filter(feb && extra).agg(sum(length(col("payload"))))
+    val fullRows = scanOutputRows(
+      probe(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")))
+    val dayRows = scanOutputRows(
+      probe(col("l_shipdate") >= lit("1995-02-14").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-02-15").cast("timestamp")))
+    assert(dayRows > 0, "day probe scanned nothing — fixture broken")
+    assert(fullRows > 50000, s"month probe should scan the whole month, got $fullRows")
+    assert(dayRows * 4 < fullRows,
+      s"day cut must skip most of the month's row groups: " +
+        s"scan emitted $dayRows rows vs the month's $fullRows")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => p.toFile.delete())
+  }
+
+  test("bucketedFacts: durable external layout — DROP TABLE is DDL-only, re-register reuses the files, rebuild can't serve a stale cached frame") {
+    val flat = SparkEntry.queries("q3_top_orders")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val (lTab, oTab) = queries.Relational.bucketedFactNames(sf001)
+    queries.Relational.bucketedFacts(spark, sf001)
+    assert(queries.Relational.bucketedLayoutExists(sf001),
+      "build must land the durable fingerprinted layout")
+    assert(SparkEntry.queries("q3_bucketed")(spark, sf001)
+      .collect().map(_.toSeq).toSeq == flat)
+    val lDir = queries.Relational.bucketedLayoutDir(sf001, "lineitem")
+    val sig = lDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // mid-session DROP + re-register — what every fresh session does:
+    // must be DDL replay over the surviving files, never a rewrite
+    spark.sql(s"DROP TABLE $lTab"); spark.sql(s"DROP TABLE $oTab")
+    assert(queries.Relational.bucketedLayoutExists(sf001),
+      "external files must survive DROP TABLE")
+    queries.Relational.bucketedFacts(spark, sf001)
+    assert(lDir.listFiles().map(f => f.getName -> f.lastModified).toMap == sig,
+      "re-register rewrote the layout files")
+    val df = SparkEntry.queries("q3_bucketed")(spark, sf001)
+    assert(df.collect().map(_.toSeq).toSeq == flat)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"re-registered layout lost the zero-exchange property:\n$p")
+    // rebuild-under-the-same-name (r17 ADVICE, medium): with
+    // preferBucketed on, a frame cached against build N must not be
+    // served after build N+1 replaces the files — the cache key carries
+    // the catalog createTime as the build generation
+    try {
+      spark.conf.set("graft.lake.preferBucketed", "true")
+      val n1 = Tables.t(spark, sf001, "lineitem").count()
+      spark.sql(s"DROP TABLE $lTab"); spark.sql(s"DROP TABLE $oTab")
+      Lake.deleteTree(queries.Relational.bucketedLayoutDir(sf001, "lineitem"))
+      Lake.deleteTree(queries.Relational.bucketedLayoutDir(sf001, "orders"))
+      queries.Relational.bucketedFacts(spark, sf001)
+      // with a name-only cache key this count reads build-1's deleted
+      // files and throws (or returns stale rows)
+      assert(Tables.t(spark, sf001, "lineitem").count() == n1)
+    } finally spark.conf.unset("graft.lake.preferBucketed")
+  }
+
   test("dirSuffix: identifier-safe hex, canonicalization-stable, distinct per dir") {
     val a = Lake.dirSuffix("/root/testdata/sf0.01")
     assert(a.matches("[0-9a-f]{12}"), s"suffix not identifier-safe hex: $a")

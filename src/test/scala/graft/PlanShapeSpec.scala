@@ -58,6 +58,31 @@ class PlanShapeSpec extends SparkSpec {
       s"one partial->final agg shuffle, nothing else:\n$p")
   }
 
+  test("time_slice_day: one month dir via PartitionFilter + pushed day bounds — the full pruning hierarchy") {
+    // dir → row group → page: the month equality prunes to ONE
+    // directory, and the day bounds push into parquet where the
+    // build-time ts sort gives them tight row-group stats (the skip
+    // itself is pinned by LakeSpec's bytes-read fixture)
+    val p = plan("time_slice_day")
+    assert("PartitionFilters: \\[[^\\]]*ship_month".r.findFirstIn(p).isDefined,
+      s"month equality must land as a PartitionFilter:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      s"day bounds must push into the parquet scan:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"global agg needs no hash exchange (partial -> single-partition final):\n$p")
+  }
+
+  test("session_gap_day: the day cut is an event_date PartitionFilter — foreign days never listed") {
+    // the events analog of time_slice_quarter (r18, verdict #4): a
+    // daily reprocess over the date-partitioned event lake reads the
+    // day's directory alone
+    val p = plan("session_gap_day")
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      s"day cut must land as an event_date PartitionFilter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate plan:\n$p")
+  }
+
   test("quality_c4: map-side HOF line stats — no explode, no doc-keyed exchange") {
     // r17 rewrite (verdict #3): per-doc n_keep/n_lines fold inside the
     // scan projection via size(filter(split(…))); the old explode →
