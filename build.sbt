@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc Spark confs for forensics runs (e.g. the event log for a
+  // stage profile: GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
+  // -Dspark.eventLog.dir=file:///tmp/el") — space-separated -D flags
+  sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq.empty)

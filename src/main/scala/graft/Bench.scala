@@ -260,6 +260,14 @@ object Bench {
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           (cpus.toInt * 4).toString)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        // 64 MiB splits (default 128 MiB): a single-file table scans
+        // ceil(bytes/split) ways — at sf100 the 2.5 GB documents file
+        // gave 10 scan tasks on 32 cores, so every text-decode-bound
+        // stage idled 2/3 of the machine (the streaming trigger-sizing
+        // lesson, r17, applied to batch scans). On a real lake row
+        // groups + many files make this moot; on the one-file-per-table
+        // fixture the split size IS scan parallelism.
+        .config("spark.sql.files.maxPartitionBytes", (64L << 20).toString)
         .config("spark.shuffle.compress", "true")
         .config("spark.shuffle.spill.compress", "true")
         // zstd over the lz4 default at scale: row-oriented shuffle of a
@@ -397,7 +405,15 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1") {
         coldGroup("llm")
         val lt0 = System.nanoTime()
-        val lres = llmHeadline.filter(qs.contains).filter(keep)
+        // forensics affordance: a SPARK_GRAFT_KEYS entry naming a gated
+        // query OUTSIDE every one-pass group (e.g. minhash_signatures —
+        // the signature-scan HALF of minhash_near_dup) runs here, so a
+        // heavy key's stage split is measurable with the same protocol
+        // and no bespoke main
+        val extraKeys = onlyKeys.map(_.filter(k => qs.contains(k) &&
+          !headline.contains(k) && !llmHeadline.contains(k) &&
+          !curationHeadline.contains(k)).toSeq.sorted).getOrElse(Seq.empty)
+        val lres = (llmHeadline.filter(qs.contains).filter(keep) ++ extraKeys)
           .map(n => n -> queryOnce(n))
         // Scaled-K SemDeDup (r12, judge item #2): the production K rule
         // (kmeansK ≈ ⌈N/5000⌉) instead of the gated key's oracle K=10 —

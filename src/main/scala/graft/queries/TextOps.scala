@@ -497,8 +497,14 @@ object TextOps {
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
     val mapping = keyed.join(reps, Seq("h")).select(col("doc_id"), col("rep"))
+    // repDocs is CHECKPOINTED like cand: it is distinct-texts-sized
+    // (tiny by the collapse's own premise) but its lineage scans the
+    // full corpus — its three consumers (candidates, verify,
+    // eligibleReps) would otherwise each re-run that scan (measured at
+    // sf100: two twin 63 s full-scan stages for 5 k rows of output —
+    // 40% of the key's wall re-deriving the same frame)
     val repDocs = docs.join(reps.select(col("rep").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi").localCheckpoint(true)
     val cand = candGen(repDocs).localCheckpoint(true)
     // exact verify on candidates ONLY (shared candidate-restricted path),
     // representatives only — the quadratic stage runs on distinct texts
@@ -514,13 +520,34 @@ object TextOps {
     // intra-group pairs: identical text with ≥ 1 shingle ⇒ jaccard 1.0
     // exactly (c = n on both sides; docs under 3 tokens produce no
     // shingle rows and never reach the verify joins — excluded here by
-    // the same size(toks) ≥ 3 condition)
+    // the same size(toks) ≥ 3 condition).
+    //
+    // Emitted GROUP-LOCALLY, not by a mapping⋈mapping self-join (r18):
+    // the pair list is O(Σ k²) by contract — at sf100's 1000×
+    // duplication that is 2.5 B rows, and the SMJ form paid ~1.2 µs per
+    // pair buffering each hot group's row block plus the skew of whole
+    // groups landing on single tasks. Collapsing to one sorted
+    // member-list row per group (distinct-texts-sized, the collapse's
+    // own premise) and double-exploding i<j pairs is a pure map-side
+    // combinatorial emit: no join, no per-pair buffering, and the first
+    // explode (one row per member) rebalances the emit across the
+    // cluster before the second fans out.
     val eligibleReps = repDocs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3).select(col("doc_id").as("erep"))
-    val intraG = mapping.as("x").join(mapping.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .join(eligibleReps, col("x.rep") === col("erep"), "left_semi")
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+    // explicit-width spread before the emit: the grouped lists are a
+    // few MB, so AQE's byte-based coalesce squeezes them onto a handful
+    // of tasks and the O(Σ k²) emit runs ~17-wide on 32 cores (measured
+    // 119 s wall at 40 s of ideal CPU). An explicit-count repartition is
+    // exempt from AQE coalescing; 4× cores gives the per-task group
+    // mix room to even out.
+    val emitWidth = mapping.sparkSession.sparkContext.defaultParallelism * 4
+    val intraG = mapping.groupBy(col("rep"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .join(eligibleReps, col("rep") === col("erep"), "left_semi")
+      .filter(size(col("ms")) >= 2)
+      .repartition(emitWidth, col("rep"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "da")))
+      .select(col("da"), explode(expr("slice(ms, i + 2, size(ms))")).as("db"),
         lit(1.0).as("jaccard"))
     interG.unionByName(intraG).orderBy(col("da"), col("db"))
   }
