@@ -492,8 +492,14 @@ object TextOps {
     * The oracles stay the naive corpus-wide spec — at gate scale both
     * forms agree row-for-row, and the duplicated-corpus specs in
     * TextOpsSpec pin full pair-set equality vs the all-pairs twin. */
-  private def collapsedPairVerify(docs: DataFrame)(
-      candGen: DataFrame => DataFrame): DataFrame = {
+  /** The shared exact-dup-collapse plumbing behind [[minhashNearDup]],
+    * [[ngramJaccardPairs]] and [[ccDedupGroups]]: doc→rep mapping, the
+    * verified rep-level near-dup pairs, and the shingle-eligible reps.
+    * Everything returned is distinct-texts-sized except `mapping`
+    * (corpus-sized but two-column). */
+  private def collapsedVerified(docs: DataFrame)(
+      candGen: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
     val mapping = keyed.join(reps, Seq("h")).select(col("doc_id"), col("rep"))
@@ -509,6 +515,14 @@ object TextOps {
     // exact verify on candidates ONLY (shared candidate-restricted path),
     // representatives only — the quadratic stage runs on distinct texts
     val verified = verifyJaccardPairs(repDocs, cand)
+    val eligibleReps = repDocs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3).select(col("doc_id").as("erep"))
+    (mapping, verified, eligibleReps)
+  }
+
+  private def collapsedPairVerify(docs: DataFrame)(
+      candGen: DataFrame => DataFrame): DataFrame = {
+    val (mapping, verified, eligibleReps) = collapsedVerified(docs)(candGen)
     // inter-group expansion: every (member-of-da, member-of-db) pair
     // inherits the verified rep pair's jaccard; least/greatest restores
     // the da < db contract (group members interleave arbitrarily)
@@ -520,7 +534,7 @@ object TextOps {
     // intra-group pairs: identical text with ≥ 1 shingle ⇒ jaccard 1.0
     // exactly (c = n on both sides; docs under 3 tokens produce no
     // shingle rows and never reach the verify joins — excluded here by
-    // the same size(toks) ≥ 3 condition).
+    // the same size(toks) ≥ 3 condition, via eligibleReps).
     //
     // Emitted GROUP-LOCALLY, not by a mapping⋈mapping self-join (r18):
     // the pair list is O(Σ k²) by contract — at sf100's 1000×
@@ -532,8 +546,7 @@ object TextOps {
     // combinatorial emit: no join, no per-pair buffering, and the first
     // explode (one row per member) rebalances the emit across the
     // cluster before the second fans out.
-    val eligibleReps = repDocs.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3).select(col("doc_id").as("erep"))
+    //
     // explicit-width spread before the emit: the grouped lists are a
     // few MB, so AQE's byte-based coalesce squeezes them onto a handful
     // of tasks and the O(Σ k²) emit runs ~17-wide on 32 cores (measured
@@ -644,15 +657,43 @@ object TextOps {
     * the RefinedWeb/SlimPajama dedup shape. Emits one row per clustered
     * doc: (component, doc_id, keep).
     *
-    * Scale: the pair graph is tiny relative to the corpus (edges only
-    * exist where LSH banding collides AND exact jaccard confirms), and
-    * [[graft.plans.GraphCC]] propagates over edge endpoints only —
-    * never a corpus-wide shuffle. */
-  val ccDedupGroups: Q = (s, dir) => {
-    val pairs = minhashNearDup(s, dir).select(col("da"), col("db"))
-    graft.plans.GraphCC.components(pairs)
-      .select(col("comp").as("component"), col("node").as("doc_id"),
-        (col("node") === col("comp")).as("keep"))
+    * Scale (r18 rewrite): CC runs on the REP-LEVEL verified edges, not
+    * the expanded pair list — the previous form fed GraphCC the full
+    * minhashNearDup output, whose intra-group cliques are O(Σ k²)
+    * (2.5 B edges at sf100's 1000× duplication), making the
+    * groups-shaped key strictly MORE expensive than the pair key it
+    * exists to replace. Equivalence is exact: each duplicate group is a
+    * clique, so components of the expanded graph = components of the
+    * rep graph plus whole-group membership, and the component id (min
+    * reachable doc_id) equals GraphCC's min-rep id because every rep IS
+    * its group's min doc_id. Multi-member shingle-eligible groups with
+    * no near-dup edge cluster on their own rep (the intra clique). The
+    * whole pipeline is corpus-linear: tiny edge set into
+    * [[graft.plans.GraphCC]], then ONE mapping join expands components
+    * to members — output-bound, no pair materialization.
+    * Measured sf100: 2.5 B-edge form ≈ the 155 s pair key + CC rounds
+    * on 2.5 B edges; this form emits 5 M rows in the time of the
+    * verify pipeline itself (see BASELINE.md round-18). */
+  val ccDedupGroups: Q = (s, dir) => ccDedupGroupsOver(t(s, dir, "documents"))
+
+  private[graft] def ccDedupGroupsOver(docs: DataFrame): DataFrame = {
+    val (mapping, verified, eligibleReps) =
+      collapsedVerified(docs)(minhashCandidates)
+    val repComp = graft.plans.GraphCC.components(
+        verified.select(col("da"), col("db")))
+      .select(col("node").as("rep"), col("comp"))
+    // exact-dup groups (≥2 members, shingle-eligible) cluster even with
+    // no near-dup edge; their component is the rep itself unless the
+    // rep already sits in a near-dup component
+    val isolated = mapping.groupBy(col("rep")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2).select(col("rep"))
+      .join(eligibleReps, col("rep") === col("erep"), "left_semi")
+      .join(repComp, Seq("rep"), "left_anti")
+      .select(col("rep"), col("rep").as("comp"))
+    val clusterReps = repComp.unionByName(isolated)
+    mapping.join(clusterReps, Seq("rep"))
+      .select(col("comp").as("component"), col("doc_id"),
+        (col("doc_id") === col("comp")).as("keep"))
       .orderBy(col("component"), col("doc_id"))
   }
 

@@ -133,6 +133,34 @@ class GraphCCSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.algorithm")
   }
 
+  test("cc_dedup_groups: rep-level CC + whole-group expansion under heavy duplication — transitive merge, no pair materialization needed") {
+    // the r18 rewrite's contract: components must equal the expanded
+    // pair graph's even when every text carries many verbatim copies
+    // (the regime where the old expanded-edge form went O(k²)).
+    // A ≈ B by construction (11 shared of 12 union 3-shingles = 0.917);
+    // C shares nothing. 20 interleaved copies of each.
+    val s = spark
+    import s.implicits._
+    val tA = "a b c d e f g h i j k l m n"
+    val tB = tA + " o" // one appended token: jaccard 12/13 ≥ 0.8
+    val tC = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"
+    val docs = (0 until 20).flatMap(k => Seq(
+      (k * 3L + 0, tA), (k * 3L + 1, tB), (k * 3L + 2, tC)))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.TextOps.ccDedupGroupsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byComp = rows.groupBy(_._1)
+    // A and B groups merge transitively through the verified rep edge:
+    // one component, id 0 (the min doc), holding all 40 A/B copies
+    val ab = (0 until 20).flatMap(k => Seq(k * 3L, k * 3L + 1)).toSet
+    val cs = (0 until 20).map(k => k * 3L + 2).toSet
+    assert(byComp.keySet == Set(0L, 2L), s"components: ${byComp.keySet}")
+    assert(byComp(0L).map(_._2).toSet == ab, "A∪B membership")
+    assert(byComp(2L).map(_._2).toSet == cs, "C membership")
+    assert(rows.filter(_._3).map(_._2).toSet == Set(0L, 2L),
+      "exactly the component minima are kept")
+  }
+
   test("cc_dedup_groups: components agree with pair graph on sf0.001") {
     import graft.queries.TextOps
     val pairs = TextOps.minhashNearDup(spark, sf0001).collect()
