@@ -309,9 +309,19 @@ object Similarity {
     math.min(4096L, math.max(K.toLong, ceilDiv)).toInt
   }
 
-  /** (vec_id, v) with v = embedding / ||embedding||, in double. */
-  private def normed(e0: DataFrame): DataFrame =
-    e0.withColumn("nrm", norm(vecD))
+  /** (vec_id, v) with v = embedding / ||embedding||, in double.
+    *
+    * The `barrier` between the norm projection and the per-element
+    * division is LOAD-BEARING (r18): as two adjacent Projects,
+    * CollapseProject inlines the O(d) norm fold into the division
+    * lambda, where the interpreted HOF re-evaluates it PER ELEMENT —
+    * O(d²) per row, measured at sf100 as 555 µs/vector (1 111 CPU-s
+    * over 2 M rows, the whole checkpoint stage). Split by any
+    * non-Project node the norm is computed once per row (~3 µs).
+    * [[normedPinned]] passes its spread exchange as the barrier. */
+  private def normed(e0: DataFrame,
+      barrier: DataFrame => DataFrame = identity): DataFrame =
+    barrier(e0.withColumn("nrm", norm(vecD)))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("v"))
 
@@ -337,11 +347,14 @@ object Similarity {
   private val KMEANS_PARTS = 32
 
   private def normedPinned(e0: DataFrame): DataFrame =
-    // repartition the RAW rows, then normalize: the other order evaluates
-    // the normalization projection on the input's (possibly single) split
-    // before the exchange — the shuffle must come first for the CPU to
-    // spread
-    normed(e0.repartition(KMEANS_PARTS)).localCheckpoint(true)
+    // the spread exchange doubles as normed's collapse barrier: the
+    // cheap O(d) norm projection runs at the input's split width, the
+    // division spreads post-shuffle at KMEANS_PARTS. Row→partition
+    // assignment is unchanged vs repartitioning the raw rows (the
+    // sortBeforeRepartition binary order is led by the unique vec_id
+    // either way), so the Lloyd partial-sum regrouping — and the
+    // 6-dp-rounded centroids — are bit-stable across this change.
+    normed(e0, barrier = _.repartition(KMEANS_PARTS)).localCheckpoint(true)
 
   /** Seed centroids: the first k vectors, components rounded to 6 dp. */
   private def seedCents(vecs: DataFrame, k: Int = K): DataFrame =

@@ -1573,7 +1573,13 @@ object TextOps {
     * partition. Reassembly groups by doc_id: one shuffle of
     * (doc_id, seg) rows, bounded by corpus token count. */
   val lineDedupDocs: Q = (s, dir) =>
-    lineDedupOver(augmentLines(t(s, dir, "documents")))
+    // the augmented frame is materialized ONCE: lineDedupOver's two
+    // narrow materializations (doc→tid, distinct texts) each evaluate
+    // their input, and the line-reassembly transform is ~95 µs/doc —
+    // measured at sf100 as twin 480 CPU-s stages re-augmenting the same
+    // 5 M docs (a real corpus arrives newline-delimited; the augment is
+    // fixture plumbing and must not be paid twice)
+    lineDedupOver(augmentLines(t(s, dir, "documents")).localCheckpoint(true))
 
   /** The deterministic newline fixture for the gated key: re-join the
     * (newline-free) synthetic text as 3-token LINES — byte-identical
