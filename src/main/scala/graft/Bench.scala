@@ -544,7 +544,15 @@ object Bench {
           // micro-batch (job dispatch + state-store commit are a FIXED
           // per-trigger cost — measured ~0.9 s/batch at toy sf, where
           // they dominate; at sf10 the operator term carries the band)
-          val ok = wall <= batchS * 5 + 1.5 * math.max(batches, 1)
+          // plus a 3 s one-time STARTUP allowance (offset-log/checkpoint
+          // init + file-index build — paid once per query regardless of
+          // data). Without it the band flipped on ±1 s of disk noise at
+          // sf100: three same-HEAD runs measured 633/576/542 k rows/s —
+          // all ~5× the r17 fix's target throughput — and the two
+          // slower ones flagged (r18). The flag exists for the
+          // 106 k-rows/s class of micro-batch/state regressions, which
+          // a 3 s constant cannot mask.
+          val ok = wall <= batchS * 5 + 1.5 * math.max(batches, 1) + 3.0
           if (!ok) {
             failed += "stream_throughput"
             System.err.println(f"[bench] stream_throughput FLAG: streamed " +
