@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures stdout of `sbt runMain graft.Bench` and
+// parses the final JSON line. Two things used to break that parse:
+// sbt's logger prefixed the forked process's stdout with "[info] ",
+// and a "[success] Total time" banner printed after it. StdoutOutput
+// pipes the forked JVM's stdout through bare; showSuccess drops the
+// trailer so the compact JSON line is the literal last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
