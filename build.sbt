@@ -17,9 +17,11 @@ run / fork := true
 // and a "[success] Total time" banner printed after it. StdoutOutput
 // pipes the forked JVM's stdout through bare; showSuccess drops the
 // trailer so the compact JSON line is the literal last stdout line.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — lint
+// can't see that (verified behaviorally: no [success] trailer printed)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

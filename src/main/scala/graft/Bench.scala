@@ -405,15 +405,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_LLM", "1") == "1") {
         coldGroup("llm")
         val lt0 = System.nanoTime()
-        // forensics affordance: a SPARK_GRAFT_KEYS entry naming a gated
-        // query OUTSIDE every one-pass group (e.g. minhash_signatures —
-        // the signature-scan HALF of minhash_near_dup) runs here, so a
-        // heavy key's stage split is measurable with the same protocol
-        // and no bespoke main
-        val extraKeys = onlyKeys.map(_.filter(k => qs.contains(k) &&
-          !headline.contains(k) && !llmHeadline.contains(k) &&
-          !curationHeadline.contains(k)).toSeq.sorted).getOrElse(Seq.empty)
-        val lres = (llmHeadline.filter(qs.contains).filter(keep) ++ extraKeys)
+        val lres = llmHeadline.filter(qs.contains).filter(keep)
           .map(n => n -> queryOnce(n))
         // Scaled-K SemDeDup (r12, judge item #2): the production K rule
         // (kmeansK ≈ ⌈N/5000⌉) instead of the gated key's oracle K=10 —
@@ -442,6 +434,28 @@ object Bench {
         // would be a misleading value in a forensics artifact
         val skJson = if (runScaledK) s""","scaled_k":$scaledK""" else ""
         llmOnepass = s""","llm":$lj,"llm_wall":$lwall$skJson"""
+      }
+      // Forensics affordance: a SPARK_GRAFT_KEYS entry naming a gated
+      // query OUTSIDE every one-pass group (e.g. minhash_signatures —
+      // the signature-scan HALF of minhash_near_dup) runs here with the
+      // same protocol and no bespoke main. Its own group + JSON field
+      // (r18, per ADVICE): folding extras into the llm group billed
+      // leg-owned keys (q3_bucketed, time_slice_day, ...) named for a
+      // re-measurement into that artifact's llm wall/llm_total — a leg
+      // key named here still runs in its leg too, but its extra-group
+      // timing is now reported under "extra", never in a group total.
+      var extraOnepass = ""
+      val extraKeys = onlyKeys.map(_.filter(k => qs.contains(k) &&
+        !headline.contains(k) && !llmHeadline.contains(k) &&
+        !curationHeadline.contains(k)).toSeq.sorted).getOrElse(Seq.empty)
+      if (extraKeys.nonEmpty) {
+        coldGroup("extra")
+        val et0 = System.nanoTime()
+        val eres = extraKeys.map(n => n -> queryOnce(n))
+        val ewall = (System.nanoTime() - et0) / 1e9
+        val ej = eres.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        extraOnepass = s""","extra":$ej,"extra_wall":$ewall"""
       }
       // Curation group in the same pass (r12 session 3): the quality/
       // scoring scans are linear by construction, but exact_substring_
@@ -624,13 +638,25 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val progress = q.recentProgress.toSeq
           val batches = progress.count(_.numInputRows > 0)
+          // throughput numerator = rows the stream ACTUALLY ingested
+          // (sum of per-batch numInputRows), not the source count — a
+          // glob/hidden-file mismatch dropping a shard would otherwise
+          // silently overstate rows/s (r18 ADVICE). nDocs stays as the
+          // expectation; a shortfall is a flagged leg, not a quiet one.
+          val ingested = progress.map(_.numInputRows).sum
+          if (ingested != nDocs) {
+            failed += "stream_stateful_throughput"
+            System.err.println(s"[bench] stateful stream FLAG: ingested " +
+              s"$ingested rows but source has $nDocs")
+          }
           val stateOps = progress.reverse
             .find(_.stateOperators.nonEmpty).toSeq.flatMap(_.stateOperators.toSeq)
           val stateRows = stateOps.map(_.numRowsTotal).sum
           val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
-          statefulOnepass = s""","streaming_stateful":{"rows":$nDocs,""" +
+          statefulOnepass = s""","streaming_stateful":{"rows":$ingested,""" +
+            s""""rows_expected":$nDocs,""" +
             s""""batches":$batches,"wall_s":$wall,""" +
-            s""""rows_per_s":${nDocs / math.max(wall, 1e-9)},""" +
+            s""""rows_per_s":${ingested / math.max(wall, 1e-9)},""" +
             s""""state_rows":$stateRows,"state_mem_mb":$stateMb,""" +
             s""""state_width":$width}"""
         } catch {
@@ -733,7 +759,7 @@ object Bench {
         .mkString("{", ",", "}")
       emit(
         s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
-          s""""failed":$fj$llmOnepass$curOnepass$bucketedOnepass$partitionedOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
+          s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
         s"""{"metric":"onepass","value":${r4(wall)},"unit":"sec","queries":$cqj,""" +
           s""""failed":$fj,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
       spark.stop()

@@ -90,7 +90,16 @@ object Tables {
   private def tableGen(spark: SparkSession, tab: String): Long =
     try spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(tab)).createTime
-    catch { case _: Throwable => 0L }
+    catch {
+      // only the expected dropped-between-check-and-read race collapses
+      // to generation 0; anything else (parse bug, catalog corruption)
+      // must not silently degrade the cache key to name-only — that
+      // would resurrect the stale-frame-after-rebuild bug this key
+      // exists to prevent (r18 ADVICE)
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+           | _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+        0L
+    }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // the bucketed choice — name AND build generation — is part of the

@@ -543,9 +543,18 @@ object TextOps {
     // groups landing on single tasks. Collapsing to one sorted
     // member-list row per group (distinct-texts-sized, the collapse's
     // own premise) and double-exploding i<j pairs is a pure map-side
-    // combinatorial emit: no join, no per-pair buffering, and the first
-    // explode (one row per member) rebalances the emit across the
-    // cluster before the second fans out.
+    // combinatorial emit: no join, no per-pair buffering.
+    //
+    // Skew posture (r18 ADVICE — the earlier comment overclaimed): the
+    // repartition below is keyed by rep, so ONE dominant duplicate
+    // group's whole O(k²) emit still runs on a single task — the width
+    // only spreads the group MIX. Re-keying by (rep, i) after the
+    // posexplode would spread a mega-group but ships the full O(k)
+    // member list with every exploded row (O(k²) shuffle bytes for
+    // exactly the group being rescued); at the observed duplication
+    // profile (max group ≈ thousands) the single-task emit is µs-scale
+    // and the re-key would cost more than it saves. Revisit only if a
+    // corpus ships a group with k in the millions.
     //
     // explicit-width spread before the emit: the grouped lists are a
     // few MB, so AQE's byte-based coalesce squeezes them onto a handful

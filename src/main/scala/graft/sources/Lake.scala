@@ -85,7 +85,12 @@ object Lake {
     if (layoutComplete(root)) return
     val tmp = new java.io.File(root.getParentFile,
       s"${root.getName}_tmp_${s.sparkContext.applicationId}")
-    build(tmp)
+    // a crashed build must not strand a multi-GB temp dir: the stale
+    // sweep below deliberately never matches `_tmp_` names (they may be
+    // a CONCURRENT builder's live write), so this failed-own-build is
+    // the only safe point to reclaim it (r18 ADVICE)
+    try build(tmp)
+    catch { case e: Throwable => deleteTree(tmp); throw e }
     if (!tmp.renameTo(root)) {
       deleteTree(tmp)
       require(layoutComplete(root),
