@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signLshSig)
     ext.injectFunction(GraftExtensions.hyperplaneSig)
     ext.injectFunction(GraftExtensions.argmaxDot)
+    ext.injectFunction(GraftExtensions.pqAdc)
     ext.injectFunction(GraftExtensions.vecMean)
     ext.injectFunction(GraftExtensions.countIn)
     ext.injectFunction(GraftExtensions.misraGries)
@@ -56,6 +57,11 @@ object GraftExtensions {
     FunctionIdentifier("argmax_dot"),
     new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
     (es: Seq[Expression]) => ArgmaxDot(es(0), es(1)))
+
+  val pqAdc: FnDesc = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+    (es: Seq[Expression]) => PqAdc(es(0), es(1)))
 
   val vecMean: FnDesc = (
     FunctionIdentifier("vec_mean"),
@@ -140,7 +146,7 @@ object GraftExtensions {
   /** Register on an existing session (no-op if already present). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, vecMean, countIn, misraGries, bloomFilterAgg, mightContain, topkRows, top2By))
+    for ((id, info, builder) <- Seq(cosineSim, minhashSig, signLshSig, hyperplaneSig, argmaxDot, pqAdc, vecMean, countIn, misraGries, bloomFilterAgg, mightContain, topkRows, top2By))
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ReplaceHofCosine))
       spark.experimental.extraOptimizations =

@@ -766,6 +766,241 @@ object Similarity {
       |WHERE vec_id <> 0
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------- IVF-PQ ANN
+
+  /** Per-subspace PQ Lloyd assignment: for each (vec_id, m) subvector,
+    * the code of the L2-nearest codebook entry of subspace m, lowest
+    * code on ties. Runs on the codegen `argmax_dot` via the classic
+    * augmentation (Jégou et al. 2011 use plain L2 here):
+    * argmin_c ‖sv − c‖² = argmax_c (sv·c − ½‖c‖²), so each codebook
+    * entry is extended with −½ c·c and each subvector with 1.0 — the
+    * 9-th fold term adds exactly −½‖c‖² (×1.0 is exact, a + (−b) ≡
+    * a − b in IEEE), which is bit-identical to the oracle's
+    * `list_dot_product(sv, cb) − 0.5·list_dot_product(cb, cb)`.
+    * Codebooks collapse to one 16-entry array per subspace, broadcast;
+    * zero shuffle on the corpus side. */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.install(subs.sparkSession)
+    val cba = cb.select(col("m"), struct(col("code").as("c"),
+        concat(col("cb"), array(lit(-0.5) *
+          expr("aggregate(zip_with(cb, cb, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+          .as("cv")).as("s"))
+      .groupBy(col("m")).agg(array_sort(collect_list(col("s"))).as("cbs"))
+    subs.join(broadcast(cba), "m")
+      .withColumn("code",
+        expr("argmax_dot(concat(sv, array(CAST(1.0 AS DOUBLE))), cbs)"))
+      .drop("cbs")
+  }
+
+  /** PQ codebook training: per subspace m (8 of them, 8 dims each over
+    * the 64-dim corpus), a 16-entry (4-bit) codebook — seeds are the
+    * subvectors of vec_id 0..15 rounded to 6 dp, then two Lloyd passes
+    * (L2 assignment via [[pqAssign]], per-(m, code) element-wise mean
+    * via the typed `vec_mean` aggregate, rounded to 6 dp — the same
+    * cross-engine determinism anchor as the coarse k-means; PQ means
+    * are NOT re-normalized, these are plain L2 centroids). Each
+    * iteration's 128-row codebook is eagerly truncated with
+    * localCheckpoint exactly like [[kmeans]] — without it every
+    * downstream consumer re-executes the Lloyd prefix over the corpus. */
+  private[graft] def pqCodebooks(subs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.install(subs.sparkSession)
+    var cb = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("code"),
+        expr("transform(sv, x -> round(x, 6))").as("cb"))
+    for (_ <- 1 to 2) {
+      cb = pqAssign(subs, cb)
+        .groupBy(col("m"), col("code"))
+        .agg(expr("vec_mean(sv)").as("mv"))
+        .select(col("m"), col("code"),
+          expr("transform(mv, x -> round(x, 6))").as("cb"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** The (vec_id, m, sv) subvector explosion of a normalized corpus —
+    * the PQ training/encode input. Narrow (no shuffle): one transform +
+    * posexplode over the pinned vectors. */
+  private def pqSubs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+
+  /** IVF-PQ top-k (Jégou, Douze, Schmid, TPAMI 2011): the memory-bound
+    * 100 TB ANN lever beyond scalar int8 — each vector is stored as
+    * 8 × 4-bit PQ codes packed two-per-byte into a 4-BYTE payload
+    * (vs 256 B float32 / 512 B double: 64×/128×), scored against the
+    * query by table lookup (ADC, §IV-A) without ever reconstructing the
+    * vector. Pipeline:
+    *
+    *  1. coarse router: the SAME spherical k-means + cell assignment as
+    *     `ivf_cosine_topk` (K=10, NPROBE=3 nearest cells by centroid·q);
+    *  2. PQ codebooks trained corpus-wide on raw normalized subvectors
+    *     (the Faiss `by_residual=false` IVF-PQ variant — residual
+    *     encoding would entangle the oracle's two k-means replays);
+    *  3. probed candidates are ENCODED (nearest code per subspace,
+    *     packed nibbles) — at 100 TB the codes are the stored index and
+    *     this step is the offline build; the in-query encode keeps the
+    *     gated key self-contained exactly like ivf_cosine_topk's
+    *     in-query centroid pass;
+    *  4. ADC: the query's flat 128-slot table (slot m·16+j =
+    *     q_m · cb[m][j]) is one broadcast row; scoring is the codegen
+    *     `pq_adc` expression — two nibble unpacks + two flat reads per
+    *     byte, whole-stage codegen, no per-row allocation;
+    *  5. exact re-rank (the paper's IVFADC+R, §V): the ADC top-R
+    *     (R=200, selected on the UNROUNDED score + vec_id — the
+    *     bit-identical cross-engine boundary) is re-scored with the
+    *     exact cosine against the full vectors, top-10 of that. The
+    *     re-rank touches R full vectors total — at 100 TB the ADC pass
+    *     over the probed cells reads 4-byte codes and only the 200
+    *     winners' float payloads are ever fetched.
+    *
+    * R=200 is sized for the synthetic corpus — random embeddings are
+    * PQ's adversarial case (8-dim subvectors carry no low-dim structure
+    * for 16 centroids to exploit), so the ADC ordering needs a deep
+    * shortlist: measured recall 1.0 / 0.9 / 0.8 / 1.0 at
+    * sf0.001/0.01/0.1/1. Below ~200 probed candidates the shortlist
+    * covers everything and the key degenerates to ivf_cosine_topk's
+    * exact-within-probes search (the same benign small-corpus
+    * degeneracy as adaptiveRadius). Recall vs the exact brute-force
+    * top-10 is asserted in SimilaritySpec and floored in the bench ANN
+    * group. */
+  val ivfPqTopk: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val spark = s
+    import spark.implicits._
+    val vecs = normedPinned(t(s, dir, "embeddings"))
+    val cents = kmeans(vecs)
+    val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("c"), dot(col("cv"), col("qv")).as("dp"))
+      .orderBy(col("dp").desc, col("c").asc)
+      .limit(NPROBE)
+      .select(col("c").as("pc"))
+    val subs = pqSubs(vecs)
+    val cb = pqCodebooks(subs)
+    // query ADC table: one 128-slot broadcast row; slots for codebook
+    // entries that lost every member during Lloyd stay null and are
+    // never referenced by a live code (pq_adc nulls out if one ever is)
+    val tab = cb.crossJoin(broadcast(q))
+      .select((col("m") * lit(16) + col("code")).cast("int").as("idx"),
+        expr("aggregate(zip_with(slice(qv, m * 8 + 1, 8), cb, " +
+          "(x, y) -> x * y), 0D, (a, x) -> a + x)").as("dp"))
+      .agg(expr("map_from_entries(collect_list(struct(idx, dp)))").as("mp"))
+      .select(expr("transform(sequence(0, 127), i -> try_element_at(mp, i))")
+        .as("tab"))
+    val cands = assignCells(vecs, cents)
+      .join(broadcast(probes), col("cluster") === col("pc"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"))
+    // encode the probed candidates: 8 codes → packed 4-byte word, high
+    // nibble = even subspace (the pq_adc layout; DType.I8-precedent
+    // typed map for the byte packing, off the scoring hot path)
+    val codes = pqAssign(pqSubs(cands), cb)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, p -> p.code)").as("cs"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, cs) =>
+        val b = new Array[Byte](cs.length / 2)
+        var i = 0
+        while (i < b.length) {
+          b(i) = (((cs(2 * i) & 15L) << 4) | (cs(2 * i + 1) & 15L)).toByte
+          i += 1
+        }
+        (id, b)
+      }.toDF("vec_id", "codes")
+    val shortl = codes.crossJoin(broadcast(tab))
+      .select(col("vec_id"), expr("pq_adc(codes, tab)").as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(200)
+      .select(col("vec_id"))
+    cands.join(broadcast(shortl), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Formula replay of the full IVF-PQ pipeline: the coarse-k-means CTE
+    * prefix, then per-subspace PQ training (seed → assign → mean ×2),
+    * encode, the query's ADC table, and the probed-cell ADC top-10. The
+    * assignment replays argmin L2 as the same augmented dot; the ADC sum
+    * replays pq_adc's m-ordered left-to-right fold as
+    * `list_dot_product(list(dp ORDER BY m), [1.0 × 8])` (each term ×1.0
+    * is exact, fold order identical). */
+  val ivfPqTopkSql: String = kmeansCte +
+    """,
+      |psub AS (
+      |  SELECT vn.vec_id, m.m, list_slice(vn.v, m.m * 8 + 1, m.m * 8 + 8) AS sv
+      |  FROM vn CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m),
+      |pb0 AS (
+      |  SELECT m, vec_id AS code, list_transform(sv, x -> round(x, 6)) AS cb
+      |  FROM psub WHERE vec_id < 16),
+      |pa1 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, b.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY (list_dot_product(s.sv, b.cb)
+      |                       - 0.5 * list_dot_product(b.cb, b.cb)) DESC,
+      |               b.code) AS rn
+      |    FROM psub s JOIN pb0 b ON s.m = b.m) t WHERE rn = 1),
+      |pm1 AS (
+      |  SELECT a.m, a.code, d.dim, avg(s.sv[d.dim]) AS mu
+      |  FROM pa1 a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m
+      |  CROSS JOIN (SELECT unnest(range(1, 9)) AS dim) d
+      |  GROUP BY 1, 2, 3),
+      |pb1 AS (
+      |  SELECT m, code,
+      |         list_transform(list(mu ORDER BY dim), x -> round(x, 6)) AS cb
+      |  FROM pm1 GROUP BY m, code),
+      |pa2 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, b.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY (list_dot_product(s.sv, b.cb)
+      |                       - 0.5 * list_dot_product(b.cb, b.cb)) DESC,
+      |               b.code) AS rn
+      |    FROM psub s JOIN pb1 b ON s.m = b.m) t WHERE rn = 1),
+      |pm2 AS (
+      |  SELECT a.m, a.code, d.dim, avg(s.sv[d.dim]) AS mu
+      |  FROM pa2 a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m
+      |  CROSS JOIN (SELECT unnest(range(1, 9)) AS dim) d
+      |  GROUP BY 1, 2, 3),
+      |pb2 AS (
+      |  SELECT m, code,
+      |         list_transform(list(mu ORDER BY dim), x -> round(x, 6)) AS cb
+      |  FROM pm2 GROUP BY m, code),
+      |penc AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, b.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY (list_dot_product(s.sv, b.cb)
+      |                       - 0.5 * list_dot_product(b.cb, b.cb)) DESC,
+      |               b.code) AS rn
+      |    FROM psub s JOIN pb2 b ON s.m = b.m) t WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM vn WHERE vec_id = 0),
+      |ptab AS (
+      |  SELECT b.m, b.code,
+      |         list_dot_product(list_slice(q.qv, b.m * 8 + 1, b.m * 8 + 8),
+      |                          b.cb) AS dp
+      |  FROM pb2 b CROSS JOIN q),
+      |pr AS (SELECT c FROM c2 CROSS JOIN q
+      |       ORDER BY list_dot_product(cv, qv) DESC, c LIMIT 3),
+      |padc AS (
+      |  SELECT e.vec_id,
+      |         list_dot_product(list(t.dp ORDER BY e.m),
+      |           [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS score
+      |  FROM penc e JOIN ptab t ON e.m = t.m AND e.code = t.code
+      |  GROUP BY e.vec_id),
+      |shortl AS (
+      |  SELECT af.vec_id FROM af JOIN padc p USING (vec_id)
+      |  WHERE af.cluster IN (SELECT c FROM pr) AND af.vec_id <> 0
+      |  ORDER BY p.score DESC, af.vec_id LIMIT 200)
+      |SELECT vn.vec_id, round(list_dot_product(vn.v, q.qv), 4) AS cos
+      |FROM shortl JOIN vn USING (vec_id) CROSS JOIN q
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   // --------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus with the IVF k-means coarse quantizer, then within each
@@ -889,6 +1124,7 @@ object Similarity {
     "embedding_near_dup_verdict" -> embeddingNearDupVerdict,
     "ivf_centroid_stats" -> ivfCentroidStats,
     "ivf_cosine_topk" -> ivfCosineTopk,
+    "ivf_pq_topk" -> ivfPqTopk,
   )
 
   val oracle: Map[String, String] = Map(
@@ -901,5 +1137,6 @@ object Similarity {
     "embedding_near_dup_verdict" -> embeddingNearDupVerdictSql,
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
     "ivf_cosine_topk" -> ivfCosineTopkSql,
+    "ivf_pq_topk" -> ivfPqTopkSql,
   )
 }

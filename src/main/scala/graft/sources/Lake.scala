@@ -107,6 +107,34 @@ object Lake {
       .foreach(deleteTree)
   }
 
+  /** One-command layout lifecycle (r18 verdict #7): build-or-validate
+    * EVERY durable fingerprinted layout for `dir` in one pass — month
+    * lineitem, day events, the bucketed facts, and the bench signature
+    * index — returning (layout, reused, build_s) rows. Build-once /
+    * reuse-forever is the engine's core lake economics; this is the
+    * deterministic path from a fresh environment to the benched state
+    * (and on a warm one it validates all-reused at ~0.1 s/layout).
+    * Driven by `SPARK_GRAFT_ENSURE=1` on the Bench main. */
+  def ensureAll(s: SparkSession, dir: String): Seq[(String, Boolean, Double)] = {
+    def timed(tag: String, exists: => Boolean)(build: => Unit) = {
+      val reused = exists
+      val t0 = System.nanoTime()
+      build
+      (tag, reused, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("month_lineitem", graft.queries.Relational.monthLayoutExists(dir)) {
+        graft.queries.Relational.monthLineitem(s, dir); ()
+      },
+      timed("day_events", graft.queries.Relational.dayEventsLayoutExists(dir)) {
+        graft.queries.Relational.dayEvents(s, dir); ()
+      },
+      timed("bucketed_facts", graft.queries.Relational.bucketedLayoutExists(dir)) {
+        graft.queries.Relational.bucketedFacts(s, dir); ()
+      },
+      { val (r, b) = SigIndex.ensureBenchIndex(s, dir); ("sig_index", r, b) })
+  }
+
   /** Write `df` date-partitioned by calendar month of `tsCol` — the
     * TIME-axis lake layout (the bucketed layout's twin for scans instead
     * of joins). The derived `monthCol` becomes a hive-style partition

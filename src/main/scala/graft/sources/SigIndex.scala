@@ -60,4 +60,36 @@ object SigIndex {
     withPart(banded)
       .select((col("band") * BucketFanout + col("part")).as("k"))
       .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** The DURABLE bench/ensureAll index location for an sf dir, and the
+    * corpus/batch cut (index = doc_id below the 90th-percentile cut —
+    * the accumulated corpus; the top 10% plays the arriving batch).
+    * Fingerprint covers source file identity + the cut, so a
+    * regenerated corpus can never be probed against a stale index. */
+  def benchRoot(s: SparkSession, dir: String): (java.io.File, Long) = {
+    val maxId = graft.Tables.t(s, dir, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    val cut = maxId - maxId / 10
+    val fp = Lake.layoutFingerprint(
+      new java.io.File(s"$dir/documents.parquet"), s"sigidx-v1-cut$cut")
+    (new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sigidx_${Lake.dirSuffix(dir)}_$fp"), cut)
+  }
+
+  /** Build-if-absent of the durable bench index (same
+    * [[Lake.ensureLayout]] contract as the month/day/bucketed
+    * layouts). Returns (reused, build_s). */
+  def ensureBenchIndex(s: SparkSession, dir: String): (Boolean, Double) = {
+    val (root, cut) = benchRoot(s, dir)
+    val reused = Lake.layoutComplete(root)
+    val t0 = System.nanoTime()
+    Lake.ensureLayout(s, root) { tmp =>
+      write(
+        graft.queries.TextOps.nearDupBand(
+          graft.queries.TextOps.nearDupSigs(
+            graft.Tables.t(s, dir, "documents").filter(col("doc_id") < cut))),
+        tmp.toString, "overwrite")
+    }
+    (reused, (System.nanoTime() - t0) / 1e9)
+  }
 }

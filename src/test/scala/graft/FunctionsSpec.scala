@@ -319,4 +319,51 @@ class FunctionsSpec extends SparkSpec {
     assert(desc.contains("RESTRICTION") && desc.contains("-Infinity"),
       s"usage string lost the sentinel restriction:\n$desc")
   }
+
+  test("pq_adc equals the HOF table-lookup fold, nibble layout and null algebra pinned") {
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    // two subspaces (one byte): high nibble = subspace 0, low = subspace 1.
+    // tab is flat: slot m*16 + j.
+    val tab = (0 until 32).map(i => i * 0.25 - 1.0)
+    val rows = Seq(
+      (1L, Array[Byte](((3 << 4) | 7).toByte)),  // codes (3, 7)
+      (2L, Array[Byte](0x00.toByte)),            // codes (0, 0)
+      (3L, Array[Byte](0xFF.toByte)))            // codes (15, 15)
+      .toDF("id", "codes")
+      .withColumn("tab", typedLit(tab))
+    val got = rows.select(col("id"), expr("pq_adc(codes, tab)").as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def exp(c0: Int, c1: Int) = tab(c0) + tab(16 + c1)
+    assert(got == Map(1L -> exp(3, 7), 2L -> exp(0, 0), 3L -> exp(15, 15)),
+      s"nibble layout broke: $got")
+    // fold-order contract: identical to the left-to-right HOF over the
+    // unpacked codes (the form the expression replaces on the hot path)
+    // each hex digit of the packed word IS one nibble, in subspace order
+    val hof = rows.select(col("id"), expr(
+      """aggregate(
+        |  transform(sequence(0, length(codes) * 2 - 1), m -> tab[
+        |    m * 16 + CAST(conv(substring(hex(codes), m + 1, 1), 16, 10) AS INT)]),
+        |  0D, (a, x) -> a + x)""".stripMargin).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == hof, s"native=$got hof=$hof")
+    // null algebra: a table too short for the code word is null (never a
+    // garbage read), and a referenced null slot is null
+    val shortTab = rows.withColumn("tab", typedLit((0 until 16).map(_.toDouble)))
+      .select(expr("pq_adc(codes, tab)")).collect()
+    assert(shortTab.forall(_.isNullAt(0)), "short table must null out")
+    val nullSlot = Seq((1L, Array[Byte](((3 << 4) | 7).toByte))).toDF("id", "codes")
+      .withColumn("tab", expr(
+        "transform(sequence(0, 31), i -> IF(i = 23, CAST(NULL AS DOUBLE), CAST(i AS DOUBLE)))"))
+      .select(expr("pq_adc(codes, tab)")).collect()
+    assert(nullSlot.forall(_.isNullAt(0)), "referenced null slot must null out")
+    // a null slot the codes do NOT reference is harmless (dead codebook
+    // entries are legitimately null in the live table)
+    val deadSlot = Seq((1L, Array[Byte](((3 << 4) | 7).toByte))).toDF("id", "codes")
+      .withColumn("tab", expr(
+        "transform(sequence(0, 31), i -> IF(i = 5, CAST(NULL AS DOUBLE), CAST(i AS DOUBLE)))"))
+      .select(expr("pq_adc(codes, tab)").as("adc")).collect()
+    assert(deadSlot.head.getDouble(0) == 3.0 + 23.0, "unreferenced null slot must not null out")
+  }
 }

@@ -189,6 +189,18 @@ class PlanShapeSpec extends SparkSpec {
       s"ivf assignment fell off the native argmax_dot expression:\n$p")
   }
 
+  test("ivf_pq_topk: codegen pq_adc scoring, broadcast probes/table, TakeOrderedAndProject") {
+    val p = plan("ivf_pq_topk")
+    assert(p.contains("pq_adc"),
+      s"ADC scoring fell off the native pq_adc expression:\n$p")
+    assert(p.contains("argmax_dot"),
+      s"PQ encode fell off the native argmax_dot assignment:\n$p")
+    assert(p.contains("BroadcastExchange") && p.contains("TakeOrderedAndProject"),
+      s"probe set/ADC table must broadcast and top-k must stay partial:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every cross join here is single-row broadcast, never cartesian:\n$p")
+  }
+
   test("minhash_near_dup candidates: ONE md5 pass, banded bucket join, no cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf001, "documents")

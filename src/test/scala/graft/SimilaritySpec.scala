@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 class SimilaritySpec extends SparkSpec {
   import graft.queries.Similarity
 
@@ -44,6 +46,44 @@ class SimilaritySpec extends SparkSpec {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     val recall = ivf.map(_._1).count(exact.contains) / 10.0
     assert(recall >= 0.9, s"IVF multi-probe recall $recall vs exact top-10")
+  }
+
+  test("ivf_pq_topk: ADC+re-rank recall, and small-corpus degeneracy to exact-within-probes") {
+    val exact = Similarity.cosineTopk(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val pq = Similarity.ivfPqTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.length == 10)
+    val cs = pq.map(_._2)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val recall = pq.map(_._1).count(exact.contains) / 10.0
+    assert(recall >= 0.9, s"IVF-PQ recall $recall vs exact top-10")
+    // at sf0.001 the 3 probed cells hold ~150 < R=200 candidates, so the
+    // ADC shortlist covers every candidate and the exact re-rank must
+    // reproduce ivf_cosine_topk EXACTLY (same probes, same final
+    // cosine arithmetic) — the documented benign degeneracy
+    val ivf = Similarity.ivfCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq.toSeq == ivf,
+      s"sub-R corpora must degenerate to exact-within-probes: pq=${pq.toSeq} ivf=$ivf")
+  }
+
+  test("pq codebooks: 8 subspaces, <=16 codes each, 8-dim entries; codes cover the corpus") {
+    val s = spark
+    val vecs = Similarity.normedForTest(s, sf0001)
+    val subs = vecs.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+    val cb = Similarity.pqCodebooks(subs)
+    val byM = cb.collect().groupBy(_.getInt(0))
+    assert(byM.keySet == (0 until 8).toSet, s"subspaces: ${byM.keySet}")
+    assert(byM.values.forall(g => g.length <= 16 && g.length >= 2))
+    assert(cb.collect().forall(_.getSeq[Double](2).length == 8))
+    // every (vec_id, m) gets a live code from its subspace's codebook
+    val enc = Similarity.pqAssign(subs, cb)
+    val n = vecs.count()
+    assert(enc.count() == n * 8)
+    assert(enc.filter(col("code") < 0 || col("code") > 15).count() == 0,
+      "codes must stay in the 4-bit domain")
   }
 
   test("ivf_centroid_stats: k cells partition the corpus, all non-empty") {
