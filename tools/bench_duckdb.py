@@ -42,6 +42,7 @@ LLM = [
 # so their result sets match by the correctness gate). --ann enables.
 ANN = [
     "ivf_cosine_topk", "ann_hyperplane_topk", "embedding_quantize_topk",
+    "ivf_pq_topk",
 ]
 
 # The curation headliners (graft.Bench.curationHeadline twin). --curation
