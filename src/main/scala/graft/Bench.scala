@@ -57,7 +57,10 @@ object Bench {
     // IVF-PQ (r19): 4-bit codes on random embeddings are PQ's
     // adversarial case; the ADC+R=200 re-rank measured 1.0/0.9/0.8/1.0
     // at sf0.001/0.01/0.1/1 — floor under the sf0.1 low point
-    "ivf_pq_topk" -> 0.7)
+    "ivf_pq_topk" -> 0.7,
+    // stored-index variant: row-identical result by construction, so
+    // the same floor; its wall is the serving-path number (no training)
+    "ivf_pq_probe" -> 0.7)
 
   /** Deterministic synthetic grid for the tensor benches: pixel (gi, gj)
     * = ((gi·1315423911 + gj·2654435761) >>> 7) mod 256, blockified at
@@ -403,7 +406,7 @@ object Bench {
       // re-measurement is for
       onlyKeys.foreach { ks =>
         val known = qs.keySet + "semantic_dedup_scaledK" + "stream_throughput" +
-          "stream_stateful_throughput" + "sigindex_probe"
+          "stream_stateful_throughput" + "sigindex_probe" + "pqindex_probe"
         val unknown = ks.filterNot(known.contains)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_KEYS names no known query: ${unknown.mkString(",")}")
@@ -812,6 +815,42 @@ object Bench {
             System.err.println(s"[bench] onepass sigindex FAILED: ${e.getMessage}")
         }
       }
+      // Stored-index IVF-PQ leg (r19): the ANN serving-path number at
+      // scale — the durable index (codes 4 B/vector + cell id) is built
+      // once per corpus fingerprint; the timed probe reads the index
+      // relations, ADCs the probed cells' packed codes, and fetches
+      // only the 200 shortlisted float payloads (pushed vec_id IN).
+      // codes_mb is the measured at-rest index size — the BASELINE.md
+      // memory-table claim as an artifact row.
+      var pqIndexOnepass = ""
+      if (sys.env.getOrElse("SPARK_GRAFT_PQINDEX", "1") == "1" &&
+          keep("pqindex_probe")) {
+        coldGroup("pqindex")
+        try {
+          import graft.queries.Similarity
+          val reused = Similarity.pqIndexExists(sfDir)
+          val bt0 = System.nanoTime()
+          val root = Similarity.ensurePqIndex(spark, sfDir)
+          val buildS = (System.nanoTime() - bt0) / 1e9
+          def dirMb(d: java.io.File): Double =
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .map(f => if (f.isFile) f.length else 0L).sum / 1e6
+          val codesMb = dirMb(new java.io.File(root, "codes"))
+          val pt0 = System.nanoTime()
+          val top = qs("ivf_pq_probe")(spark, sfDir).collect()
+          val probeS = (System.nanoTime() - pt0) / 1e9
+          if (top.length != 10) {
+            failed += "pqindex_probe"
+            System.err.println(s"[bench] pqindex probe FLAG: ${top.length} rows")
+          }
+          pqIndexOnepass = s""","pqindex":{"build_s":$buildS,""" +
+            s""""reused":$reused,"probe_s":$probeS,"codes_mb":$codesMb}"""
+        } catch {
+          case e: Throwable =>
+            failed += "pqindex_probe"
+            System.err.println(s"[bench] onepass pqindex FAILED: ${e.getMessage}")
+        }
+      }
       val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
       // Tensor smoke in the SAME artifact pass (r12, judge item #6 — one
       // JSON instead of two driver invocations): peaks are re-reset so
@@ -831,7 +870,7 @@ object Bench {
         .mkString("{", ",", "}")
       emit(
         s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
-          s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$sigIndexOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
+          s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$sigIndexOnepass$pqIndexOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
         s"""{"metric":"onepass","value":${r4(wall)},"unit":"sec","queries":$cqj,""" +
           s""""failed":$fj,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
       spark.stop()

@@ -826,6 +826,42 @@ object Similarity {
       posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
 
+  /** Pack per-subspace code rows into the 4-byte PQ word: two 4-bit
+    * codes per byte, high nibble = even subspace (the pq_adc layout;
+    * DType.I8-precedent typed map for the byte packing, off the scoring
+    * hot path). */
+  private def pqPack(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, p -> p.code)").as("cs"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, cs) =>
+        val b = new Array[Byte](cs.length / 2)
+        var i = 0
+        while (i < b.length) {
+          b(i) = (((cs(2 * i) & 15L) << 4) | (cs(2 * i + 1) & 15L)).toByte
+          i += 1
+        }
+        (id, b)
+      }.toDF("vec_id", "codes")
+  }
+
+  /** The query's flat 128-slot ADC table (slot m·16+j = q_m · cb[m][j])
+    * as ONE broadcast-ready row; slots for codebook entries that lost
+    * every member during Lloyd stay null and are never referenced by a
+    * live code (pq_adc nulls out if one ever is). */
+  private def pqQueryTab(cb: DataFrame, q: DataFrame): DataFrame =
+    cb.crossJoin(broadcast(q))
+      .select((col("m") * lit(16) + col("code")).cast("int").as("idx"),
+        expr("aggregate(zip_with(slice(qv, m * 8 + 1, 8), cb, " +
+          "(x, y) -> x * y), 0D, (a, x) -> a + x)").as("dp"))
+      .agg(expr("map_from_entries(collect_list(struct(idx, dp)))").as("mp"))
+      .select(expr("transform(sequence(0, 127), i -> try_element_at(mp, i))")
+        .as("tab"))
+
   /** IVF-PQ top-k (Jégou, Douze, Schmid, TPAMI 2011): the memory-bound
     * 100 TB ANN lever beyond scalar int8 — each vector is stored as
     * 8 × 4-bit PQ codes packed two-per-byte into a 4-BYTE payload
@@ -879,37 +915,14 @@ object Similarity {
       .select(col("c").as("pc"))
     val subs = pqSubs(vecs)
     val cb = pqCodebooks(subs)
-    // query ADC table: one 128-slot broadcast row; slots for codebook
-    // entries that lost every member during Lloyd stay null and are
-    // never referenced by a live code (pq_adc nulls out if one ever is)
-    val tab = cb.crossJoin(broadcast(q))
-      .select((col("m") * lit(16) + col("code")).cast("int").as("idx"),
-        expr("aggregate(zip_with(slice(qv, m * 8 + 1, 8), cb, " +
-          "(x, y) -> x * y), 0D, (a, x) -> a + x)").as("dp"))
-      .agg(expr("map_from_entries(collect_list(struct(idx, dp)))").as("mp"))
-      .select(expr("transform(sequence(0, 127), i -> try_element_at(mp, i))")
-        .as("tab"))
+    val tab = pqQueryTab(cb, q)
     val cands = assignCells(vecs, cents)
       .join(broadcast(probes), col("cluster") === col("pc"), "left_semi")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"))
-    // encode the probed candidates: 8 codes → packed 4-byte word, high
-    // nibble = even subspace (the pq_adc layout; DType.I8-precedent
-    // typed map for the byte packing, off the scoring hot path)
-    val codes = pqAssign(pqSubs(cands), cb)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
-      .select(col("vec_id"), expr("transform(mc, p -> p.code)").as("cs"))
-      .as[(Long, Seq[Long])]
-      .map { case (id, cs) =>
-        val b = new Array[Byte](cs.length / 2)
-        var i = 0
-        while (i < b.length) {
-          b(i) = (((cs(2 * i) & 15L) << 4) | (cs(2 * i + 1) & 15L)).toByte
-          i += 1
-        }
-        (id, b)
-      }.toDF("vec_id", "codes")
+    // encode the probed candidates (this key is self-contained like
+    // ivf_cosine_topk; ivf_pq_probe is the stored-index variant)
+    val codes = pqPack(pqAssign(pqSubs(cands), cb))
     val shortl = codes.crossJoin(broadcast(tab))
       .select(col("vec_id"), expr("pq_adc(codes, tab)").as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
@@ -1000,6 +1013,98 @@ object Similarity {
       |SELECT vn.vec_id, round(list_dot_product(vn.v, q.qv), 4) AS cos
       |FROM shortl JOIN vn USING (vec_id) CROSS JOIN q
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Durable IVF-PQ index location for an sf dir (fingerprinted on the
+    * embeddings source file — the ANN twin of the SigIndex/lake-layout
+    * lifecycle: build once, probe forever). */
+  private[graft] def pqIndexDir(dir: String): java.io.File = {
+    val fp = graft.sources.Lake.layoutFingerprint(
+      new java.io.File(s"$dir/embeddings.parquet"), "pqidx-v1")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqidx_${graft.sources.Lake.dirSuffix(dir)}_$fp")
+  }
+
+  private[graft] def pqIndexExists(dir: String): Boolean =
+    graft.sources.Lake.layoutComplete(pqIndexDir(dir))
+
+  /** Build-if-absent of the durable IVF-PQ index: three parquet
+    * relations under one fingerprinted root —
+    *
+    *  - `cents/`  (c, cv): the 10 coarse spherical-k-means centroids;
+    *  - `cb/`     (m, code, cb): the 8×16 PQ codebooks;
+    *  - `codes/`  (vec_id, cluster, codes BINARY): per vector, its
+    *    coarse cell and the packed 4-byte PQ word — ~13 B/row of
+    *    payload; the ENTIRE searchable index for 2 M sf100 vectors is
+    *    ~26 MB against the 500 MB float corpus.
+    *
+    * Same [[graft.sources.Lake.ensureLayout]] contract as every other
+    * durable layout (atomic rename, stale-fingerprint sweep, crashed
+    * temp reclaim). */
+  private[graft] def ensurePqIndex(s: SparkSession, dir: String): java.io.File = {
+    val root = pqIndexDir(dir)
+    graft.sources.Lake.ensureLayout(s, root) { tmp =>
+      val vecs = normedPinned(t(s, dir, "embeddings"))
+      val cents = kmeans(vecs)
+      val cb = pqCodebooks(pqSubs(vecs))
+      val codes = pqPack(pqAssign(pqSubs(vecs), cb))
+        .join(assignCells(vecs, cents).select("vec_id", "cluster"), "vec_id")
+      cents.write.parquet(new java.io.File(tmp, "cents").toString)
+      cb.write.parquet(new java.io.File(tmp, "cb").toString)
+      codes.write.parquet(new java.io.File(tmp, "codes").toString)
+      // the layout-complete marker is root-level (each sub-write has its
+      // own _SUCCESS; this one says all three landed)
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+    }
+    root
+  }
+
+  /** STORED-INDEX IVF-PQ top-k — row-identical to [[ivfPqTopk]] (same
+    * deterministic training, same probes, same ADC, same re-rank; the
+    * oracle is therefore the same SQL), but the query-time reads are
+    * what a 100 TB ANN serving path actually touches:
+    *
+    *  1. the index relations (10 + 128 + N·13 B rows — no training, no
+    *     corpus scan, no normalization pass);
+    *  2. ADC over the packed codes of the probed cells (4 B/vector);
+    *  3. the float payloads of ONLY the 200 shortlisted vectors,
+    *     fetched with a pushed `vec_id IN (...)` parquet filter (a
+    *     bounded 200-long driver collect, the SigIndex.probeKeys
+    *     precedent — row-group stats on the id-ordered corpus prune
+    *     the scan).
+    *
+    * First call builds the durable index ([[ensurePqIndex]]); every
+    * later call — across JVMs — probes at reused cost. */
+  val ivfPqProbe: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    val root = ensurePqIndex(s, dir)
+    val cents = s.read.parquet(new java.io.File(root, "cents").toString)
+    val cb = s.read.parquet(new java.io.File(root, "cb").toString)
+    val codes = s.read.parquet(new java.io.File(root, "codes").toString)
+    // the query vector: one corpus row, normalized exactly as the
+    // in-query path normalizes it (per-row math, identical doubles)
+    val q = normed(t(s, dir, "embeddings").filter(col("vec_id") === 0))
+      .select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("c"), dot(col("cv"), col("qv")).as("dp"))
+      .orderBy(col("dp").desc, col("c").asc)
+      .limit(NPROBE)
+      .select(col("c").as("pc"))
+    val tab = pqQueryTab(cb, q)
+    val shortl = codes
+      .join(broadcast(probes), col("cluster") === col("pc"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(tab))
+      .select(col("vec_id"), expr("pq_adc(codes, tab)").as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(200)
+      .select(col("vec_id"))
+    val ids = shortl.collect().map(_.getLong(0))
+    normed(t(s, dir, "embeddings").filter(col("vec_id").isin(ids: _*)))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
 
   // --------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
@@ -1125,6 +1230,7 @@ object Similarity {
     "ivf_centroid_stats" -> ivfCentroidStats,
     "ivf_cosine_topk" -> ivfCosineTopk,
     "ivf_pq_topk" -> ivfPqTopk,
+    "ivf_pq_probe" -> ivfPqProbe,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1138,5 +1244,8 @@ object Similarity {
     "ivf_centroid_stats" -> ivfCentroidStatsSql,
     "ivf_cosine_topk" -> ivfCosineTopkSql,
     "ivf_pq_topk" -> ivfPqTopkSql,
+    // the stored index is a plan/storage optimization with an exactness
+    // argument (same training, probes, ADC, re-rank) — same SQL twin
+    "ivf_pq_probe" -> ivfPqTopkSql,
   )
 }

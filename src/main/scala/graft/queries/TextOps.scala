@@ -102,6 +102,83 @@ object TextOps {
       |  max(len(string_split(text,' '))) AS max_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------- BM25
+  /** BM25 top-10 documents for a fixed keyword query (Robertson/Sparck
+    * Jones; k1 = 1.2, b = 0.75) — keyword retrieval over the corpus,
+    * the lexical complement to the embedding ANN keys (quality
+    * filtering and eval-set retrieval both want it at pipeline scale).
+    *
+    * Shape: one token explode filtered to the query's terms BEFORE the
+    * aggregate (the scan's per-token work is a 3-literal IN), tf per
+    * (doc, term) and df per term from the same frame, document lengths
+    * as a narrow per-doc projection, N/avgdl as a broadcast 1-row
+    * aggregate. No corpus-wide inverted index is materialized — for a
+    * fixed query the filtered explode IS the posting-list scan, linear
+    * and map-side until the (doc, term) count.
+    *
+    * Determinism: tf/df/N are integers; avgdl is one exact long-sum
+    * divide; idf's ln is the only libm call (1-ulp engine skew absorbed
+    * by the 4-dp round). The ≤3 per-term scores are summed in FIXED
+    * term order via conditional aggregates + an ordered coalesce chain
+    * — never a float sum over an unordered group. */
+  val bm25TopK: Q = (s, dir) => {
+    val k1 = 1.2
+    val b = 0.75
+    val qTerms = Seq("spark", "join", "window")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("sc"))
+    sc.groupBy(col("doc_id"))
+      .agg(sum(when(col("term") === qTerms(0), col("sc"))).as("s0"),
+        sum(when(col("term") === qTerms(1), col("sc"))).as("s1"),
+        sum(when(col("term") === qTerms(2), col("sc"))).as("s2"))
+      .select(col("doc_id"),
+        round(coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+          + coalesce(col("s2"), lit(0.0)), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val bm25TopKSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM d),
+      |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d) t
+      |  WHERE term IN ('spark', 'join', 'window')
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS sc
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+      |SELECT doc_id,
+      |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 4)
+      |    AS bm25
+      |FROM (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN term = 'spark'  THEN sc END) AS s0,
+      |    sum(CASE WHEN term = 'join'   THEN sc END) AS s1,
+      |    sum(CASE WHEN term = 'window' THEN sc END) AS s2
+      |  FROM sc GROUP BY 1)
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------ sequence packing
   /** Training-batch sequence packing: contiguous prefix-sum bucketing of
     * each shard's docs into fixed 2000-token packs. The cumsum window is
@@ -2626,6 +2703,7 @@ object TextOps {
     "exact_dedup_docs" -> exactDedupDocs,
     "dedup_keep_first" -> dedupKeepFirst,
     "doc_token_stats" -> docTokenStats,
+    "bm25_topk" -> bm25TopK,
     "pack_sequences" -> packSequences,
     "top_terms" -> topTerms,
     "tfidf_top_terms" -> tfidfTopTerms,
@@ -2669,6 +2747,7 @@ object TextOps {
     "exact_dedup_docs" -> exactDedupDocsSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
     "doc_token_stats" -> docTokenStatsSql,
+    "bm25_topk" -> bm25TopKSql,
     "pack_sequences" -> packSequencesSql,
     "top_terms" -> topTermsSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

@@ -132,7 +132,10 @@ object Lake {
       timed("bucketed_facts", graft.queries.Relational.bucketedLayoutExists(dir)) {
         graft.queries.Relational.bucketedFacts(s, dir); ()
       },
-      { val (r, b) = SigIndex.ensureBenchIndex(s, dir); ("sig_index", r, b) })
+      { val (r, b) = SigIndex.ensureBenchIndex(s, dir); ("sig_index", r, b) },
+      timed("pq_index", graft.queries.Similarity.pqIndexExists(dir)) {
+        graft.queries.Similarity.ensurePqIndex(s, dir); ()
+      })
   }
 
   /** Write `df` date-partitioned by calendar month of `tsCol` — the

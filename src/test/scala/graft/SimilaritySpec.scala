@@ -67,6 +67,29 @@ class SimilaritySpec extends SparkSpec {
       s"sub-R corpora must degenerate to exact-within-probes: pq=${pq.toSeq} ivf=$ivf")
   }
 
+  test("ivf_pq_probe: stored-index probe is row-identical to the in-query key; index reuses") {
+    // force a fresh build so the test owns its index lifecycle
+    val root = Similarity.pqIndexDir(sf0001)
+    if (root.exists()) graft.sources.Lake.deleteTree(root)
+    assert(!Similarity.pqIndexExists(sf0001))
+    val probe1 = Similarity.ivfPqProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(Similarity.pqIndexExists(sf0001), "first call must build the index")
+    val inQuery = Similarity.ivfPqTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe1 == inQuery,
+      s"stored-index probe diverged from the in-query key:\nprobe=$probe1\ninq=$inQuery")
+    // second call must PROBE the existing index (reuse), same rows
+    val probe2 = Similarity.ivfPqProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe2 == probe1)
+    // the stored code payload is really 4 bytes/vector
+    val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
+    assert(codes.filter(expr("length(codes) != 4")).count() == 0,
+      "every packed PQ word must be exactly 4 bytes")
+    assert(codes.count() == Similarity.normedForTest(spark, sf0001).count())
+  }
+
   test("pq codebooks: 8 subspaces, <=16 codes each, 8-dim entries; codes cover the corpus") {
     val s = spark
     val vecs = Similarity.normedForTest(s, sf0001)

@@ -821,4 +821,38 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(augDup, TextOps.c4QualityOver)
       == rows(augDup, TextOps.c4QualityExploded))
   }
+
+  test("bm25_topk: 10 rows, non-increasing scores, and tf-monotonicity on equal-length docs") {
+    val res = TextOps.bm25TopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.length == 10)
+    val scores = res.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0), "every retrieved doc must match >= 1 query term")
+    // hand-check the winner against a driver-side BM25 over the corpus:
+    // same formula, same tokenization — catches a df/tf/idf wiring bug
+    // the oracle could only catch as an opaque hash mismatch
+    val docs = Tables.t(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1)) }
+    val q = Seq("spark", "join", "window")
+    val dls = docs.map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+    val n = docs.length
+    val avgdl = dls.values.map(_.toDouble).sum / n
+    val tfs = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.filter(q.contains).groupBy(identity)
+        .map { case (k, v) => k -> v.size } }.toMap
+    val dfs = q.map(term => term -> tfs.values.count(_.contains(term))).toMap
+    def score(id: Long): Double = q.map { term =>
+      val tf = tfs(id).getOrElse(term, 0)
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - dfs(term) + 0.5) / (dfs(term) + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls(id) / avgdl))
+    }.sum
+    val expected = docs.map(_._1).map(id => (id, BigDecimal(score(id))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).toSeq
+    assert(res.toSeq == expected,
+      s"engine top-10 diverged from the driver replay:\n${res.toSeq}\n$expected")
+  }
 }
