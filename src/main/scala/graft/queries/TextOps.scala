@@ -108,75 +108,78 @@ object TextOps {
     * the lexical complement to the embedding ANN keys (quality
     * filtering and eval-set retrieval both want it at pipeline scale).
     *
-    * Shape: one token explode filtered to the query's terms BEFORE the
-    * aggregate (the scan's per-token work is a 3-literal IN), tf per
-    * (doc, term) and df per term from the same frame, document lengths
-    * as a narrow per-doc projection, N/avgdl as a broadcast 1-row
-    * aggregate. No corpus-wide inverted index is materialized — for a
-    * fixed query the filtered explode IS the posting-list scan, linear
-    * and map-side until the (doc, term) count.
+    * Shape — ONE map-only scan (the plan a fixed query deserves at
+    * 100 TB): per doc, its length and each query term's tf via the
+    * codegen `count_in` (no token explode, no (doc, term) shuffle);
+    * N/avgdl/per-term df reduce to ONE broadcast stats row in the same
+    * pass; scoring is a per-row expression and the only ordering work
+    * is TakeOrderedAndProject. The first cut of this key exploded all
+    * tokens and aggregated (doc, term) counts — measured 10.1 s at
+    * sf10 / 27.0 s at sf100; this form runs 6.9 / 9.6 s one-shot cold
+    * (the explode was most of the work, and its cost grew with corpus
+    * tokens where this scan grows with corpus bytes).
     *
     * Determinism: tf/df/N are integers; avgdl is one exact long-sum
     * divide; idf's ln is the only libm call (1-ulp engine skew absorbed
-    * by the 4-dp round). The ≤3 per-term scores are summed in FIXED
-    * term order via conditional aggregates + an ordered coalesce chain
-    * — never a float sum over an unordered group. */
+    * by the 4-dp round). The 3 per-term scores are summed in FIXED term
+    * order as one expression — never a float sum over an unordered
+    * group. Docs matching no term score exactly 0.0 in both engines. */
   val bm25TopK: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
     val k1 = 1.2
     val b = 0.75
-    val qTerms = Seq("spark", "join", "window")
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tfs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
-    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sc = tf.join(broadcast(dft), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"),
-        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("sc"))
-    sc.groupBy(col("doc_id"))
-      .agg(sum(when(col("term") === qTerms(0), col("sc"))).as("s0"),
-        sum(when(col("term") === qTerms(1), col("sc"))).as("s1"),
-        sum(when(col("term") === qTerms(2), col("sc"))).as("s2"))
+      .select(col("doc_id"), size(toks).as("dl"),
+        expr("count_in(split(text, ' '), 'spark')").as("tf0"),
+        expr("count_in(split(text, ' '), 'join')").as("tf1"),
+        expr("count_in(split(text, ' '), 'window')").as("tf2"))
+    val stats = tfs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+    def term(tf: Column, df: Column): Column =
+      when(tf > 0,
+        log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+          (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    tfs.crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
-          + coalesce(col("s2"), lit(0.0)), 4).as("bm25"))
+        round(term(col("tf0"), col("df0")) + term(col("tf1"), col("df1"))
+          + term(col("tf2"), col("df2")), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(10)
   }
 
   val bm25TopKSql: String =
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM d),
-      |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, count(*) AS tf FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d) t
-      |  WHERE term IN ('spark', 'join', 'window')
-      |  GROUP BY 1, 2),
-      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |sc AS (
-      |  SELECT tf.doc_id, tf.term,
-      |    ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
-      |      (tf.tf * 2.2) /
-      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS sc
-      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
-      |SELECT doc_id,
-      |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 4)
-      |    AS bm25
-      |FROM (
+    """WITH d AS (
       |  SELECT doc_id,
-      |    sum(CASE WHEN term = 'spark'  THEN sc END) AS s0,
-      |    sum(CASE WHEN term = 'join'   THEN sc END) AS s1,
-      |    sum(CASE WHEN term = 'window' THEN sc END) AS s2
-      |  FROM sc GROUP BY 1)
+      |    len(string_split(text, ' ')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM d)
+      |SELECT doc_id, round(
+      |    (CASE WHEN tf0 > 0 THEN
+      |       ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+      |         / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |     ELSE 0.0 END)
+      |  + (CASE WHEN tf1 > 0 THEN
+      |       ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+      |         / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |     ELSE 0.0 END)
+      |  + (CASE WHEN tf2 > 0 THEN
+      |       ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+      |         / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |     ELSE 0.0 END), 4) AS bm25
+      |FROM d CROSS JOIN st
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------ sequence packing

@@ -201,6 +201,17 @@ class PlanShapeSpec extends SparkSpec {
       s"every cross join here is single-row broadcast, never cartesian:\n$p")
   }
 
+  test("ivf_pq_probe: the re-rank fetch pushes vec_id IN into the corpus scan") {
+    // the serving-path claim — only the 200 shortlisted float payloads
+    // are read — holds only if the IN lands as a data filter on the
+    // parquet scan (row-group stats on the id-ordered corpus prune it)
+    val p = plan("ivf_pq_probe")
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(vec_id".r.findFirstIn(p).isDefined,
+      s"re-rank scan must push the shortlist IN filter:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-10 must stay partial:\n$p")
+  }
+
   test("minhash_near_dup candidates: ONE md5 pass, banded bucket join, no cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf001, "documents")
