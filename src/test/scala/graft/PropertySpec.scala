@@ -212,4 +212,33 @@ class PropertySpec extends SparkSpec {
       } finally spark.conf.unset("graft.tiers.rankBuckets")
     }
   }
+
+  test("pq_adc equals the hex-unpack HOF fold over random code words and tables") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      // random subspace count (word length), random nibbles, random table
+      // values incl. negatives and exact zeros — bit-equality expected,
+      // not approximate (both folds accumulate left-to-right from 0.0)
+      val nBytes = 1 + rnd.nextInt(6)
+      val rows = (0 until 40).map { i =>
+        (i.toLong, Array.fill(nBytes)(rnd.nextInt(256).toByte))
+      }
+      val tab = IndexedSeq.fill(nBytes * 2 * 16)(
+        if (rnd.nextInt(10) == 0) 0.0 else rnd.nextDouble() * 4 - 2)
+      val df = rows.toDF("id", "codes").withColumn("tab", typedLit(tab))
+      val native = df.select(col("id"), expr("pq_adc(codes, tab)").as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hof = df.select(col("id"), expr(
+        """aggregate(
+          |  transform(sequence(0, length(codes) * 2 - 1), m -> tab[
+          |    m * 16 + CAST(conv(substring(hex(codes), m + 1, 1), 16, 10) AS INT)]),
+          |  0D, (a, x) -> a + x)""".stripMargin).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(native == hof, s"trial $trial (nBytes=$nBytes) diverged")
+    }
+  }
 }
