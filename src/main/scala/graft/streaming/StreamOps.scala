@@ -837,6 +837,205 @@ object StreamOps {
     verdicts.toDF("doc_id", "source", "collide", "n_state")
   }
 
+  // --------------------------------------- streaming EMBEDDING dedup
+  /** Streaming keep-first near-duplicate filter over the EMBEDDINGS
+    * stream — the vector twin of [[streamNearDedup]], completing the
+    * streaming dedup family across both modalities. A vector is
+    * dropped iff some EARLIER (smaller vec_id) same-label vector
+    * shares one of its 32 sign-LSH band buckets AND verifies at
+    * round4(cosine) ≥ 0.40 (nan-safe — the zero vector's copies all
+    * KEEP, exactly as in the batch verdict key). State per
+    * (label, band-bucket) is the DISTINCT-vector frontier: an exact
+    * duplicate refreshes its entry instead of growing the list (the
+    * same cardinality-bound-not-corpus-bound state story the minhash
+    * stream measured at sf10/sf100), with deterministic LRU past the
+    * cap. Semantics match [[graft.queries.Similarity
+    * .embeddingNearDupVerdict]]: drop(v) ⇔ ∃ u < v, same label,
+    * round4(cos(u, v)) ≥ 0.40 — which the oracle replays ALL-PAIRS
+    * (banding is a complete candidate generator on this corpus, the
+    * same premise the batch key gates every round). */
+  val streamEmbeddingDedup: Q = (s, dir) => {
+    val cap = confLong(s, "spark.graft.streamEmbDedup.maxVecsPerBucket",
+      1L << 14, min = 1L).min(Int.MaxValue.toLong).toInt
+    streamEmbeddingDedupWith(s, dir, 1, cap)
+  }
+
+  /** `filesPerTrigger` parameterized for the trigger-invariance spec;
+    * `cap` for the bounded-state spec. */
+  private[graft] def streamEmbeddingDedupWith(s: SparkSession, dir: String,
+      filesPerTrigger: Int, cap: Int = 1 << 14): DataFrame =
+    streamEmbeddingVerdicts(s, dir, filesPerTrigger, cap)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("collide")).as("dropped"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("label"))
+
+  /** The per-bucket state transition, pure and unit-testable — the
+    * vector analog of [[processBucketArrivals]]. Per arrival (sorted
+    * by vec_id): one scan over the distinct-vector entries computes
+    * the collide verdict (an entry first seen by an EARLIER vec whose
+    * cosine with the arrival clears τ — cosine replayed exactly as the
+    * codegen `cosine_sim` accumulates it, rounded exactly as Spark's
+    * `round(x, 4)` rounds it) and the exact-match lookup together; an
+    * exact hit refreshes the shared entry (no growth), a new vector
+    * inserts, and past `cap` the least-recently-hit PRE-INSERT entry
+    * is evicted. */
+  private[graft] def processVecArrivals(
+      arrivals: Seq[(Long, Int, Array[Float])],
+      init: List[VecEntry], cap: Int)
+      : (Seq[(Long, Int, Boolean, Int)], List[VecEntry]) = {
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    // Spark's Round(double, 4) semantics exactly: NaN/Inf pass through,
+    // else BigDecimal.valueOf (shortest-repr) HALF_UP
+    def round4(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var entries = init
+    var nEntries = entries.size
+    var clock = if (entries.isEmpty) 0L else entries.iterator.map(_.lastHit).max
+    val out = arrivals.map { case (id, label, v) =>
+      var collide = false
+      clock += 1
+      var agree: VecEntry = null
+      var exact: VecEntry = null
+      entries.foreach { e =>
+        if (agree == null && e.firstId < id) {
+          val c = round4(cosF(e.vec, v))
+          if (!c.isNaN && c >= 0.40) agree = e
+        }
+        if (exact == null && java.util.Arrays.equals(e.vec, v)) exact = e
+      }
+      collide = agree != null
+      if (exact != null || agree != null) {
+        val hitE = exact
+        val hitA = agree
+        entries = entries.map(e =>
+          if (e eq hitE)
+            e.copy(firstId = math.min(e.firstId, id), lastHit = clock)
+          else if (e eq hitA) e.copy(lastHit = clock)
+          else e)
+      }
+      if (exact == null) {
+        entries = VecEntry(id, clock, v) :: entries
+        nEntries += 1
+        if (nEntries > cap) {
+          val evict = entries.tail.minBy(_.lastHit)
+          entries = entries.filterNot(_ eq evict)
+          nEntries -= 1
+        }
+      }
+      (id, label, collide, nEntries)
+    }
+    (out, entries)
+  }
+
+  private[graft] def vecBucketStateFunc(cap: Int): (String,
+      Iterator[(Long, Int, String, Seq[Float])],
+      GroupState[VecBucketState]) => Iterator[(Long, Int, Boolean, Int)] =
+    (_, it, state) => {
+      val arrivals = it.toSeq.sortBy(_._1).map { case (id, label, _, v) =>
+        (id, label, v.toArray)
+      }
+      val init = state.getOption.map(_.entries).getOrElse(List.empty)
+      val (out, entries) = processVecArrivals(arrivals, init, cap)
+      state.update(VecBucketState(entries))
+      out.iterator
+    }
+
+  /** Write the embeddings table as 4 vec_id-range jsonl shards with
+    * increasing mtimes (the [[writeDocShards]] pattern — file-timestamp
+    * order IS ingest order). Float components serialize as their
+    * shortest decimal representation, which parses back to the SAME
+    * float bit pattern, so the streamed vectors are bit-identical to
+    * the parquet column. */
+  private def writeEmbShards(s: SparkSession, dir: String, inDir: String): Long = {
+    val rows = graft.Tables.t(s, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val per = (rows.length + 3) / 4
+    for (k <- 0 until 4) {
+      val part = rows.slice(k * per, math.min((k + 1) * per, rows.length))
+      val body = part.map { case (id, label, v) =>
+        s"""{"vec_id":$id,"label":$label,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(inDir, f"embs_$k%02d.jsonl")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
+    }
+    rows.length.toLong
+  }
+
+  /** Per-(vec, label|band-bucket) verdict rows + post-arrival state
+    * size. Banding is the batch key's EXACT bucket derivation (the
+    * codegen `sign_lsh_sig` + the 32 2-bit band codes), keyed WITH the
+    * label so confinement matches the batch semantics. */
+  private[graft] def streamEmbeddingVerdicts(s: SparkSession, dir: String,
+      filesPerTrigger: Int, cap: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(s)
+    val inDir = freshDir(dir, "embdedup_stream")
+    writeEmbShards(s, dir, inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.json*")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .json(inDir)
+    val banded = stream
+      .select(col("vec_id"), col("label"),
+        expr("sign_lsh_sig(embedding)").as("sig"), col("embedding"))
+      .select(col("vec_id"), col("label"),
+        explode(expr(
+          "transform(sequence(0, 31), b -> concat(CAST(label AS STRING), " +
+            "'|', CAST(b * 4 + (shiftright(sig, CAST(b * 2 AS INT)) & 3) AS STRING)))"))
+          .as("bucket"),
+        col("embedding"))
+    val verdicts = banded.as[(Long, Int, String, Seq[Float])]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        vecBucketStateFunc(cap))
+      .toDF("vec_id", "label", "collide", "n_state")
+    drain(verdicts, OutputMode.Append())
+  }
+
+  /** All-pairs within-label replay of the keep-first verdict (the
+    * [[graft.queries.Similarity.embeddingNearDupVerdictSql]] pair CTE),
+    * rolled up per label. */
+  val streamEmbeddingDedupSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.40
+      |    AND NOT isnan(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))))
+      |SELECT label, count(*) AS n_vecs,
+      |  sum(CASE WHEN vec_id IN (SELECT vb FROM pairs) THEN 1 ELSE 0 END) AS n_dropped
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   /** DuckDB twin: replay shingles → (h1 + i·h2) signatures → bands →
     * bucket-collision candidates → per-pair signature agreement ≥ 26 —
     * a doc is dropped iff some earlier (smaller doc_id) doc collides. */
@@ -1037,6 +1236,7 @@ object StreamOps {
     "stream_av_ingest" -> streamAvIngest,
     "stream_av_features" -> streamAvFeatures,
     "stream_near_dedup" -> streamNearDedup,
+    "stream_embedding_dedup" -> streamEmbeddingDedup,
     "stream_near_dedup_bootstrap" -> streamNearDedupBootstrap,
   )
 
@@ -1057,6 +1257,7 @@ object StreamOps {
     "stream_av_ingest" -> streamAvIngestSql,
     "stream_av_features" -> streamAvFeaturesSql,
     "stream_near_dedup" -> streamNearDedupSql,
+    "stream_embedding_dedup" -> streamEmbeddingDedupSql,
     "stream_near_dedup_bootstrap" -> streamNearDedupBootstrapSql,
   )
 }
@@ -1074,3 +1275,12 @@ case class SigEntry(firstId: Long, lastHit: Long, sig: Array[Long])
 /** Per-bucket near-dedup state: entries are distinct signatures only,
   * capped by `spark.graft.streamNearDedup.maxSigsPerBucket` (LRU). */
 case class BucketState(entries: List[SigEntry])
+
+/** One DISTINCT-vector frontier entry of the streaming EMBEDDING dedup
+  * — the vector analog of [[SigEntry]]; exact float-array duplicates
+  * collapse onto one entry. */
+case class VecEntry(firstId: Long, lastHit: Long, vec: Array[Float])
+
+/** Per-(label, band-bucket) embedding-dedup state: distinct vectors
+  * only, capped by `spark.graft.streamEmbDedup.maxVecsPerBucket` (LRU). */
+case class VecBucketState(entries: List[VecEntry])

@@ -487,4 +487,64 @@ class StreamingSpec extends SparkSpec {
       .sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(p => p.toFile.delete())
   }
+
+  test("streaming embedding dedup: trigger-invariant, equals the batch verdict roll-up, drops real dups") {
+    import org.apache.spark.sql.functions._
+    val multi = graft.streaming.StreamOps.streamEmbeddingDedupWith(spark, sf001, 1)
+      .collect().map(_.toSeq)
+    val single = graft.streaming.StreamOps.streamEmbeddingDedupWith(spark, sf001, 4)
+      .collect().map(_.toSeq)
+    assert(multi.nonEmpty && multi.sameElements(single),
+      "micro-batching changed the embedding-dedup verdicts")
+    assert(multi.map(_(2).asInstanceOf[Long]).sum > 0,
+      "fixture produced zero embedding near-dup drops — collision path untested")
+    // the stream's keep-first verdicts must equal the BATCH verdict key
+    // rolled up the same way (same τ, same rounding, same label
+    // confinement — the two paths share no code past the semantics)
+    val batch = graft.queries.Similarity.embeddingNearDupVerdict(spark, sf001)
+      .join(Tables.t(spark, sf001, "embeddings").select("vec_id", "label"), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("label"))
+      .collect().map(_.toSeq)
+    assert(multi.sameElements(batch),
+      s"stream verdicts diverged from the batch key:\n${multi.toSeq}\n${batch.toSeq}")
+  }
+
+  test("embedding-dedup state transition: keep-first, zero-vector NaN keeps, exact collapse, LRU") {
+    import graft.streaming.StreamOps.processVecArrivals
+    import graft.streaming.VecEntry
+    val a = Array(1.0f, 0.0f)
+    val aDup = Array(1.0f, 0.0f)
+    val near = Array(0.9f, 0.1f)   // cos ~0.994 vs a
+    val ortho = Array(0.0f, 1.0f)  // cos 0 vs a
+    val zero = Array(0.0f, 0.0f)   // cos NaN vs anything
+    val (out1, st1) = processVecArrivals(
+      Seq((1L, 7, a), (2L, 7, aDup), (3L, 7, near), (4L, 7, ortho), (5L, 7, zero)),
+      List.empty, cap = 16)
+    assert(out1.map(o => o._1 -> o._3) ==
+      Seq(1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+    // exact dup collapsed: state holds a, near, ortho, zero — not aDup
+    assert(st1.size == 4)
+    // a second zero vector: exact-collapses AND keeps (NaN never clears τ)
+    val (out2, st2) = processVecArrivals(Seq((6L, 7, Array(0.0f, 0.0f))), st1, cap = 16)
+    assert(out2 == Seq((6L, 7, false, 4)))
+    assert(st2.size == 4)
+    // keep-first is id-based even across state order: an arrival with a
+    // SMALLER id than every entry keeps (no earlier witness exists)
+    val (out3, _) = processVecArrivals(Seq((0L, 7, Array(0.95f, 0.05f))), st1, cap = 16)
+    assert(out3.head._3 == false, "no entry has firstId < 0 — must keep")
+    // LRU: cap 2. Arrival 3 ([0.5, 0.5]) agrees with ortho (the list
+    // head — cos 0.707), refreshing ortho's lastHit; its insert then
+    // overflows the cap and evicts the least-recently-hit PRE-INSERT
+    // entry, which is a (untouched since its own arrival).
+    val (out4, st4) = processVecArrivals(
+      Seq((1L, 7, a), (2L, 7, ortho), (3L, 7, Array(0.5f, 0.5f))),
+      List.empty, cap = 2)
+    assert(out4.map(o => o._1 -> o._3) ==
+      Seq(1L -> false, 2L -> false, 3L -> true))
+    assert(st4.map(_.firstId).toSet == Set(2L, 3L),
+      s"LRU must evict entry a (least-recently-hit): ${st4.map(_.firstId)}")
+  }
 }
