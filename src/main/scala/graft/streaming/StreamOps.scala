@@ -959,7 +959,13 @@ object StreamOps {
     * order IS ingest order). Float components serialize as their
     * shortest decimal representation, which parses back to the SAME
     * float bit pattern, so the streamed vectors are bit-identical to
-    * the parquet column. */
+    * the parquet column.
+    *
+    * Driver-side fixture writer, gate-scale only (the same documented
+    * class as [[writeDocShards]]): the oracle gate runs at sf0.01/0.1
+    * where the collect is a few MB; a scale throughput leg would write
+    * its shards distributed the way the bench's stateful-stream leg
+    * does with df.write.json. */
   private def writeEmbShards(s: SparkSession, dir: String, inDir: String): Long = {
     val rows = graft.Tables.t(s, dir, "embeddings")
       .select("vec_id", "label", "embedding").collect()
