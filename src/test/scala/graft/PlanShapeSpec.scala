@@ -201,6 +201,22 @@ class PlanShapeSpec extends SparkSpec {
       s"every cross join here is single-row broadcast, never cartesian:\n$p")
   }
 
+  test("bm25_topk: map-only scan — native count_in, no explode, no doc-keyed exchange") {
+    // the rewrite's contract (the explode form cost 27 s at sf100 vs
+    // 9.6): per-term tf is the codegen count_in in ONE projection, the
+    // only exchanges are the 1-row stats reduce + its broadcast, and
+    // the top-10 never global-sorts
+    val p = plan("bm25_topk")
+    assert(p.contains("count_in"),
+      s"tf fell off the native count_in expression:\n$p")
+    assert(!p.contains("Generate"),
+      s"a token explode reappeared in the scan:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"nothing here shuffles by doc/term — stats reduce to one row:\n$p")
+    assert(p.contains("BroadcastExchange") && p.contains("TakeOrderedAndProject"),
+      s"stats must broadcast and top-k must stay partial:\n$p")
+  }
+
   test("ivf_pq_probe: the re-rank fetch pushes vec_id IN into the corpus scan") {
     // the serving-path claim — only the 200 shortlisted float payloads
     // are read — holds only if the IN lands as a data filter on the
