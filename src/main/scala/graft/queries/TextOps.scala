@@ -182,6 +182,58 @@ object TextOps {
       |FROM d CROSS JOIN st
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  // -------------------------------------------------- document chunking
+  /** Context-window chunking: split each document's token stream into
+    * fixed WINDOW=128-token chunks advancing by STEP=112 (16-token
+    * overlap) — the doc→training-example splitting step that sits
+    * between curation and [[packSequences]] in a real pipeline
+    * (packing fills batches with whole short docs; chunking cuts long
+    * docs down to the context length first). Chunk count for n tokens:
+    * 1 if n ≤ 128, else 1 + ⌈(n−128)/112⌉; chunk i holds
+    * min(128, n − i·112) tokens (only the last is short).
+    *
+    * Map-only: per-doc chunk geometry is pure integer arithmetic on
+    * the token count (a transform over sequence(0, nc−1) folded with
+    * aggregate — no chunk explode reaches the aggregate), rolled up
+    * per source. All-integer output ⇒ exact cross-engine parity. */
+  val chunkDocuments: Q = (s, dir) => {
+    val per = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), size(toks).as("n"))
+      .withColumn("nc",
+        when(col("n") <= 128, lit(1))
+          .otherwise(lit(1) + ceil((col("n") - 128) / lit(112.0)).cast("int")))
+      .withColumn("chunk_toks", expr(
+        "aggregate(transform(sequence(0, nc - 1), " +
+          "i -> least(128, n - i * 112)), 0, (a, x) -> a + x)"))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).cast("long").as("n_chunks"),
+        sum(col("chunk_toks")).cast("long").as("sum_chunk_tokens"),
+        max(col("nc")).as("max_chunks_per_doc"))
+      .orderBy(col("source"))
+  }
+
+  val chunkDocumentsSql: String =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT source, n,
+      |    CASE WHEN n <= 128 THEN 1
+      |         ELSE 1 + CAST(ceil((n - 128) / 112.0) AS INT) END AS nc
+      |  FROM d),
+      |c AS (
+      |  SELECT source, n, nc,
+      |    (SELECT sum(least(128, n - i * 112))
+      |     FROM (SELECT unnest(range(0, nc)) AS i)) AS chunk_toks
+      |  FROM g)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(nc) AS BIGINT) AS n_chunks,
+      |  CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_tokens,
+      |  max(nc) AS max_chunks_per_doc
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------ sequence packing
   /** Training-batch sequence packing: contiguous prefix-sum bucketing of
     * each shard's docs into fixed 2000-token packs. The cumsum window is
@@ -2707,6 +2759,7 @@ object TextOps {
     "dedup_keep_first" -> dedupKeepFirst,
     "doc_token_stats" -> docTokenStats,
     "bm25_topk" -> bm25TopK,
+    "chunk_documents" -> chunkDocuments,
     "pack_sequences" -> packSequences,
     "top_terms" -> topTerms,
     "tfidf_top_terms" -> tfidfTopTerms,
@@ -2751,6 +2804,7 @@ object TextOps {
     "dedup_keep_first" -> dedupKeepFirstSql,
     "doc_token_stats" -> docTokenStatsSql,
     "bm25_topk" -> bm25TopKSql,
+    "chunk_documents" -> chunkDocumentsSql,
     "pack_sequences" -> packSequencesSql,
     "top_terms" -> topTermsSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

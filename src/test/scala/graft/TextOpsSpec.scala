@@ -855,4 +855,35 @@ class TextOpsSpec extends SparkSpec {
     assert(res.toSeq == expected,
       s"engine top-10 diverged from the driver replay:\n${res.toSeq}\n$expected")
   }
+
+  test("chunk_documents: window/overlap geometry on hand-built token counts") {
+    val s = spark
+    import s.implicits._
+    // token counts that bracket every boundary: 1, exactly one window,
+    // one past it, exactly two windows with overlap, one past that
+    val docs = Seq(
+      (1L, "a", mkText(1)), (2L, "a", mkText(128)), (3L, "a", mkText(129)),
+      (4L, "b", mkText(240)), (5L, "b", mkText(241)))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_spec")
+    try {
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = graft.queries.TextOps.chunkDocuments(spark, tmp.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      // a: n=1 → 1 chunk/1 tok; n=128 → 1/128; n=129 → 2 chunks of
+      //    128 + min(128, 129-112)=17 → 145
+      // b: n=240 → 2 chunks 128+128=256; n=241 → 3 chunks 128+128+17=273
+      assert(rows.toSeq == Seq(
+        ("a", 3L, 4L, 1L + 128L + 145L, 2),
+        ("b", 2L, 5L, 256L + 273L, 3)), rows.toSeq.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => p.toFile.delete())
+    }
+  }
+
+  private def mkText(nTokens: Int): String =
+    (0 until nTokens).map(i => s"t$i").mkString(" ")
 }
