@@ -652,6 +652,13 @@ object StreamOps {
     *
     * Returns the verdict rows (doc_id, source, collide, n_state-after)
     * and the new entry list. */
+  /** Unlike [[processVecArrivals]], this transition emits NO
+    * retroactive drops: a retro row needs the dropped doc's `source`
+    * (the gate rolls up per source) but doc buckets are cross-source,
+    * so [[SigEntry]] would have to carry source — a state-schema
+    * change that the persisted signature index (read back as
+    * [[BucketState]]) would inherit. Arrival order is instead
+    * guaranteed by [[writeDocShards]]'s now-VERIFIED mtime stamps. */
   private[graft] def processBucketArrivals(
       arrivals: Seq[(Long, String, Array[Long])],
       init: List[SigEntry], cap: Int)
@@ -755,7 +762,12 @@ object StreamOps {
       }.mkString("", "\n", "\n")
       val p = java.nio.file.Paths.get(inDir, f"docs_$k%02d.jsonl")
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))
-      p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
+      // verified stamp, same rationale as writeEmbShards: a refused
+      // mtime silently degrades trigger order to listing order
+      val ts = 1700000000000L + k * 60000L
+      if (!p.toFile.setLastModified(ts))
+        throw new IllegalStateException(
+          s"graft writeDocShards: setLastModified($ts) refused for $p")
     }
     rows.length.toLong
   }
@@ -861,10 +873,14 @@ object StreamOps {
   }
 
   /** `filesPerTrigger` parameterized for the trigger-invariance spec;
-    * `cap` for the bounded-state spec. */
+    * `cap` for the bounded-state spec; `mtimeRank` for the
+    * arrival-order-independence spec (permutes the shard mtimes so the
+    * file stream REPLAYS the r19 gate failure mode: later vec_ids
+    * arriving in earlier triggers). */
   private[graft] def streamEmbeddingDedupWith(s: SparkSession, dir: String,
-      filesPerTrigger: Int, cap: Int = 1 << 14): DataFrame =
-    streamEmbeddingVerdicts(s, dir, filesPerTrigger, cap)
+      filesPerTrigger: Int, cap: Int = 1 << 14,
+      mtimeRank: Int => Int = identity): DataFrame =
+    streamEmbeddingVerdicts(s, dir, filesPerTrigger, cap, mtimeRank)
       .groupBy(col("vec_id"), col("label"))
       .agg(max(col("collide")).as("dropped"))
       .groupBy(col("label"))
@@ -881,7 +897,22 @@ object StreamOps {
     * `round(x, 4)` rounds it) and the exact-match lookup together; an
     * exact hit refreshes the shared entry (no growth), a new vector
     * inserts, and past `cap` the least-recently-hit PRE-INSERT entry
-    * is evicted. */
+    * is evicted.
+    *
+    * ORDER-INDEPENDENT (r20): the keep-first verdict `drop(v) ⇔
+    * ∃ u < v, cos(u,v) ≥ τ` must not depend on ARRIVAL order, only on
+    * vec_id order — but a file stream's cross-trigger order is
+    * mtime-derived and a filesystem that ignores `setLastModified`
+    * degrades it to listing order (the r19 gate's one red row). So
+    * when an arrival `u` finds an entry first seen by a LATER vec
+    * (`e.firstId > u`) that clears τ, it emits a RETROACTIVE drop row
+    * `(e.firstId, label, collide=true)`: `u` is the earlier witness
+    * that entry's own arrival could not have seen. The downstream
+    * `max(collide)` roll-up absorbs duplicates, so for any arrival
+    * permutation of a bucket the aggregate equals the in-order run
+    * (whichever of a τ-pair arrives second emits the drop for the
+    * larger id). In-order streams emit zero retro rows — entries then
+    * never carry a firstId above a later arrival. */
   private[graft] def processVecArrivals(
       arrivals: Seq[(Long, Int, Array[Float])],
       init: List[VecEntry], cap: Int)
@@ -905,19 +936,25 @@ object StreamOps {
     var entries = init
     var nEntries = entries.size
     var clock = if (entries.isEmpty) 0L else entries.iterator.map(_.lastHit).max
-    val out = arrivals.map { case (id, label, v) =>
-      var collide = false
+    val out = arrivals.flatMap { case (id, label, v) =>
       clock += 1
       var agree: VecEntry = null
       var exact: VecEntry = null
+      var retro = List.empty[Long]
       entries.foreach { e =>
-        if (agree == null && e.firstId < id) {
-          val c = round4(cosF(e.vec, v))
-          if (!c.isNaN && c >= 0.40) agree = e
-        }
         if (exact == null && java.util.Arrays.equals(e.vec, v)) exact = e
+        // own verdict needs only the FIRST earlier-id agreement; retro
+        // drops need EVERY later-id agreement (each names a distinct
+        // dropped vec), so the τ test runs whenever either can still fire
+        if ((agree == null && e.firstId < id) || e.firstId > id) {
+          val c = round4(cosF(e.vec, v))
+          if (!c.isNaN && c >= 0.40) {
+            if (e.firstId < id) agree = e
+            else retro ::= e.firstId
+          }
+        }
       }
-      collide = agree != null
+      val collide = agree != null
       if (exact != null || agree != null) {
         val hitE = exact
         val hitA = agree
@@ -936,7 +973,7 @@ object StreamOps {
           nEntries -= 1
         }
       }
-      (id, label, collide, nEntries)
+      (id, label, collide, nEntries) :: retro.map(rid => (rid, label, true, nEntries))
     }
     (out, entries)
   }
@@ -961,12 +998,21 @@ object StreamOps {
     * float bit pattern, so the streamed vectors are bit-identical to
     * the parquet column.
     *
+    * `mtimeRank(k)` positions shard k in the file stream's
+    * mtime-derived trigger order (identity = ingest order; the
+    * order-independence spec passes permutations). The mtime stamp is
+    * VERIFIED: `File.setLastModified` returning false (a filesystem
+    * refusing the stamp) would silently degrade trigger order to
+    * directory-listing order — the r19 judge's top nondeterminism
+    * candidate for the gate's one red row — so it now fails loudly.
+    *
     * Driver-side fixture writer, gate-scale only (the same documented
     * class as [[writeDocShards]]): the oracle gate runs at sf0.01/0.1
     * where the collect is a few MB; a scale throughput leg would write
     * its shards distributed the way the bench's stateful-stream leg
     * does with df.write.json. */
-  private def writeEmbShards(s: SparkSession, dir: String, inDir: String): Long = {
+  private def writeEmbShards(s: SparkSession, dir: String, inDir: String,
+      mtimeRank: Int => Int): Long = {
     val rows = graft.Tables.t(s, dir, "embeddings")
       .select("vec_id", "label", "embedding").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
@@ -979,7 +1025,11 @@ object StreamOps {
       }.mkString("", "\n", "\n")
       val p = java.nio.file.Paths.get(inDir, f"embs_$k%02d.jsonl")
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))
-      p.toFile.setLastModified(1700000000000L + k * 60000L): Unit
+      val ts = 1700000000000L + mtimeRank(k) * 60000L
+      if (!p.toFile.setLastModified(ts))
+        throw new IllegalStateException(
+          s"graft writeEmbShards: setLastModified($ts) refused for $p — " +
+            "trigger order would fall back to listing order")
     }
     rows.length.toLong
   }
@@ -989,12 +1039,13 @@ object StreamOps {
     * codegen `sign_lsh_sig` + the 32 2-bit band codes), keyed WITH the
     * label so confinement matches the batch semantics. */
   private[graft] def streamEmbeddingVerdicts(s: SparkSession, dir: String,
-      filesPerTrigger: Int, cap: Int): DataFrame = {
+      filesPerTrigger: Int, cap: Int,
+      mtimeRank: Int => Int = identity): DataFrame = {
     val spark = s
     import spark.implicits._
     graft.functions.GraftExtensions.install(s)
     val inDir = freshDir(dir, "embdedup_stream")
-    writeEmbShards(s, dir, inDir)
+    writeEmbShards(s, dir, inDir, mtimeRank)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),

@@ -512,6 +512,52 @@ class StreamingSpec extends SparkSpec {
       s"stream verdicts diverged from the batch key:\n${multi.toSeq}\n${batch.toSeq}")
   }
 
+  test("streaming embedding dedup: aggregate is arrival-order independent (permuted shard mtimes)") {
+    // Replays the r19 gate's hypothesized failure mode: shards arriving
+    // out of vec_id order (mtime permutation → trigger permutation).
+    // Retroactive drop emission must make the roll-up invariant.
+    val inOrder = graft.streaming.StreamOps
+      .streamEmbeddingDedupWith(spark, sf001, 1).collect().map(_.toSeq)
+    val reversed = graft.streaming.StreamOps
+      .streamEmbeddingDedupWith(spark, sf001, 1, mtimeRank = k => 3 - k)
+      .collect().map(_.toSeq)
+    val shuffled = graft.streaming.StreamOps
+      .streamEmbeddingDedupWith(spark, sf001, 1, mtimeRank = Seq(2, 0, 3, 1))
+      .collect().map(_.toSeq)
+    assert(inOrder.nonEmpty && inOrder.sameElements(reversed),
+      s"reversed shard order changed the verdicts:\n${inOrder.toSeq}\n${reversed.toSeq}")
+    assert(inOrder.sameElements(shuffled),
+      s"shuffled shard order changed the verdicts:\n${inOrder.toSeq}\n${shuffled.toSeq}")
+  }
+
+  test("embedding-dedup state transition: retro drops rescue out-of-order arrivals") {
+    import graft.streaming.StreamOps.processVecArrivals
+    // cos(v3,v4) = cos(v4,v5) = cos 50° ≈ 0.643 ≥ τ; cos(v3,v5) =
+    // cos 100° < τ. Keep-first truth: 3 keeps, 4 drops (witness 3),
+    // 5 drops (witness 4). Arrivals REVERSED, one per trigger.
+    val v3 = Array(1.0f, 0.0f)
+    val v4 = Array(0.642788f, 0.766044f)
+    val v5 = Array(-0.173648f, 0.984808f)
+    val (o1, s1) = processVecArrivals(Seq((5L, 1, v5)), List.empty, cap = 16)
+    assert(o1 == Seq((5L, 1, false, 1)), "no witness in state yet")
+    val (o2, s2) = processVecArrivals(Seq((4L, 1, v4)), s1, cap = 16)
+    // own verdict first (4 has no EARLIER witness), then the retro
+    // drop for 5 (4 < 5 and cos ≥ τ — 5's arrival couldn't have seen 4)
+    assert(o2.map(o => (o._1, o._3)) == Seq(4L -> false, 5L -> true),
+      s"expected retro drop of 5, got $o2")
+    val (o3, _) = processVecArrivals(Seq((3L, 1, v3)), s2, cap = 16)
+    assert(o3.map(o => (o._1, o._3)) == Seq(3L -> false, 4L -> true),
+      s"expected retro drop of 4 only (cos(3,5) < τ), got $o3")
+    // the in-order run reaches the same aggregate through own verdicts
+    val (inOrder, _) = processVecArrivals(
+      Seq((3L, 1, v3), (4L, 1, v4), (5L, 1, v5)), List.empty, cap = 16)
+    val agg = (o1 ++ o2 ++ o3).groupBy(_._1).map { case (id, rs) =>
+      id -> rs.exists(_._3) }
+    val aggIn = inOrder.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.exists(_._3) }
+    assert(agg == aggIn && agg == Map(3L -> false, 4L -> true, 5L -> true))
+  }
+
   test("embedding-dedup state transition: keep-first, zero-vector NaN keeps, exact collapse, LRU") {
     import graft.streaming.StreamOps.processVecArrivals
     import graft.streaming.VecEntry
