@@ -127,15 +127,51 @@ object Bench {
     * (r16), and that costs a forensics re-run every round. Root-only
     * (/proc/sys/vm/drop_caches); silently a no-op when not writable, so
     * artifacts are comparable by the env flag, not the platform. */
+  private def coldGroupsOn: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_COLD_GROUPS", "0") == "1"
+
+  private def dropCaches(): Boolean =
+    try {
+      new ProcessBuilder("sync").start().waitFor()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+      true
+    } catch { case _: Throwable => false }
+
   private def coldGroup(tag: String): Unit =
-    if (sys.env.getOrElse("SPARK_GRAFT_COLD_GROUPS", "0") == "1") {
-      try {
-        new ProcessBuilder("sync").start().waitFor()
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
-        System.err.println(s"[bench] cold-groups: caches dropped before $tag")
-      } catch { case _: Throwable => () }
-    }
+    if (coldGroupsOn && dropCaches())
+      System.err.println(s"[bench] cold-groups: caches dropped before $tag")
+
+  /** Cold sequential-read throughput of the host disk, MB/s — measured
+    * IN the artifact (r19 verdict #2): cold sf100 walls inherit the
+    * host's cold-read throughput wholesale, and that throughput swings
+    * ~5–12× between windows (159 vs 846 MB/s minutes apart on the same
+    * file, a window collapsing 501→70.6 MB/s mid-pass). A cold wall
+    * quoted without its probe is uninterpretable, so cold-groups passes
+    * now self-adjudicate: caches dropped → read up to 4 GB of the
+    * scale's largest table sequentially → drop again (the measured
+    * group still starts cold). Returns (mb_per_s, bytes_read);
+    * (-1, 0) when the probe can't run (no drop_caches privilege —
+    * a warm-cache "probe" would read GB/s fiction). */
+  private def diskProbe(sfDir: String): (Double, Long) = {
+    val f = new java.io.File(sfDir, "lineitem.parquet")
+    val target = Seq(f, new java.io.File(sfDir, "documents.parquet"),
+      new java.io.File(sfDir, "orders.parquet")).filter(_.exists())
+      .sortBy(-_.length()).headOption.orNull
+    if (target == null || !dropCaches()) return (-1.0, 0L)
+    val cap = 4L * 1024 * 1024 * 1024
+    val buf = new Array[Byte](1 << 20)
+    var read = 0L
+    val t0 = System.nanoTime()
+    val in = new java.io.FileInputStream(target)
+    try {
+      var n = in.read(buf)
+      while (n >= 0 && read < cap) { read += n; n = in.read(buf) }
+    } finally in.close()
+    val s = (System.nanoTime() - t0) / 1e9
+    dropCaches()
+    (read / 1e6 / math.max(s, 1e-9), read)
+  }
 
   private def binarizeB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]) =
     graft.tensor.Filters.mapBlocks(ds)(b => b.data.map(v => if (v > 200.0) 1.0 else 0.0))
@@ -412,6 +448,13 @@ object Bench {
           s"SPARK_GRAFT_KEYS names no known query: ${unknown.mkString(",")}")
       }
       def keep(n: String): Boolean = onlyKeys.forall(_.contains(n))
+      // Pre-pass disk probe (r19 verdict #2): cold-groups artifacts
+      // carry their own cold-read MB/s so a regression band can tell a
+      // slow disk window from a slow plan without out-of-band forensics.
+      val preProbe = if (coldGroupsOn) diskProbe(sfDir) else (-1.0, 0L)
+      if (preProbe._1 >= 0)
+        System.err.println(f"[bench] disk probe (pre): ${preProbe._1}%.1f " +
+          f"MB/s over ${preProbe._2 / 1e6}%.0f MB")
       // cache drop BEFORE t0 (r17, per ADVICE): the other groups take
       // their timestamps after their coldGroup call — billing the sync +
       // drop into the headline wall made it incomparable under the flag
@@ -651,28 +694,70 @@ object Bench {
           val verdicts = graft.streaming.StreamOps.nearDedupVerdictStream(
             spark, inDir, filesPerTrigger = 8, maxSigsPerBucket = 1 << 14,
             ttlMs = 0L)
+          // Progress accounting via a listener, not q.recentProgress:
+          // Spark retains only numRecentProgressUpdates (default 100)
+          // entries, so a >100-micro-batch run would undercount ingested
+          // rows and falsely flag the leg (r19 ADVICE). The listener
+          // sees EVERY progress event regardless of retention.
+          val ingestedAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+          val batchesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+          @volatile var qid: java.util.UUID = null
+          val listener = new org.apache.spark.sql.streaming
+              .StreamingQueryListener {
+            override def onQueryStarted(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryProgressEvent): Unit =
+              if (qid != null && e.progress.id == qid) {
+                ingestedAcc.addAndGet(e.progress.numInputRows)
+                if (e.progress.numInputRows > 0) batchesAcc.incrementAndGet()
+              }
+            override def onQueryTerminated(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(listener)
           val t0 = System.nanoTime()
-          val q = verdicts.writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          try q.awaitTermination() finally q.stop()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val progress = q.recentProgress.toSeq
-          val batches = progress.count(_.numInputRows > 0)
+          var stateQ: org.apache.spark.sql.streaming.StreamingQuery = null
+          val wall = try {
+            val q0 = verdicts.writeStream.format("noop")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            qid = q0.id
+            try q0.awaitTermination() finally q0.stop()
+            stateQ = q0
+            (System.nanoTime() - t0) / 1e9
+          } finally {
+            // listener events are async — wait for the counter to reach
+            // the expectation (or stabilize) before reading it
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            var last = -1L
+            var stableSince = System.nanoTime()
+            while (ingestedAcc.get() < nDocs && System.nanoTime() < deadline &&
+                System.nanoTime() - stableSince < 2L * 1000 * 1000 * 1000) {
+              if (ingestedAcc.get() != last) {
+                last = ingestedAcc.get(); stableSince = System.nanoTime()
+              }
+              Thread.sleep(50)
+            }
+            spark.streams.removeListener(listener)
+          }
+          val batches = batchesAcc.get()
           // throughput numerator = rows the stream ACTUALLY ingested
-          // (sum of per-batch numInputRows), not the source count — a
-          // glob/hidden-file mismatch dropping a shard would otherwise
-          // silently overstate rows/s (r18 ADVICE). nDocs stays as the
-          // expectation; a shortfall is a flagged leg, not a quiet one.
-          val ingested = progress.map(_.numInputRows).sum
+          // (listener-summed per-batch numInputRows), not the source
+          // count — a glob/hidden-file mismatch dropping a shard would
+          // otherwise silently overstate rows/s (r18 ADVICE). nDocs
+          // stays as the expectation; a shortfall is a flagged leg.
+          val ingested = ingestedAcc.get()
           if (ingested != nDocs) {
             failed += "stream_stateful_throughput"
             System.err.println(s"[bench] stateful stream FLAG: ingested " +
               s"$ingested rows but source has $nDocs")
           }
-          val stateOps = progress.reverse
+          // the LAST progress entry is always within retention — state
+          // totals read fine from recentProgress
+          val stateOps = stateQ.recentProgress.toSeq.reverse
             .find(_.stateOperators.nonEmpty).toSeq.flatMap(_.stateOperators.toSeq)
           val stateRows = stateOps.map(_.numRowsTotal).sum
           val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
@@ -805,10 +890,45 @@ object Bench {
             System.err.println(
               "[bench] sigindex probe FLAG: partition pruning not in scan")
           }
+          // Band-sparse small-batch probe (r19 verdict #4): the 10%
+          // batch above bands into every (band, part) partition on the
+          // synthetic corpus (512/512 — the pruning mechanism is pinned
+          // but inert), so this twin probes what pruning is FOR: a
+          // micro-batch of 16 arriving docs whose ≤128 banded keys list
+          // a fraction of the 512 partitions. Reported against an
+          // UNPRUNED twin of the same verdict (full index scan, no IN
+          // filter) — listed-vs-total partitions plus both walls, and a
+          // flag if the two verdicts ever disagree (pruning must never
+          // change the answer).
+          val smallDocs = docs
+            .filter(col("doc_id") >= cut && col("doc_id") < cut + 16)
+          val st0 = System.nanoTime()
+          val smallSigs = TextOps.nearDupSigs(smallDocs).localCheckpoint(true)
+          val smallBanded = TextOps.nearDupBand(smallSigs)
+          val sKeys = SigIndex.probeKeys(smallBanded)
+          val sIdx = SigIndex.prunedRead(spark, root.toString, sKeys)
+            .withColumnRenamed("sig", "idx_sig")
+          val sCollided = TextOps.nearDupCollidedIds(
+            smallSigs.select("doc_id", "sig"), sIdx).count()
+          val sPrunedS = (System.nanoTime() - st0) / 1e9
+          val su0 = System.nanoTime()
+          val uIdx = SigIndex.read(spark, root.toString)
+            .withColumnRenamed("sig", "idx_sig")
+          val uCollided = TextOps.nearDupCollidedIds(
+            smallSigs.select("doc_id", "sig"), uIdx).count()
+          val sUnprunedS = (System.nanoTime() - su0) / 1e9
+          if (sCollided != uCollided) {
+            failed += "sigindex_probe"
+            System.err.println(s"[bench] sigindex small-batch FLAG: pruned " +
+              s"verdict $sCollided != unpruned $uCollided")
+          }
           sigIndexOnepass = s""","sigindex":{"build_s":$buildS,""" +
             s""""reused":$reused,"probe_s":$probeS,"batch_docs":$nBatch,""" +
             s""""n_collided":$nCollided,"probe_partitions":${keys.length},""" +
-            s""""pruned_scan_ok":$prunedOk}"""
+            s""""pruned_scan_ok":$prunedOk,"small_batch":{"batch_docs":16,""" +
+            s""""probe_partitions":${sKeys.length},"total_partitions":512,""" +
+            s""""pruned_probe_s":$sPrunedS,"unpruned_probe_s":$sUnprunedS,""" +
+            s""""n_collided":$sCollided,"verdict_equal":${sCollided == uCollided}}}"""
         } catch {
           case e: Throwable =>
             failed += "sigindex_probe"
@@ -843,8 +963,27 @@ object Bench {
             failed += "pqindex_probe"
             System.err.println(s"[bench] pqindex probe FLAG: ${top.length} rows")
           }
+          // Incremental-append datapoint (r19 verdict #6): the marginal
+          // cost of adding the newest 10% of vectors to the FROZEN
+          // index — encode + cell-assign + parquet write of only the
+          // new codes (zero corpus re-reads, zero index rewrites).
+          // Writes land in a throwaway dir so the durable index stays
+          // exactly its fingerprinted build.
+          val maxId = Tables.t(spark, sfDir, "embeddings")
+            .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+          val aCut = maxId - maxId / 10
+          val newVecs = Similarity.normedForTest(spark, sfDir)
+            .filter(org.apache.spark.sql.functions.col("vec_id") >= aCut)
+          val aDir = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_bench_pqappend_${spark.sparkContext.applicationId}")
+          queries.TmpCleanup.register(aDir.toString)
+          val at0 = System.nanoTime()
+          Similarity.appendPqCodes(spark, root, newVecs, aDir.toString)
+          val appendS = (System.nanoTime() - at0) / 1e9
+          val nAppended = spark.read.parquet(aDir.toString).count()
           pqIndexOnepass = s""","pqindex":{"build_s":$buildS,""" +
-            s""""reused":$reused,"probe_s":$probeS,"codes_mb":$codesMb}"""
+            s""""reused":$reused,"probe_s":$probeS,"codes_mb":$codesMb,""" +
+            s""""append_s":$appendS,"append_rows":$nAppended}"""
         } catch {
           case e: Throwable =>
             failed += "pqindex_probe"
@@ -868,9 +1007,28 @@ object Bench {
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val cqj = res.map { case (k, v) => "\"" + k + "\":" + r4(v) }
         .mkString("{", ",", "}")
+      // Post-pass probe + contended flag: the pass is only
+      // self-adjudicating if the disk was healthy BOTH ends (r19 watched
+      // a window collapse mid-pass). The 400 MB/s band is the SKILL
+      // protocol's wait-for-a-better-window threshold; a sub-256 MB
+      // probe file (toy sf) can't saturate a real disk so it never
+      // raises the flag.
+      var diskJson = ""
+      if (coldGroupsOn) {
+        val postProbe = diskProbe(sfDir)
+        if (postProbe._1 >= 0)
+          System.err.println(f"[bench] disk probe (post): " +
+            f"${postProbe._1}%.1f MB/s")
+        val meaningful = math.min(preProbe._2, postProbe._2) >= 256L * 1024 * 1024
+        val contended = meaningful &&
+          math.min(preProbe._1, postProbe._1) < 400.0
+        diskJson = s""","disk_probe_mb_per_s":{"pre":${r4(preProbe._1)},""" +
+          s""""post":${r4(postProbe._1)},"probe_mb":${preProbe._2 / 1048576}},""" +
+          s""""disk_contended":$contended"""
+      }
       emit(
         s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
-          s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$sigIndexOnepass$pqIndexOnepass$streamingOnepass$statefulOnepass$tensorOnepass,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
+          s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$sigIndexOnepass$pqIndexOnepass$streamingOnepass$statefulOnepass$tensorOnepass$diskJson,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
         s"""{"metric":"onepass","value":${r4(wall)},"unit":"sec","queries":$cqj,""" +
           s""""failed":$fj,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""")
       spark.stop()

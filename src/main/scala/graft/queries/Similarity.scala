@@ -1076,7 +1076,15 @@ object Similarity {
     * later call — across JVMs — probes at reused cost. */
   val ivfPqProbe: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
-    val root = ensurePqIndex(s, dir)
+    pqProbeFrom(s, dir, ensurePqIndex(s, dir))
+  }
+
+  /** The serving-path probe against a stored index root — shared by
+    * [[ivfPqProbe]] and [[ivfPqAppendProbe]] (identical reads: index
+    * relations, ADC over probed-cell codes, 200 pushed-IN float
+    * payload fetches). */
+  private def pqProbeFrom(s: SparkSession, dir: String,
+      root: java.io.File): DataFrame = {
     val cents = s.read.parquet(new java.io.File(root, "cents").toString)
     val cb = s.read.parquet(new java.io.File(root, "cb").toString)
     val codes = s.read.parquet(new java.io.File(root, "codes").toString)
@@ -1104,6 +1112,77 @@ object Similarity {
       .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
+  }
+
+  /** INCREMENTAL APPEND to a stored IVF-PQ index (r19 verdict #6 — the
+    * index was build-once/append-never while SigIndex had the full
+    * lifecycle): encode `newVecs` (vec_id, v — already normalized) into
+    * the index's FROZEN coarse centroids and PQ codebooks and append
+    * the packed code rows to `codes/`. Nothing retrains — in
+    * production codebooks are trained once on a corpus sample and new
+    * data is encoded into them (Jégou et al. §IV; Faiss `add` vs
+    * `train`), so appended codes are bit-identical to what a
+    * frozen-codebook rebuild over the union would store
+    * (spec-asserted in SimilaritySpec). Append cost is one encode +
+    * assign pass over ONLY the new vectors: zero corpus re-reads,
+    * zero index rewrites — the parquet files land next to the
+    * existing ones. */
+  private[graft] def appendPqCodes(s: SparkSession, root: java.io.File,
+      newVecs: DataFrame, codesPath: String = null): Unit = {
+    graft.functions.GraftExtensions.install(s)
+    val cents = s.read.parquet(new java.io.File(root, "cents").toString)
+    val cb = s.read.parquet(new java.io.File(root, "cb").toString)
+    val target =
+      if (codesPath != null) codesPath // bench: measure the marginal
+                                       // encode+write without mutating
+                                       // a durable index
+      else new java.io.File(root, "codes").toString
+    pqPack(pqAssign(pqSubs(newVecs), cb))
+      .join(assignCells(newVecs, cents).select("vec_id", "cluster"), "vec_id")
+      .write.mode("append").parquet(target)
+  }
+
+  /** The append-lifecycle twin of [[ensurePqIndex]] (own fingerprint
+    * tag, so the two layouts coexist): train centroids + codebooks on
+    * the full corpus, store codes for only the EVEN vec_ids, then
+    * [[appendPqCodes]] the odd half — the "new data arrives after the
+    * index is built" path, exercised inside the atomic ensureLayout
+    * build so the completed layout is always base+append. Because the
+    * codebooks are frozen, the appended index is row-identical to the
+    * full build, which is what lets [[ivfPqAppendProbe]] share
+    * [[ivfPqTopkSql]]'s oracle. */
+  private[graft] def ensurePqAppendIndex(s: SparkSession,
+      dir: String): java.io.File = {
+    val fp = graft.sources.Lake.layoutFingerprint(
+      new java.io.File(s"$dir/embeddings.parquet"), "pqidx-append-v1")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqidx_apnd_${graft.sources.Lake.dirSuffix(dir)}_$fp")
+    graft.sources.Lake.ensureLayout(s, root) { tmp =>
+      val vecs = normedPinned(t(s, dir, "embeddings"))
+      val cents = kmeans(vecs)
+      val cb = pqCodebooks(pqSubs(vecs))
+      val base = vecs.filter(col("vec_id") % 2 === 0)
+      val codes = pqPack(pqAssign(pqSubs(base), cb))
+        .join(assignCells(base, cents).select("vec_id", "cluster"), "vec_id")
+      cents.write.parquet(new java.io.File(tmp, "cents").toString)
+      cb.write.parquet(new java.io.File(tmp, "cb").toString)
+      codes.write.parquet(new java.io.File(tmp, "codes").toString)
+      appendPqCodes(s, tmp, vecs.filter(col("vec_id") % 2 === 1))
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+    }
+    root
+  }
+
+  /** Gated key for the append lifecycle: probe the base+appended index
+    * — row-identical to [[ivfPqProbe]] (frozen codebooks ⇒ appended
+    * codes ≡ rebuild codes), so the all-pairs training replay
+    * [[ivfPqTopkSql]] stays the oracle. What the key actually gates:
+    * appended rows land in the SAME `codes/` relation with correct
+    * cell routing and nibble packing, and the serving probe reads the
+    * union transparently. */
+  val ivfPqAppendProbe: Q = (s, dir) => {
+    graft.functions.GraftExtensions.install(s)
+    pqProbeFrom(s, dir, ensurePqAppendIndex(s, dir))
   }
 
   // --------------------------------------------------- semantic dedup
@@ -1231,6 +1310,7 @@ object Similarity {
     "ivf_cosine_topk" -> ivfCosineTopk,
     "ivf_pq_topk" -> ivfPqTopk,
     "ivf_pq_probe" -> ivfPqProbe,
+    "ivf_pq_append_probe" -> ivfPqAppendProbe,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1247,5 +1327,6 @@ object Similarity {
     // the stored index is a plan/storage optimization with an exactness
     // argument (same training, probes, ADC, re-rank) — same SQL twin
     "ivf_pq_probe" -> ivfPqTopkSql,
+    "ivf_pq_append_probe" -> ivfPqTopkSql,
   )
 }

@@ -124,32 +124,71 @@ object TextOps {
     * by the 4-dp round). The 3 per-term scores are summed in FIXED term
     * order as one expression — never a float sum over an unordered
     * group. Docs matching no term score exactly 0.0 in both engines. */
-  val bm25TopK: Q = (s, dir) => {
+  val bm25TopK: Q = (s, dir) =>
+    bm25TopKTerms(s, dir, Seq("spark", "join", "window"), 10)
+
+  /** Gated 1-term variant — the parameterized operator at a different
+    * width, driver-oracled (the spec pins 7- and 8-term shapes; this
+    * key keeps a second width under the hash gate). */
+  val bm25SingleTerm: Q = (s, dir) => bm25TopKTerms(s, dir, Seq("data"), 10)
+
+  val bm25SingleTermSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'data')) AS tf0
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (
+      |  SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0
+      |  FROM d)
+      |SELECT doc_id, round(
+      |    CASE WHEN tf0 > 0 THEN
+      |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+      |        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    ELSE 0.0 END, 4) AS bm25
+      |FROM d CROSS JOIN st
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Query-terms-parameterized BM25 (r19 verdict #5 — the gated key's
+    * fixed three terms were a fixture, not an operator): the tf
+    * columns, the df aggregates, and the fixed-order score sum are all
+    * generated from `terms`, so any query runs the same ONE map-only
+    * scan + 1-row-broadcast plan the fixed key pins. Term list must be
+    * non-empty; duplicate terms are legal (each occurrence scores —
+    * standard bag-of-words query semantics). */
+  def bm25TopKTerms(s: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKTerms: empty query")
     graft.functions.GraftExtensions.install(s)
     val k1 = 1.2
     val b = 0.75
+    // each term literal rides a Column-level lit(), never string
+    // interpolation into expr() — a quote in a term must not become SQL
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      call_function("count_in", split(col("text"), " "), lit(term)).as(s"tf$i")
+    }
     val tfs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), size(toks).as("dl"),
-        expr("count_in(split(text, ' '), 'spark')").as("tf0"),
-        expr("count_in(split(text, ' '), 'join')").as("tf1"),
-        expr("count_in(split(text, ' '), 'window')").as("tf2"))
-    val stats = tfs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
-      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
-      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      .select(col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val aggCols = avg(col("dl")).as("avgdl") +: dfAggs
+    val stats = tfs.agg(count(lit(1)).as("n"), aggCols: _*)
     def term(tf: Column, df: Column): Column =
       when(tf > 0,
         log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
           (tf * lit(k1 + 1)) /
           (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
         .otherwise(lit(0.0))
+    val score = terms.indices
+      .map(i => term(col(s"tf$i"), col(s"df$i")))
+      .reduce(_ + _) // FIXED left-fold term order — never a float sum
+                     // over an unordered group
     tfs.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(term(col("tf0"), col("df0")) + term(col("tf1"), col("df1"))
-          + term(col("tf2"), col("df2")), 4).as("bm25"))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   val bm25TopKSql: String =
@@ -264,6 +303,78 @@ object TextOps {
       |  FROM d)
       |SELECT shard, CAST((cum - tok) // 2000 AS BIGINT) AS pack,
       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------- chunk → pack pipeline
+  /** The two training-data stages COMPOSED (r19 verdict #3 —
+    * [[chunkDocuments]] aggregated chunk geometry but emitted no chunk
+    * rows for [[packSequences]] to consume): chunk every document into
+    * 128-token windows advancing by 112 (chunk i of an n-token doc
+    * spans [i·112, i·112 + min(128, n − i·112))), then pack the chunk
+    * rows shard-locally into 2000-token training batches and emit the
+    * per-pack manifest the batch loader reads.
+    *
+    * Scale shape: the chunk emit is a map-side `posexplode` over
+    * integer geometry (no token materialization — a chunk row is
+    * (doc_id, chunk_idx, tok), ~n/112 rows per doc, linear in corpus
+    * tokens); packing reuses the [[packSequences]] design — the cumsum
+    * window is PARTITIONED by shard (doc_id % 8, chunks follow their
+    * doc), so there is no global sort and no single-partition prefix
+    * sum; the only chunk-level exchange is the shard window's hash
+    * partition, and the manifest aggregate map-side-combines to
+    * (shard, pack) partials. Plan pin (PlanShapeSpec): exactly one
+    * chunk-level exchange, no global Sort below the window. */
+  val chunkPackPipeline: Q = (s, dir) => {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).as("n"))
+      .withColumn("nc",
+        when(col("n") <= 128, lit(1))
+          .otherwise(lit(1) + ceil((col("n") - 128) / lit(112.0)).cast("int")))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        posexplode(expr("transform(sequence(0, nc - 1), " +
+          "i -> least(128, n - i * 112))")))
+      .toDF("doc_id", "shard", "chunk_idx", "tok")
+    chunks
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack", expr("(cum - tok) div 2000"))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tok")).cast("long").as("sum_tokens"),
+        max(col("tok")).as("max_chunk_tokens"))
+      .orderBy(col("shard"), col("pack"))
+  }
+
+  val chunkPackPipelineSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, shard, n,
+      |    CASE WHEN n <= 128 THEN 1
+      |         ELSE 1 + CAST(ceil((n - 128) / 112.0) AS INT) END AS nc
+      |  FROM d),
+      |ix AS (
+      |  SELECT doc_id, shard, n, unnest(range(0, nc)) AS chunk_idx FROM g),
+      |ch AS (
+      |  SELECT doc_id, shard, chunk_idx,
+      |    least(128, n - chunk_idx * 112) AS tok
+      |  FROM ix),
+      |c AS (
+      |  SELECT shard, doc_id, chunk_idx, tok,
+      |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM ch)
+      |SELECT shard, CAST((cum - tok) // 2000 AS BIGINT) AS pack,
+      |  count(*) AS n_chunks,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+      |  max(tok) AS max_chunk_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------ top terms
@@ -2759,8 +2870,10 @@ object TextOps {
     "dedup_keep_first" -> dedupKeepFirst,
     "doc_token_stats" -> docTokenStats,
     "bm25_topk" -> bm25TopK,
+    "bm25_single_term" -> bm25SingleTerm,
     "chunk_documents" -> chunkDocuments,
     "pack_sequences" -> packSequences,
+    "chunk_pack_pipeline" -> chunkPackPipeline,
     "top_terms" -> topTerms,
     "tfidf_top_terms" -> tfidfTopTerms,
     "text_quality" -> textQuality,
@@ -2804,8 +2917,10 @@ object TextOps {
     "dedup_keep_first" -> dedupKeepFirstSql,
     "doc_token_stats" -> docTokenStatsSql,
     "bm25_topk" -> bm25TopKSql,
+    "bm25_single_term" -> bm25SingleTermSql,
     "chunk_documents" -> chunkDocumentsSql,
     "pack_sequences" -> packSequencesSql,
+    "chunk_pack_pipeline" -> chunkPackPipelineSql,
     "top_terms" -> topTermsSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_quality" -> textQualitySql,

@@ -109,8 +109,9 @@ object Lake {
 
   /** One-command layout lifecycle (r18 verdict #7): build-or-validate
     * EVERY durable fingerprinted layout for `dir` in one pass — month
-    * lineitem, day events, the bucketed facts, and the bench signature
-    * index — returning (layout, reused, build_s) rows. Build-once /
+    * lineitem, day events, the bucketed facts, the bench signature
+    * index, and the IVF-PQ ANN index — returning (layout, reused,
+    * build_s) rows. Build-once /
     * reuse-forever is the engine's core lake economics; this is the
     * deterministic path from a fresh environment to the benched state
     * (and on a warm one it validates all-reused at ~0.1 s/layout).

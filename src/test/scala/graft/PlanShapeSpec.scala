@@ -217,6 +217,24 @@ class PlanShapeSpec extends SparkSpec {
       s"stats must broadcast and top-k must stay partial:\n$p")
   }
 
+  test("chunk_pack_pipeline: shard-windowed packing — no global sort below the window") {
+    // the chunk emit is a map-side Generate; the ONLY hash exchange in
+    // the whole pipeline is the shard window's — the manifest aggregate
+    // reuses it (hash(shard) satisfies the (shard, pack[, doc_id])
+    // clustered distribution: a subset partitioning co-locates every
+    // finer group), so chunk rows shuffle exactly once
+    val p = plan("chunk_pack_pipeline")
+    assert(p.contains("Generate"), s"chunk emit must be a posexplode:\n$p")
+    assert(p.contains("Window"), s"packing must be the shard cumsum window:\n$p")
+    assert(hashExchanges(p) == 1,
+      s"exactly one hash exchange (the shard window; agg reuses it):\n$p")
+    // the window's sort is per-partition (global=false); the only
+    // global Sort is the final ORDER BY over the small manifest
+    val globalSorts = "Sort \\[.*\\], true".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"a global chunk-level sort crept below the window:\n$p")
+  }
+
   test("ivf_pq_probe: the re-rank fetch pushes vec_id IN into the corpus scan") {
     // the serving-path claim — only the 200 shortlisted float payloads
     // are read — holds only if the IN lands as a data filter on the

@@ -90,6 +90,45 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.count() == Similarity.normedForTest(spark, sf0001).count())
   }
 
+  test("ivf_pq append lifecycle: appended codes equal a frozen-codebook rebuild; probe matches") {
+    // the append-lifecycle index: trained full, codes stored for even
+    // vec_ids, odd half APPENDED with frozen codebooks
+    val apRoot = Similarity.ensurePqAppendIndex(spark, sf0001)
+    // frozen codebooks ⇒ appended index must be ROW-IDENTICAL (as a
+    // set) to the full build ivf_pq_probe uses
+    val fullRoot = Similarity.pqIndexDir(sf0001)
+    Similarity.ivfPqProbe(spark, sf0001).collect() // ensure full index
+    def codeSet(root: java.io.File) =
+      spark.read.parquet(new java.io.File(root, "codes").toString)
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getLong(r.fieldIndex("cluster")),
+          r.getAs[Array[Byte]]("codes").toSeq)).toSet
+    val appended = codeSet(apRoot)
+    val full = codeSet(fullRoot)
+    assert(appended == full,
+      s"append-built codes diverge from the full build: " +
+        s"only-append=${(appended -- full).take(3)} " +
+        s"only-full=${(full -- appended).take(3)}")
+    // and the serving probe over the appended index returns the same
+    // rows as the canonical stored-index probe
+    val ap = Similarity.ivfPqAppendProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pr = Similarity.ivfPqProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ap == pr, s"append-index probe diverged: ap=$ap pr=$pr")
+    // appending MORE vectors to a copy touches only the new rows: the
+    // appended batch lands next to the existing files (no rewrite)
+    val before = Option(new java.io.File(apRoot, "codes").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val extra = Similarity.normedForTest(spark, sf0001)
+      .filter(col("vec_id") < 0) // empty batch: append must be a no-op write
+    Similarity.appendPqCodes(spark, apRoot, extra)
+    val after = codeSet(apRoot)
+    assert(after == appended, "empty append must not change the code set")
+    assert(before > 0)
+  }
+
   test("pq codebooks: 8 subspaces, <=16 codes each, 8-dim entries; codes cover the corpus") {
     val s = spark
     val vecs = Similarity.normedForTest(s, sf0001)

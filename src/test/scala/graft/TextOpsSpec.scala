@@ -856,6 +856,38 @@ class TextOpsSpec extends SparkSpec {
       s"engine top-10 diverged from the driver replay:\n${res.toSeq}\n$expected")
   }
 
+  test("bm25TopKTerms: parameterized query — 1-term and 8-term shapes, fixed key is the 3-term call") {
+    // the gated key IS the parameterized operator at the fixed query
+    val fixed = TextOps.bm25TopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val param = TextOps.bm25TopKTerms(spark, sf001,
+      Seq("spark", "join", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(param == fixed)
+    // 1-term query: scores rank purely by that term's BM25 — every
+    // positive-score doc contains the term, ordering non-increasing
+    val one = TextOps.bm25TopKTerms(spark, sf001, Seq("spark"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(one.length == 10)
+    val oneScores = one.map(_._2)
+    assert(oneScores.zip(oneScores.tail).forall { case (a, b) => a >= b })
+    // 8-term query (with a guaranteed-absent term): runs the same
+    // map-only shape at a different width; the absent term scores 0
+    // everywhere so adding it must not change any doc's score vs the
+    // same query without it
+    val seven = Seq("spark", "join", "window", "the", "data", "query", "table")
+    val s7 = TextOps.bm25TopKTerms(spark, sf001, seven, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s8 = TextOps.bm25TopKTerms(spark, sf001,
+      seven :+ "zz_no_such_token_zz", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s8 == s7, "a zero-df term must contribute exactly 0.0 to every doc")
+    // empty query is a loud error, not an empty result
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopKTerms(spark, sf001, Seq.empty, 10)
+    }
+  }
+
   test("chunk_documents: window/overlap geometry on hand-built token counts") {
     val s = spark
     import s.implicits._
