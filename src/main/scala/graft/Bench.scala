@@ -186,7 +186,7 @@ object Bench {
     * aligned 1 MiB chunks (O_DIRECT rejects unaligned lengths).
     * Returns (mb_per_s, bytes_read); (-1, 0) when the platform refuses
     * O_DIRECT or no table file is probe-sized. */
-  private def diskProbeDirect(sfDir: String): (Double, Long) = {
+  private[graft] def diskProbeDirect(sfDir: String): (Double, Long) = {
     val target = Seq("lineitem.parquet", "documents.parquet", "orders.parquet")
       .map(new java.io.File(sfDir, _)).filter(_.exists())
       .sortBy(-_.length()).headOption.orNull
