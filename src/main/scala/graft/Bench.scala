@@ -214,30 +214,99 @@ object Bench {
         val s = (System.nanoTime() - t0) / 1e9
         (read / 1e6 / math.max(s, 1e-9), read)
       } finally ch.close()
-    } catch { case _: Throwable => (-1.0, 0L) }
+    // NonFatal only (r21, per ADVICE): a fatal error (OOM, interrupt)
+    // must propagate, not masquerade as a clean probe decline
+    } catch { case scala.util.control.NonFatal(_) => (-1.0, 0L) }
   }
 
-  /** The mode-appropriate probe: cold-groups passes measure the
-    * cold-read window (drop → read → drop); warm passes measure the
-    * same device through O_DIRECT without touching the cache. */
-  private def diskProbeAuto(sfDir: String): (Double, Long) =
-    if (coldGroupsOn) diskProbe(sfDir) else diskProbeDirect(sfDir)
+  /** The mode-appropriate probe WITH its kind (r21, per ADVICE: the kind
+    * was previously re-derived from the cold-groups env flag at JSON
+    * time, so a COLD_GROUPS=1 flag without ONEPASS mislabeled the
+    * default path's O_DIRECT measurement as drop_caches): cold-groups
+    * passes measure the cold-read window (drop → read → drop); warm
+    * passes measure the same device through O_DIRECT without touching
+    * the cache. */
+  private def diskProbeAuto(sfDir: String): (Double, Long, String) =
+    if (coldGroupsOn) { val (m, b) = diskProbe(sfDir); (m, b, "drop_caches") }
+    else { val (m, b) = diskProbeDirect(sfDir); (m, b, "o_direct") }
 
-  private def diskProbeKind: String =
-    if (coldGroupsOn) "drop_caches" else "o_direct"
-
-  /** Shared probe-pair JSON: `disk_probe_mb_per_s` + `disk_contended`
-    * (< 400 MB/s on a ≥256 MB probe at either end — the SKILL
-    * protocol's wait-for-a-better-window band). Empty when the probe
-    * can't run at all, so artifacts are comparable by field presence. */
-  private def diskJsonFor(pre: (Double, Long), post: (Double, Long)): String = {
+  /** Shared probe-pair JSON: `disk_probe_mb_per_s` + `disk_contended`.
+    * The 256 MB / 400 MB/s band is evaluated PER END (r21, per ADVICE:
+    * min(pre, post) bytes let one declined end suppress the flag even
+    * when the surviving end measured a collapsed window); a declined end
+    * emits `null` instead of the old undocumented -1 sentinel. Empty
+    * when neither probe ran, so artifacts stay comparable by field
+    * presence. */
+  private def diskJsonFor(pre: (Double, Long), post: (Double, Long),
+      kind: String): String = {
     if (pre._1 < 0 && post._1 < 0) return ""
-    val meaningful =
-      math.min(pre._2, post._2) >= 256L * 1024 * 1024
-    val contended = meaningful && math.min(pre._1, post._1) < 400.0
-    s""","disk_probe_mb_per_s":{"pre":${r4(pre._1)},""" +
-      s""""post":${r4(post._1)},"probe_mb":${math.max(pre._2, post._2) / 1048576},""" +
-      s""""kind":"$diskProbeKind"},"disk_contended":$contended"""
+    def bandValid(e: (Double, Long)): Boolean =
+      e._1 >= 0 && e._2 >= 256L * 1024 * 1024
+    val contended = Seq(pre, post).exists(e => bandValid(e) && e._1 < 400.0)
+    def js(e: (Double, Long)): String = if (e._1 < 0) "null" else r4(e._1)
+    val probeMb = math.max(if (pre._1 < 0) 0L else pre._2,
+      if (post._1 < 0) 0L else post._2) / 1048576
+    s""","disk_probe_mb_per_s":{"pre":${js(pre)},""" +
+      s""""post":${js(post)},"probe_mb":$probeMb,""" +
+      s""""kind":"$kind"},"disk_contended":$contended"""
+  }
+
+  // sink for the CPU probe's fold results — a field store the JIT cannot
+  // prove dead, so the spin loop never folds away
+  @volatile private var cpuProbeSink: Double = 0.0
+
+  /** Deterministic CPU spin probe (r21, verdict #2): the disk probes
+    * cannot see CPU contention, and CPU-bound keys (PQ/Lloyd training)
+    * swung far more than the dispatch floor in r20's polluted window.
+    * Fixed work — `iters` passes of a 4096-wide multiply-add fold over a
+    * constant array (the argmax_dot kernel's shape) — timed once on the
+    * calling thread (`single_ms`) and once on `threads` concurrent
+    * threads each running the identical work (`multi_ms` = slowest
+    * thread, i.e. the all-cores wall). Healthy idle readings on this
+    * host (measured r21): single ≈ 23 ms, multi ≈ 48 ms at 32 threads;
+    * `cpu_contended` flags when either exceeds its reference band
+    * (env-overridable), the CPU twin of the 400 MB/s disk band. */
+  private def cpuSpin(iters: Int): Double = {
+    val a = Array.tabulate(4096)(i => (((i * 1315423911L) >>> 7) % 256L).toDouble / 256.0)
+    var acc = 0.0
+    val t0 = System.nanoTime()
+    var it = 0
+    while (it < iters) {
+      var s = 0.0
+      var i = 0
+      while (i < 4096) { s += a(i) * a((i + it) & 4095); i += 1 }
+      acc += s
+      it += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    cpuProbeSink = acc
+    ms
+  }
+
+  private def cpuProbeJson(threads: Int): String = {
+    try {
+      val iters = sys.env.getOrElse("SPARK_GRAFT_CPU_ITERS", "8192").toInt
+      cpuSpin(iters); cpuSpin(iters) // JIT warm-up (C2), untimed
+      val single = cpuSpin(iters)
+      val wallUs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ts = (1 to math.max(1, threads)).map { _ =>
+        new Thread(() => {
+          val us = (cpuSpin(iters) * 1000).toLong
+          wallUs.getAndUpdate(w => math.max(w, us))
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val multi = wallUs.get() / 1000.0
+      // measured healthy idle on this host (r21, 32 threads): single
+      // ≈ 23 ms, multi ≈ 48 ms — the bands sit ~2.5× above, the same
+      // wait-for-a-better-window posture as the 400 MB/s disk band
+      val singleRef = sys.env.getOrElse("SPARK_GRAFT_CPU_REF_MS", "60").toDouble
+      val multiRef = sys.env.getOrElse("SPARK_GRAFT_CPU_MULTI_REF_MS",
+        (singleRef * 2).toString).toDouble
+      val contended = single > singleRef || multi > multiRef
+      s""","cpu_probe_ms":{"single":${r4(single)},"multi":${r4(multi)},""" +
+        s""""threads":$threads,"iters":$iters},"cpu_contended":$contended"""
+    } catch { case scala.util.control.NonFatal(_) => "" }
   }
 
   private def binarizeB(ds: org.apache.spark.sql.Dataset[graft.tensor.Block]) =
@@ -522,7 +591,7 @@ object Bench {
       // read, warm passes via O_DIRECT (cache-neutral).
       val preProbe = diskProbeAuto(sfDir)
       if (preProbe._1 >= 0)
-        System.err.println(f"[bench] disk probe (pre, $diskProbeKind): " +
+        System.err.println(f"[bench] disk probe (pre, ${preProbe._3}): " +
           f"${preProbe._1}%.1f MB/s over ${preProbe._2 / 1e6}%.0f MB")
       // cache drop BEFORE t0 (r17, per ADVICE): the other groups take
       // their timestamps after their coldGroup call — billing the sync +
@@ -1084,9 +1153,10 @@ object Bench {
       // raises the flag.
       val postProbe = diskProbeAuto(sfDir)
       if (postProbe._1 >= 0)
-        System.err.println(f"[bench] disk probe (post, $diskProbeKind): " +
+        System.err.println(f"[bench] disk probe (post, ${postProbe._3}): " +
           f"${postProbe._1}%.1f MB/s")
-      val diskJson = diskJsonFor(preProbe, postProbe)
+      val diskJson = diskJsonFor((preProbe._1, preProbe._2),
+        (postProbe._1, postProbe._2), preProbe._3) + cpuProbeJson(cpus.toInt)
       emit(
         s"""{"metric":"onepass","value":$wall,"unit":"sec","queries":$qj,""" +
           s""""failed":$fj$llmOnepass$extraOnepass$curOnepass$bucketedOnepass$partitionedOnepass$sigIndexOnepass$pqIndexOnepass$streamingOnepass$statefulOnepass$tensorOnepass$diskJson,"peak_heap_mb":$peakMb,"sf":"$sfDir"}""",
@@ -1821,7 +1891,8 @@ object Bench {
     if (postDiskProbe._1 >= 0)
       System.err.println(f"[bench] disk probe (post, o_direct): " +
         f"${postDiskProbe._1}%.1f MB/s")
-    val diskJson = diskJsonFor(preDiskProbe, postDiskProbe)
+    val diskJson = diskJsonFor(preDiskProbe, postDiskProbe, "o_direct") +
+      cpuProbeJson(cpus.toInt)
     emit(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
         s""""failed":$failedJson,"floor_per_query":$floorMed,"floor_iqr":$floorIqr,""" +

@@ -60,6 +60,20 @@ object GraphCC {
     df => if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
   }
 
+  /** LAZY lineage-truncation twin of [[cpFor]] (r21): the caller promises
+    * to run ONE full-pass action (count / full filter-count) right after,
+    * which materializes every partition and completes the truncation in
+    * that same job — instead of paying a dedicated eager-checkpoint job
+    * and then a second action. A partial action (limit/isEmpty) would NOT
+    * complete a local checkpoint, so callers must keep the follow-up
+    * action full-pass. */
+  private def cpLazyFor(spark: org.apache.spark.sql.SparkSession): DataFrame => DataFrame = {
+    val reliable = spark.conf.getOption("graft.checkpoint.reliable").contains("true")
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "graft.checkpoint.reliable=true requires SparkContext.setCheckpointDir")
+    df => if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+  }
+
   private def edgeCols(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"edge list must have exactly 2 columns, got: ${cols.mkString(",")}")
@@ -89,27 +103,41 @@ object GraphCC {
       maxRounds: Int = 60): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val cp = cpFor(spark)
+    val cpLazy = cpLazyFor(spark)
     val e = edgeCols(pairs)
+    // und stays EAGER (r21, measured): folding its materialization into
+    // comp.count()'s job read consistently ~0.6 s SLOWER on
+    // cc_dedup_groups' expensive verify lineage than paying the
+    // dedicated job — the union's two branches of a deep input plan
+    // behave worse inside the downstream job than in their own.
     val und = cp(e.union(e.select(col("b").as("a"), col("a").as("b"))))
-    var comp = cp(und.select(col("a").as("node")).distinct()
+    var comp = cpLazy(und.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")))
-    var converged = comp.isEmpty
+    // full-pass count materializes the lazy checkpoint AND answers
+    // emptiness in the same job (isEmpty's limit(1) would leave the
+    // truncation incomplete)
+    var converged = comp.count() == 0L
     var iter = 0
     while (!converged && iter < maxRounds) {
       val viaNbr = und.join(comp, und("b") === comp("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
+      // carry the round's starting comp as `prev` (r21): the convergence
+      // test becomes a map-side filter over the checkpointed frame — the
+      // per-round doubled⋈comp re-join it replaces was a full extra
+      // shuffle join per round
       val stepped = comp.as("c")
         .join(viaNbr, col("c.node") === col("a"), "left")
-        .select(col("c.node").as("node"),
+        .select(col("c.node").as("node"), col("c.comp").as("prev"),
           least(col("c.comp"), coalesce(col("nbr_min"), col("c.comp"))).as("comp"))
       // pointer doubling: comp(node) ← comp(comp(node))
-      val doubled = cp(stepped.as("s")
+      val doubled = cpLazy(stepped.as("s")
         .join(comp.as("t"), col("s.comp") === col("t.node"), "left")
-        .select(col("s.node").as("node"),
+        .select(col("s.node").as("node"), col("s.prev").as("prev"),
           least(col("s.comp"), coalesce(col("t.comp"), col("s.comp"))).as("comp")))
-      val changed = doubled.as("x").join(comp.as("y"), col("x.node") === col("y.node"))
-        .filter(col("x.comp") =!= col("y.comp")).limit(1).count()
-      comp = doubled
+      // ONE job: the full-pass filter-count materializes the lazy
+      // checkpoint and detects convergence (no limit — see cpLazyFor)
+      val changed = doubled.filter(col("comp") =!= col("prev")).count()
+      comp = doubled.select(col("node"), col("comp"))
       converged = changed == 0
       iter += 1
     }
@@ -141,15 +169,21 @@ object GraphCC {
       maxRounds: Int = 60): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val cp = cpFor(spark)
+    val cpLazy = cpLazyFor(spark)
     val e0 = edgeCols(pairs)
     // every endpoint must appear in the output even if its only edges are
-    // self-loops (the contraction drops those immediately)
-    val allNodes = cp(e0.select(col("a").as("node"))
+    // self-loops (the contraction drops those immediately). Lazily
+    // truncated — its single consumer (the final join) materializes it.
+    val allNodes = cpLazy(e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct())
-    var edges = cp(e0.filter(col("a") =!= col("b"))
+    var edges = cpLazy(e0.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct())
-    var converged = edges.isEmpty
+    // full-pass count materializes the lazy checkpoint, answers emptiness,
+    // and seeds the per-round cardinality the loop reuses (r21 — the old
+    // loop re-counted the checkpointed `edges` every round)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxRounds) {
       // large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u.
@@ -169,15 +203,19 @@ object GraphCC {
       val joined = ls.join(
           ls.groupBy(col("a")).agg(min(col("b")).as("m")).withColumnRenamed("a", "u"),
           col("a") === col("u"))
-      val next = cp(joined.select(col("b").as("a"), col("m").as("b"))
+      val next = cpLazy(joined.select(col("b").as("a"), col("m").as("b"))
         .union(joined.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct())
-      // converged ⇔ identical edge sets (both sides deduped): equal counts
-      // plus an empty one-sided anti-join
+      // full-pass count materializes next's lazy checkpoint (one job);
+      // the anti-join then runs over two checkpointed frames. converged ⇔
+      // identical edge sets (both sides deduped): equal counts plus an
+      // empty one-sided anti-join.
+      val nextCount = next.count()
       val grew = next.join(edges, Seq("a", "b"), "left_anti").limit(1).count()
-      converged = grew == 0 && next.count() == edges.count()
+      converged = grew == 0 && nextCount == edgeCount
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     require(converged, s"star-contraction did not converge in $iter rounds")

@@ -826,11 +826,56 @@ object Similarity {
       posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
 
+  /** ENCODE a normalized corpus slice (vec_id, v) straight to packed PQ
+    * words in ONE map-only pass (r21): all 8 augmented codebooks collapse
+    * to a single broadcast row (cbs8[m] = subspace m's sorted
+    * array<struct<c, cv>>, augmented exactly as [[pqAssign]] augments),
+    * each row computes its 8 codes as one codegen'd
+    * transform(sequence(0,7), m -> argmax_dot(slice(v)·aug, cbs8[m]))
+    * and packs the nibbles in the same typed map [[pqPack]] used.
+    * Replaces pqPack(pqAssign(pqSubs(…))) on every encode path — that
+    * form EXPLODED the corpus 8× (posexplode), broadcast-joined per
+    * subspace row, then shuffled the 8×N code rows back through a
+    * groupBy(vec_id)+collect_list just to reassemble what one row had to
+    * begin with. Codes are bit-identical (same slice bounds, same
+    * augmented entries, same argmax_dot fold per subspace, same m-order
+    * nibble packing — SimilaritySpec pins equality against the explode
+    * twin); training keeps the exploded pqAssign form, whose
+    * groupBy(m, code) Lloyd means genuinely need subvector rows. */
+  private[graft] def pqEncode(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.install(vecs.sparkSession)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cba8 = cb.select(col("m"), struct(col("code").as("c"),
+        concat(col("cb"), array(lit(-0.5) *
+          expr("aggregate(zip_with(cb, cb, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+          .as("cv")).as("s"))
+      .groupBy(col("m")).agg(array_sort(collect_list(col("s"))).as("cbs"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, cbs))), p -> p.cbs)")
+        .as("cbs8"))
+    vecs.crossJoin(broadcast(cba8))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 7), m -> argmax_dot(" +
+          "concat(slice(v, m * 8 + 1, 8), array(CAST(1.0 AS DOUBLE))), cbs8[m]))")
+        .as("cs"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, cs) =>
+        val b = new Array[Byte](cs.length / 2)
+        var i = 0
+        while (i < b.length) {
+          b(i) = (((cs(2 * i) & 15L) << 4) | (cs(2 * i + 1) & 15L)).toByte
+          i += 1
+        }
+        (id, b)
+      }.toDF("vec_id", "codes")
+  }
+
   /** Pack per-subspace code rows into the 4-byte PQ word: two 4-bit
     * codes per byte, high nibble = even subspace (the pq_adc layout;
     * DType.I8-precedent typed map for the byte packing, off the scoring
-    * hot path). */
-  private def pqPack(assigned: DataFrame): DataFrame = {
+    * hot path). Spec twin of [[pqEncode]]'s packing since r21 — gated
+    * paths encode with pqEncode. */
+  private[graft] def pqPack(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned
@@ -921,8 +966,9 @@ object Similarity {
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"))
     // encode the probed candidates (this key is self-contained like
-    // ivf_cosine_topk; ivf_pq_probe is the stored-index variant)
-    val codes = pqPack(pqAssign(pqSubs(cands), cb))
+    // ivf_cosine_topk; ivf_pq_probe is the stored-index variant) — one
+    // map-only pass, no 8× explode/regroup (r21, see pqEncode)
+    val codes = pqEncode(cands, cb)
     val shortl = codes.crossJoin(broadcast(tab))
       .select(col("vec_id"), expr("pq_adc(codes, tab)").as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
@@ -1046,7 +1092,7 @@ object Similarity {
       val vecs = normedPinned(t(s, dir, "embeddings"))
       val cents = kmeans(vecs)
       val cb = pqCodebooks(pqSubs(vecs))
-      val codes = pqPack(pqAssign(pqSubs(vecs), cb))
+      val codes = pqEncode(vecs, cb)
         .join(assignCells(vecs, cents).select("vec_id", "cluster"), "vec_id")
       cents.write.parquet(new java.io.File(tmp, "cents").toString)
       cb.write.parquet(new java.io.File(tmp, "cb").toString)
@@ -1137,7 +1183,7 @@ object Similarity {
                                        // encode+write without mutating
                                        // a durable index
       else new java.io.File(root, "codes").toString
-    pqPack(pqAssign(pqSubs(newVecs), cb))
+    pqEncode(newVecs, cb)
       .join(assignCells(newVecs, cents).select("vec_id", "cluster"), "vec_id")
       .write.mode("append").parquet(target)
   }
@@ -1162,7 +1208,7 @@ object Similarity {
       val cents = kmeans(vecs)
       val cb = pqCodebooks(pqSubs(vecs))
       val base = vecs.filter(col("vec_id") % 2 === 0)
-      val codes = pqPack(pqAssign(pqSubs(base), cb))
+      val codes = pqEncode(base, cb)
         .join(assignCells(base, cents).select("vec_id", "cluster"), "vec_id")
       cents.write.parquet(new java.io.File(tmp, "cents").toString)
       cb.write.parquet(new java.io.File(tmp, "cb").toString)

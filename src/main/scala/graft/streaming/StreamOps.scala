@@ -879,14 +879,82 @@ object StreamOps {
     * arriving in earlier triggers). */
   private[graft] def streamEmbeddingDedupWith(s: SparkSession, dir: String,
       filesPerTrigger: Int, cap: Int = 1 << 14,
-      mtimeRank: Int => Int = identity): DataFrame =
-    streamEmbeddingVerdicts(s, dir, filesPerTrigger, cap, mtimeRank)
+      mtimeRank: Int => Int = identity): DataFrame = {
+    val (v, inDir, progress) =
+      streamEmbeddingVerdictsTraced(s, dir, filesPerTrigger, cap, mtimeRank)
+    val rollup = v
       .groupBy(col("vec_id"), col("label"))
       .agg(max(col("collide")).as("dropped"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
       .orderBy(col("label"))
+    // SELF-FORENSICS (r21, verdict #1): the key failed the DRIVER's hash
+    // gate twice while passing 32/32 local replays — the fix loop is
+    // dead until a driver-side failure explains itself, so the gated key
+    // now compares its own stream verdicts against the batch twin IN THE
+    // SAME SESSION and, on any per-vector disagreement, dumps the
+    // divergent vectors + trigger composition + listed shard mtimes +
+    // tmpdir filesystem to a deterministic /tmp sidecar AND stderr.
+    // Output schema/rows are untouched (the rollup above is returned
+    // as-is); a forensic crash is swallowed so it can never fail the key.
+    try embDedupForensics(s, dir, v, inDir, progress)
+    catch {
+      case scala.util.control.NonFatal(e) => System.err.println(
+        s"[graft] stream_embedding_dedup forensics crashed (ignored): $e")
+    }
+    rollup
+  }
+
+  /** Compare the drained stream verdicts against the batch twin
+    * ([[graft.queries.Similarity.embeddingNearDupVerdict]] — drop(v) ⇔
+    * ¬keep(v)) per VECTOR; on any disagreement write the forensic
+    * sidecar and print it to stderr. Per-vector agreement implies the
+    * per-label rollup the oracle gates, so a clean compare here plus a
+    * red driver row would localize the fault OUTSIDE this key's
+    * computation (oracle side / runner harness). */
+  private[graft] def embDedupForensics(s: SparkSession, dir: String, v: DataFrame,
+      inDir: String, progress: Seq[(Long, Long)]): Unit = {
+    val streamDrop = v.groupBy(col("vec_id"), col("label"))
+      .agg(max(col("collide")).as("sdrop")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    val batchDrop = graft.queries.Similarity.embeddingNearDupVerdict(s, dir)
+      .collect().map(r => (r.getLong(0), !r.getBoolean(1))).toMap
+    val ids = (streamDrop.keySet ++ batchDrop.keySet).toSeq.sorted
+    val diffs = ids.flatMap { id =>
+      val sd = streamDrop.get(id).map(_._2)
+      val bd = batchDrop.get(id)
+      if (sd == bd) None
+      else Some(s"vec_id=$id label=${streamDrop.get(id).map(_._1).getOrElse(-1)} " +
+        s"stream_drop=${sd.getOrElse("ABSENT")} batch_drop=${bd.getOrElse("ABSENT")}")
+    }
+    if (diffs.isEmpty) return
+    val perLabel = streamDrop.toSeq.groupBy(_._2._1).toSeq.sortBy(_._1)
+      .map { case (lbl, vs) =>
+        s"label=$lbl n_vecs=${vs.size} n_dropped=${vs.count(_._2._2)}" }
+    val shardDir = new java.io.File(inDir)
+    val shards = Option(shardDir.listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .map(f => s"${f.getName} bytes=${f.length()} mtime=${f.lastModified()}")
+    val tmp = sys.props("java.io.tmpdir")
+    val fsType = try java.nio.file.Files.getFileStore(
+      java.nio.file.Paths.get(tmp)).`type`() catch {
+      case scala.util.control.NonFatal(e) => s"unknown ($e)" }
+    val report = (Seq(
+      s"stream_embedding_dedup FORENSICS — ${diffs.size} per-vector " +
+        "stream-vs-batch disagreements",
+      s"sf_dir=$dir tmpdir=$tmp tmpdir_fs=$fsType",
+      s"batches (batchId -> numInputRows): " +
+        progress.map { case (b, n) => s"$b->$n" }.mkString(", "),
+      "shards as listed:") ++ shards.map("  " + _) ++
+      Seq("stream per-label rollup:") ++ perLabel.map("  " + _) ++
+      Seq("divergent vectors:") ++ diffs.map("  " + _)).mkString("\n")
+    val sidecar = java.nio.file.Paths.get(tmp,
+      s"graft_embdedup_forensics_${graft.sources.Lake.dirSuffix(dir)}.txt")
+    java.nio.file.Files.writeString(sidecar, report + "\n")
+    System.err.println(s"[graft] $report")
+    System.err.println(s"[graft] forensic sidecar: $sidecar")
+  }
 
   /** The per-bucket state transition, pure and unit-testable — the
     * vector analog of [[processBucketArrivals]]. Per arrival (sorted
@@ -1040,7 +1108,16 @@ object StreamOps {
     * label so confinement matches the batch semantics. */
   private[graft] def streamEmbeddingVerdicts(s: SparkSession, dir: String,
       filesPerTrigger: Int, cap: Int,
-      mtimeRank: Int => Int = identity): DataFrame = {
+      mtimeRank: Int => Int = identity): DataFrame =
+    streamEmbeddingVerdictsTraced(s, dir, filesPerTrigger, cap, mtimeRank)._1
+
+  /** As [[streamEmbeddingVerdicts]], also returning the shard dir and the
+    * per-micro-batch (batchId, numInputRows) trace captured by a
+    * StreamingQueryListener during the drain — the forensic affordance
+    * (r21, verdict #1). */
+  private[graft] def streamEmbeddingVerdictsTraced(s: SparkSession, dir: String,
+      filesPerTrigger: Int, cap: Int,
+      mtimeRank: Int => Int = identity): (DataFrame, String, Seq[(Long, Long)]) = {
     val spark = s
     import spark.implicits._
     graft.functions.GraftExtensions.install(s)
@@ -1072,7 +1149,23 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         vecBucketStateFunc(cap))
       .toDF("vec_id", "label", "collide", "n_state")
-    drain(verdicts, OutputMode.Append())
+    // per-batch trace for the forensic sidecar: the listener sees every
+    // progress event of the drain's (sole) streaming query
+    val trace = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit =
+        trace.add((e.progress.batchId, e.progress.numInputRows))
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    val drained = try drain(verdicts, OutputMode.Append())
+      finally s.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    (drained, inDir, trace.asScala.toSeq.sortBy(_._1))
   }
 
   /** All-pairs within-label replay of the keep-first verdict (the

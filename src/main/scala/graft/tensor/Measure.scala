@@ -231,8 +231,11 @@ object Measure {
     val reliable = spark.conf.getOption("graft.checkpoint.reliable").contains("true")
     if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
       "graft.checkpoint.reliable=true requires SparkContext.setCheckpointDir")
-    def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    // LAZY truncation: the one call site runs a full-pass count right
+    // after, which materializes every partition in that same job (see
+    // graft.plans.GraphCC.cpLazyFor for the contract)
+    def cp2(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
     // ---- step 1: local label pass (labels = global linear index of the
     // component's root cell + 1; 0 = background)
@@ -319,19 +322,24 @@ object Measure {
       b.data.filter(_ != 0.0).map(_.toLong).distinct.map(l => (b.imageId, b.idx, l))
     }.toDF("imageId", "idx", "old")
     val allLabels = blockLabels.select(col("old").as("lbl")).distinct()
-    val isolated = allLabels
+    // roots = labels that never appear as a NON-ROOT node of the mapping
+    // (r21): `mapping` is filtered to node =!= comp, so a component's
+    // root never shows up in its node column — the anti-join alone
+    // already yields isolated labels ∪ component roots. The old
+    // mapping.select(root).distinct().union(…).distinct() re-derived the
+    // component roots through two extra distinct exchanges for a set the
+    // anti-join had, provably, already produced.
+    val roots = allLabels
       .join(mapping, col("lbl") === col("node"), "left_anti")
       .select(col("lbl").as("root"))
-    val roots = mapping.select(col("root")).distinct()
-      .union(isolated)
-      .distinct()
-    val ranked = cp(roots.as[Long].rdd.sortBy(identity).zipWithIndex()
+    // Lazy checkpoint + full count in ONE job (r21): dense ids are the
+    // contiguous 1..n, so the count both materializes the truncated
+    // ranking and IS n — the old eager checkpoint + agg(max(dense)) pair
+    // paid two jobs for the same information.
+    val ranked = cp2(roots.as[Long].rdd.sortBy(identity).zipWithIndex()
       .map { case (r, i) => (r, i + 1L) }
       .toDF("root", "dense")) // two consumers below; avoid recomputing the sort
-    val n = ranked.agg(max(col("dense"))).as[java.lang.Long].head() match {
-      case null => 0L
-      case v    => v.longValue()
-    }
+    val n = ranked.count()
     if (n == 0L) return (local, 0L)
     // old label → dense id: roots map via their own rank, interior nodes via
     // their root's rank.

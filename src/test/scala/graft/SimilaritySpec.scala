@@ -148,6 +148,22 @@ class SimilaritySpec extends SparkSpec {
       "codes must stay in the 4-bit domain")
   }
 
+  test("pqEncode (map-only, r21) packs bit-identical words to the explode/regroup twin") {
+    val s = spark
+    val vecs = Similarity.normedForTest(s, sf0001)
+    val subs = vecs.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+    val cb = Similarity.pqCodebooks(subs)
+    val direct = Similarity.pqEncode(vecs, cb).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val twin = Similarity.pqPack(Similarity.pqAssign(subs, cb)).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(direct.keySet == twin.keySet)
+    assert(direct == twin, "pqEncode must pack the exact bytes the explode twin packs")
+    assert(direct.values.forall(_.length == 4))
+  }
+
   test("ivf_centroid_stats: k cells partition the corpus, all non-empty") {
     val rows = Similarity.ivfCentroidStats(spark, sf0001).collect()
     assert(rows.length == 10)

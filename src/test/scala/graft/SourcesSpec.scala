@@ -62,24 +62,34 @@ class SourcesSpec extends SparkSpec {
     // never report fiction: a probe-sized file yields (mb_per_s > 0,
     // bytes == the whole-MiB prefix) — or (-1, 0) on a platform that
     // refuses O_DIRECT — and sub-chunk / absent files always decline
+    // try/finally (r21, per ADVICE): an assertion failure must not leak
+    // graft_probe_spec* temp dirs; the accepted-vs-declined branch is
+    // logged so platform coverage is visible in the suite output
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_spec")
     val f = dir.resolve("lineitem.parquet")
-    val chunk = 1 << 20
-    java.nio.file.Files.write(f, new Array[Byte](4 * chunk + 1234))
-    val (mbps, bytes) = Bench.diskProbeDirect(dir.toString)
-    if (mbps >= 0) {
-      assert(bytes == 4L * chunk,
-        s"probe read $bytes bytes, want the whole-MiB prefix ${4L * chunk}")
-      assert(mbps > 0)
-    } else assert(bytes == 0L, "declined probe must report zero bytes")
-    // sub-chunk file: too small for one aligned read -> declined
-    java.nio.file.Files.write(f, new Array[Byte](chunk - 1))
-    assert(Bench.diskProbeDirect(dir.toString) == ((-1.0, 0L)))
-    // no table file at all -> declined
     val empty = java.nio.file.Files.createTempDirectory("graft_probe_spec2")
-    assert(Bench.diskProbeDirect(empty.toString) == ((-1.0, 0L)))
-    java.nio.file.Files.delete(f)
-    java.nio.file.Files.delete(dir)
-    java.nio.file.Files.delete(empty)
+    try {
+      val chunk = 1 << 20
+      java.nio.file.Files.write(f, new Array[Byte](4 * chunk + 1234))
+      val (mbps, bytes) = Bench.diskProbeDirect(dir.toString)
+      if (mbps >= 0) {
+        info(f"O_DIRECT accepted on this platform: $mbps%.1f MB/s over $bytes bytes")
+        assert(bytes == 4L * chunk,
+          s"probe read $bytes bytes, want the whole-MiB prefix ${4L * chunk}")
+        assert(mbps > 0)
+      } else {
+        info("O_DIRECT declined on this platform (tmpfs or unsupported)")
+        assert(bytes == 0L, "declined probe must report zero bytes")
+      }
+      // sub-chunk file: too small for one aligned read -> declined
+      java.nio.file.Files.write(f, new Array[Byte](chunk - 1))
+      assert(Bench.diskProbeDirect(dir.toString) == ((-1.0, 0L)))
+      // no table file at all -> declined
+      assert(Bench.diskProbeDirect(empty.toString) == ((-1.0, 0L)))
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+      java.nio.file.Files.deleteIfExists(empty)
+    }
   }
 }

@@ -530,6 +530,33 @@ class StreamingSpec extends SparkSpec {
       s"shuffled shard order changed the verdicts:\n${inOrder.toSeq}\n${shuffled.toSeq}")
   }
 
+  test("embedding-dedup forensics: silent when stream==batch; sidecar names divergent vectors") {
+    import org.apache.spark.sql.functions._
+    val sidecar = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_embdedup_forensics_${graft.sources.Lake.dirSuffix(sf0001)}.txt")
+    java.nio.file.Files.deleteIfExists(sidecar)
+    // agree path: the gated key's own run must leave no sidecar behind
+    graft.streaming.StreamOps.streamEmbeddingDedupWith(spark, sf0001, 1).collect()
+    assert(!java.nio.file.Files.exists(sidecar),
+      "forensics must stay silent when stream and batch verdicts agree")
+    // disagree path: a doctored verdict frame (vec_id 0's collide flag
+    // forced true — vec 0 has no earlier witness, so the batch twin
+    // ALWAYS keeps it) must produce a sidecar naming exactly that vector
+    val (v, inDir, progress) = graft.streaming.StreamOps
+      .streamEmbeddingVerdictsTraced(spark, sf0001, 1, 1 << 14)
+    val doctored = v.withColumn("collide",
+      when(col("vec_id") === 0L, lit(true)).otherwise(col("collide")))
+    graft.streaming.StreamOps.embDedupForensics(
+      spark, sf0001, doctored, inDir, progress)
+    assert(java.nio.file.Files.exists(sidecar),
+      "a stream-vs-batch disagreement must write the forensic sidecar")
+    val report = java.nio.file.Files.readString(sidecar)
+    assert(report.contains("vec_id=0"), s"sidecar must name the divergent vector:\n$report")
+    assert(report.contains("batches") && report.contains("shards as listed"),
+      "sidecar must carry trigger composition and listed shard mtimes")
+    java.nio.file.Files.deleteIfExists(sidecar)
+  }
+
   test("embedding-dedup state transition: retro drops rescue out-of-order arrivals") {
     import graft.streaming.StreamOps.processVecArrivals
     // cos(v3,v4) = cos(v4,v5) = cos 50° ≈ 0.643 ≥ τ; cos(v3,v5) =
