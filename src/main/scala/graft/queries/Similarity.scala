@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
   * SURVEY.md §2C.
@@ -114,12 +115,17 @@ object Similarity {
     // the zero-vector NaN edge (excluded by the ≥ threshold filter)
     // behaves as the naive form does. Quadratic work drops to
     // distinct-vectors²; expansion is linear in the output pair list.
-    val keyed = e.select(col("vec_id"), col("label"), col("embedding"))
-    val reps = keyed.groupBy(col("label"), col("embedding"))
-      .agg(min(col("vec_id")).as("rep"))
-    val mapping = keyed.join(reps, Seq("label", "embedding"))
-      .select(col("vec_id"), col("rep"))
-    val repE = e.join(reps.select(col("rep").as("vec_id")),
+    // vec → representative in ONE window-min shuffle on (label, embedding)
+    // and CHECKPOINTED narrow (r21): the old groupBy+join mapping re-ran
+    // the full-vector shuffle + agg + join once per consumer — two
+    // pair-expansion joins plus the intra self-join's two sides — for
+    // 16 B/row of information (the r11 normedPinned rule applied here).
+    val mapping = e
+      .select(col("vec_id"), min(col("vec_id"))
+        .over(Window.partitionBy(col("label"), col("embedding"))).as("rep"))
+      .localCheckpoint(true)
+    val repE = e.join(
+      mapping.filter(col("vec_id") === col("rep")).select(col("vec_id")),
       Seq("vec_id"), "left_semi")
     val cand = embeddingLshCandidates(repE)
       .localCheckpoint(true) // tiny; eager so both verify joins reuse it
@@ -136,9 +142,10 @@ object Similarity {
       .select(least(col("ma.vec_id"), col("mb.vec_id")).as("va"),
         greatest(col("ma.vec_id"), col("mb.vec_id")).as("vb"), col("cos"))
     // intra-group pairs carry the representative's self-cosine (exactly
-    // 1.0 after round-4 for any nonzero vector; NaN-excluded for zero)
-    val selfCos = reps
-      .select(col("rep").as("srep"),
+    // 1.0 after round-4 for any nonzero vector; NaN-excluded for zero).
+    // repE rows ARE the reps with their vectors — one row per group.
+    val selfCos = repE
+      .select(col("vec_id").as("srep"),
         round(expr("cosine_sim(embedding, embedding)"), 4).as("cos"))
       .filter(clearsTau(col("cos")))
     val intraG = mapping.as("x").join(mapping.as("y"),
@@ -165,12 +172,13 @@ object Similarity {
   val embeddingNearDupVerdict: Q = (s, dir) => {
     graft.functions.GraftExtensions.install(s)
     val e = t(s, dir, "embeddings")
-    val keyed = e.select(col("vec_id"), col("label"), col("embedding"))
-    val reps = keyed.groupBy(col("label"), col("embedding"))
-      .agg(min(col("vec_id")).as("rep"))
-    val mapping = keyed.join(reps, Seq("label", "embedding"))
-      .select(col("vec_id"), col("rep"))
-    val repE = e.join(reps.select(col("rep").as("vec_id")),
+    // same window-min mapping as [[embeddingNearDup]] (r21)
+    val mapping = e
+      .select(col("vec_id"), min(col("vec_id"))
+        .over(Window.partitionBy(col("label"), col("embedding"))).as("rep"))
+      .localCheckpoint(true)
+    val repE = e.join(
+      mapping.filter(col("vec_id") === col("rep")).select(col("vec_id")),
       Seq("vec_id"), "left_semi")
     val cand = embeddingLshCandidates(repE).localCheckpoint(true)
     val ve = repE.select(col("vec_id"), col("embedding"))
@@ -183,8 +191,9 @@ object Similarity {
       .withColumn("rep_dropped", lit(true))
     // a group's intra-witness: the rep's self-cosine (1.0 for any
     // nonzero vector; NaN — excluded — for the zero vector, whose
-    // copies therefore all KEEP, matching the all-pairs oracle)
-    val selfOk = reps.select(col("rep"),
+    // copies therefore all KEEP, matching the all-pairs oracle);
+    // repE rows ARE the reps with their vectors
+    val selfOk = repE.select(col("vec_id").as("rep"),
       clearsTau(round(expr("cosine_sim(embedding, embedding)"), 4)).as("self_ok"))
     mapping
       .join(selfOk, Seq("rep"))

@@ -743,16 +743,27 @@ object TextOps {
   private def collapsedVerified(docs: DataFrame)(
       candGen: DataFrame => DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
-    val mapping = keyed.join(reps, Seq("h")).select(col("doc_id"), col("rep"))
+    // doc → representative in ONE window-min shuffle on the digest (r21):
+    // the old groupBy(h).min + keyed⋈reps join paid a second exchange for
+    // the same information, and the UN-checkpointed mapping re-ran the
+    // whole md5 scan + agg + join once per consumer — the pair-expansion
+    // joins use it twice, the intra-group emit a third time, and
+    // cc_dedup_groups twice more (4 corpus scans measured at sf0.1 in
+    // the executed plan). Checkpointing is the r11 normedPinned rule
+    // applied here: a NARROW (16 B/row) corpus projection is exactly
+    // what you materialize; at 10⁹ docs it is ~16 GB across the cluster.
+    val mapping = docs
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
+      .localCheckpoint(true)
     // repDocs is CHECKPOINTED like cand: it is distinct-texts-sized
     // (tiny by the collapse's own premise) but its lineage scans the
     // full corpus — its three consumers (candidates, verify,
     // eligibleReps) would otherwise each re-run that scan (measured at
     // sf100: two twin 63 s full-scan stages for 5 k rows of output —
     // 40% of the key's wall re-deriving the same frame)
-    val repDocs = docs.join(reps.select(col("rep").as("doc_id")),
+    val repDocs = docs.join(
+      mapping.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi").localCheckpoint(true)
     val cand = candGen(repDocs).localCheckpoint(true)
     // exact verify on candidates ONLY (shared candidate-restricted path),
