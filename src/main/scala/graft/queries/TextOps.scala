@@ -1909,16 +1909,31 @@ object TextOps {
       .groupBy(col("seg")).agg(sum(col("ktext")).as("nd"))
       .filter(col("nd") >= 4)
       .select(col("seg"), lit(1).as("is_dup"))
-    val perText = sharedSetProbe(segs, shared, "seg")
-      // kept: NULL for dropped segments (collect_list skips nulls),
-      // (seg_idx, seg) struct otherwise — array_sort restores doc order
-      .withColumn("kept",
-        when(col("is_dup").isNull, struct(col("seg_idx"), col("seg"))))
-      .groupBy(col("tid"))
-      .agg(count(lit(1)).as("n_segs"),
-        sum(coalesce(col("is_dup").cast("long"), lit(0L))).as("n_removed"),
-        array_join(expr("transform(array_sort(collect_list(kept)), p -> p.seg)"), "\n")
-          .as("clean_text"))
+    // Reassembly at ARRAY level (r21, same restructure as
+    // exactSubstringDedup): dropped seg INDEXES aggregate to one set per
+    // distinct text (boilerplate-sized shuffle), the complement is a
+    // map-side array_except over the line array — the old form shuffled
+    // every (tid, seg_idx, seg) row into a collect_list groupBy, a
+    // corpus-segment-level exchange carrying the segment text itself.
+    val covered = sharedSetProbe(segs, shared, "seg")
+      .filter(col("is_dup").isNotNull)
+      .select(col("tid"), col("seg_idx"))
+      .groupBy(col("tid")).agg(collect_set(col("seg_idx")).as("cov"))
+    // plain left-outer re-attach on tid — UNIQUE key both sides (no
+    // skew), one row per distinct text; not the probe helper, whose
+    // eager checkpoint+count costs extra jobs per call (measured +4
+    // jobs / +0.6 s at sf0.1 for nothing at this fan-in)
+    val perText = texts
+      .select(col("tid"), split(col("text"), "\n").as("ls"))
+      .join(covered, Seq("tid"), "left_outer")
+      .select(col("tid"),
+        size(col("ls")).cast("long").as("n_segs"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        when(col("cov").isNull, array_join(col("ls"), "\n"))
+          .otherwise(array_join(expr(
+            "transform(array_except(sequence(0, size(ls)-1), cov)," +
+              " q -> element_at(ls, q+1))"), "\n")).as("clean_text"))
     base.select(col("doc_id"), col("tid")).join(perText, "tid")
       .select(col("doc_id"), col("n_segs"), col("n_removed"), col("clean_text"))
       .orderBy(col("doc_id"))
@@ -2037,19 +2052,33 @@ object TextOps {
       .groupBy(col("gram")).agg(sum(col("ktext")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gram"), lit(1).as("is_dup"))
+    // Reassembly at ARRAY level (r21, guide §2.3/§2.4): the old path
+    // posexploded EVERY token back out, shuffle-joined the covered
+    // (tid, p) set onto the token stream, and collect_list'ed the
+    // survivors — two corpus-token-level exchanges (16.3 MB at sf0.1;
+    // corpus-sized at 100 TB) to rebuild text each row already holds.
+    // Covered positions instead aggregate to ONE set per distinct text
+    // (collect_set replaces distinct+join — boilerplate-sized shuffle),
+    // and the complement is a map-side array_except over the token
+    // array: order preserved (sequence is ascending and array_except
+    // keeps left order), so clean_text is byte-identical.
     val covered = sharedSetProbe(grams, shared, "gram")
       .filter(col("is_dup").isNotNull)
       .select(col("tid"), explode(expr(s"sequence(s, s + ${k - 1})")).as("p"))
-      .distinct()
-      .withColumn("cov", lit(1))
-    val perText = withT.select(col("tid"), posexplode(col("t")).as(Seq("p", "tok")))
-      .join(covered, Seq("tid", "p"), "left_outer")
-      .withColumn("kept", when(col("cov").isNull, struct(col("p"), col("tok"))))
-      .groupBy(col("tid"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        array_join(expr("transform(array_sort(collect_list(kept)), q -> q.tok)"), " ")
-          .as("clean_text"))
+      .groupBy(col("tid")).agg(collect_set(col("p")).as("cov"))
+    // plain left-outer re-attach on tid — unique key both sides, one
+    // row per distinct text (see lineDedupOver's reassembly note)
+    val perText = texts
+      .select(col("tid"), toks.as("t"))
+      .join(covered, Seq("tid"), "left_outer")
+      .select(col("tid"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        when(col("cov").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(expr(
+            "transform(array_except(sequence(0, size(t)-1), cov)," +
+              " q -> element_at(t, q+1))"), " ")).as("clean_text"))
     base.join(perText, "tid")
       .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
       .orderBy(col("doc_id"))
