@@ -835,6 +835,25 @@ object Similarity {
       posexplode(expr("transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
 
+  /** Train the coarse quantizer and the PQ codebooks CONCURRENTLY (r21,
+    * guide §2.6 — overlap independent jobs): both are 2-pass Lloyd loops
+    * over the same pinned corpus whose eager per-iteration checkpoints
+    * otherwise serialize 4 corpus passes end-to-end; submitted from two
+    * threads the passes back-fill each other's dispatch gaps and stage
+    * tails. Results are bit-identical to the sequential form — each
+    * checkpoint job is the same plan over the same checkpointed
+    * partitioning; only the wall-clock interleaving changes (FIFO
+    * scheduling back-fills, it never re-partitions). */
+  private def trainCoarseAndPq(vecs: DataFrame, k: Int = K)
+      : (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cf = Future(kmeans(vecs, k))
+    val pf = Future(pqCodebooks(pqSubs(vecs)))
+    (Await.result(cf, Duration.Inf), Await.result(pf, Duration.Inf))
+  }
+
   /** ENCODE a normalized corpus slice (vec_id, v) straight to packed PQ
     * words in ONE map-only pass (r21): all 8 augmented codebooks collapse
     * to a single broadcast row (cbs8[m] = subspace m's sorted
@@ -960,15 +979,13 @@ object Similarity {
     val spark = s
     import spark.implicits._
     val vecs = normedPinned(t(s, dir, "embeddings"))
-    val cents = kmeans(vecs)
+    val (cents, cb) = trainCoarseAndPq(vecs)
     val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(q))
       .select(col("c"), dot(col("cv"), col("qv")).as("dp"))
       .orderBy(col("dp").desc, col("c").asc)
       .limit(NPROBE)
       .select(col("c").as("pc"))
-    val subs = pqSubs(vecs)
-    val cb = pqCodebooks(subs)
     val tab = pqQueryTab(cb, q)
     val cands = assignCells(vecs, cents)
       .join(broadcast(probes), col("cluster") === col("pc"), "left_semi")
@@ -1099,8 +1116,7 @@ object Similarity {
     val root = pqIndexDir(dir)
     graft.sources.Lake.ensureLayout(s, root) { tmp =>
       val vecs = normedPinned(t(s, dir, "embeddings"))
-      val cents = kmeans(vecs)
-      val cb = pqCodebooks(pqSubs(vecs))
+      val (cents, cb) = trainCoarseAndPq(vecs)
       val codes = pqEncode(vecs, cb)
         .join(assignCells(vecs, cents).select("vec_id", "cluster"), "vec_id")
       cents.write.parquet(new java.io.File(tmp, "cents").toString)
@@ -1214,8 +1230,7 @@ object Similarity {
       s"graft_pqidx_apnd_${graft.sources.Lake.dirSuffix(dir)}_$fp")
     graft.sources.Lake.ensureLayout(s, root) { tmp =>
       val vecs = normedPinned(t(s, dir, "embeddings"))
-      val cents = kmeans(vecs)
-      val cb = pqCodebooks(pqSubs(vecs))
+      val (cents, cb) = trainCoarseAndPq(vecs)
       val base = vecs.filter(col("vec_id") % 2 === 0)
       val codes = pqEncode(base, cb)
         .join(assignCells(base, cents).select("vec_id", "cluster"), "vec_id")
