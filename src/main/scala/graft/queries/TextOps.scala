@@ -573,11 +573,31 @@ object TextOps {
     * (probabilistic candidates) and `ngram_jaccard_pairs` (lossless
     * prefix-filter candidates). */
   private def verifyJaccardPairs(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val candDocs = cand.select(col("da").as("doc_id"))
+    // ONE candidate-restriction pass (r21, guide §2.4/§3.1): the old form
+    // semi-joined `docs` down to candidate endpoints separately inside
+    // FOUR subtrees of the final plan — the shingle explode for each side
+    // of the intersection join and each broadcast build of `sizes` — and
+    // each semi planned as a SortMergeJoin (the checkpointed cand's
+    // LogicalRDD size estimate defeats auto-broadcast), re-shuffling and
+    // re-sorting the doc set four times (8 exchanges at sf0.1). Now the
+    // endpoints' distinct-shingle ARRAYS are materialized once through a
+    // single broadcast semi-join (candidate-endpoint-sized — the bound
+    // broadcast(sizes) below already assumes): shingle rows are a
+    // map-side explode of the checkpointed arrays, and per-doc sizes are
+    // map-side size(sh) — the groupBy-count over exploded rows (one more
+    // exchange, twice) is gone. Semantics identical: shingleRows explodes
+    // exactly this distinct array, and docs under 3 tokens emit nothing
+    // in either form.
+    val candDocs = broadcast(cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id")))
-      .distinct()
-    val shCand = shingleRows(docs).join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .distinct())
+    val candShingles = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(shingleArrayExpr).as("sh"))
+      .localCheckpoint(true)
+    val shCand = candShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = candShingles.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = cand
       .join(shCand.as("a"), col("da") === col("a.doc_id"))
       .join(shCand.as("b"),

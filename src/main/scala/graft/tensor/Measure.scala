@@ -329,13 +329,28 @@ object Measure {
     // mapping.select(root).distinct().union(…).distinct() re-derived the
     // component roots through two extra distinct exchanges for a set the
     // anti-join had, provably, already produced.
-    val roots = allLabels
+    // Lazily truncated (r21): the ranking below consumes roots twice —
+    // sortBy's range-partitioner sketch is a full pass (it samples within
+    // every partition) and the sort shuffle itself is another. The sketch
+    // pass completes this lazy truncation, so the anti-join lineage
+    // (blockLabels distinct + anti-join against the CC mapping) executes
+    // once instead of twice, at zero extra jobs.
+    val roots = cp2(allLabels
       .join(mapping, col("lbl") === col("node"), "left_anti")
-      .select(col("lbl").as("root"))
+      .select(col("lbl").as("root")))
     // Lazy checkpoint + full count in ONE job (r21): dense ids are the
     // contiguous 1..n, so the count both materializes the truncated
     // ranking and IS n — the old eager checkpoint + agg(max(dense)) pair
     // paid two jobs for the same information.
+    //
+    // The RDD sortBy+zipWithIndex ranking was DELIBERATELY kept over a
+    // pure-DataFrame bucketed rank (percentile_approx cuts + per-bucket
+    // row_number + broadcast offsets, the TextOps.bucketedNtile idiom):
+    // measured at sf0.1 the bucketed form added 4 driver-dispatched jobs
+    // (its two broadcast builds don't dedup across the offsets/main
+    // subtrees) for zero shuffle saved, and at scale it sorts each of
+    // its ~64 value buckets in ONE task where sortBy range-partitions
+    // the sort across the cluster's full parallelism.
     val ranked = cp2(roots.as[Long].rdd.sortBy(identity).zipWithIndex()
       .map { case (r, i) => (r, i + 1L) }
       .toDF("root", "dense")) // two consumers below; avoid recomputing the sort
