@@ -51,7 +51,7 @@ object TextOps {
     t(s, dir, "documents")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_distinct"))
+        countDistinct(unhex(md5(col("text")))).as("n_distinct"))
       .withColumn("n_dups", col("n_docs") - col("n_distinct"))
       .orderBy(col("source"))
   }
@@ -66,7 +66,7 @@ object TextOps {
     * text; reduced to global counts so the result is one stable row. */
   val dedupKeepFirst: Q = (s, dir) => {
     t(s, dir, "documents")
-      .groupBy(md5(col("text")).as("h"))
+      .groupBy(unhex(md5(col("text"))).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n") - lit(1)).as("n_removed"),
@@ -426,7 +426,7 @@ object TextOps {
   val tfidfTopTerms: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
-    val base = docs.select(col("source"), col("text"), md5(col("text")).as("tid"))
+    val base = docs.select(col("source"), col("text"), unhex(md5(col("text"))).as("tid"))
     // per-(source, distinct text) doc count: the tf-sum weight
     val grouped = base.groupBy(col("source"), col("tid")).agg(count(lit(1)).as("ks"))
       .localCheckpoint(true) // distinct (source, text)-sized; barrier
@@ -774,7 +774,7 @@ object TextOps {
     // what you materialize; at 10⁹ docs it is ~16 GB across the cluster.
     val mapping = docs
       .select(col("doc_id"),
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
+        min(col("doc_id")).over(Window.partitionBy(unhex(md5(col("text"))))).as("rep"))
       .localCheckpoint(true)
     // repDocs is CHECKPOINTED like cand: it is distinct-texts-sized
     // (tiny by the collapse's own premise) but its lineage scans the
@@ -1358,7 +1358,7 @@ object TextOps {
     val docs = t(s, dir, "documents")
     val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val kept = docs
-      .withColumn("h", md5(col("text")))
+      .withColumn("h", unhex(md5(col("text"))))
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") === 1)
     val scored = kept
@@ -1911,21 +1911,29 @@ object TextOps {
     // into the parquet filter — re-evaluated per consumer at the FILE's
     // split parallelism (these small-footprint/high-row fixtures scan
     // as ONE task), measured as 51 of the key's 75 s at sf10.
-    val base = docs.select(col("doc_id"), md5(col("text")).as("tid"))
+    // tid rides as 16-byte BINARY (r21, guide §2.3 — the same narrowing
+    // as exactSubstringDedup): it keys the corpus-sized base checkpoint,
+    // the texts groupBy exchange, and both re-attach joins; never output.
+    val base = docs.select(col("doc_id"), unhex(md5(col("text"))).as("tid"))
       .localCheckpoint(true)
     // texts is DISTINCT-CONTENT-sized — materializing it is the
     // collapse's design point, and it stops the join's isnotnull(tid)
     // pushing the inlined augment+md5 below the repartition on this
     // side too (same single-split trap as base)
-    val texts = docs.select(md5(col("text")).as("tid"), col("text"))
+    val texts = docs.select(unhex(md5(col("text"))).as("tid"), col("text"))
       .groupBy(col("tid"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
       .localCheckpoint(true)
     val segs = texts
       .select(col("tid"), col("ktext"), posexplode(split(col("text"), "\n"))
         .as(Seq("seg_idx", "seg")))
-    // nd = docs containing the seg: distinct per text, weighted by ktext
-    val shared = segs.select(col("tid"), col("ktext"), col("seg")).distinct()
+    // nd = docs containing the seg: distinct per text (MAP-SIDE via
+    // array_distinct over the line array — r21, the exactSubstringDedup
+    // restructure: the old segs.distinct() paid a full (tid, ktext, seg)
+    // exchange for a dedup each row can do locally), weighted by ktext
+    val shared = texts
+      .select(col("ktext"),
+        explode(array_distinct(split(col("text"), "\n"))).as("seg"))
       .groupBy(col("seg")).agg(sum(col("ktext")).as("nd"))
       .filter(col("nd") >= 4)
       .select(col("seg"), lit(1).as("is_dup"))
@@ -2056,19 +2064,32 @@ object TextOps {
         when(col("doc_id") % 5 === 0,
           lit(" all rights reserved unauthorized reproduction strictly prohibited by law"))
           .otherwise(lit(""))).as("text"))
+    // Fingerprints ride as 16-byte BINARY, not 32-char hex (r21, guide
+    // §2.3 narrower types): tid keys the corpus-sized base checkpoint
+    // and every downstream exchange/join, grams key the shared-set agg
+    // and the probe broadcast — unhex halves those bytes at identical
+    // 128-bit exactness. Values never reach the output.
     // materialized for the same pushdown reason as lineDedupOver's base
-    val base = aug.select(col("doc_id"), md5(col("text")).as("tid"))
+    val base = aug.select(col("doc_id"), unhex(md5(col("text"))).as("tid"))
       .localCheckpoint(true)
-    val texts = aug.select(md5(col("text")).as("tid"), col("text"))
+    val texts = aug.select(unhex(md5(col("text"))).as("tid"), col("text"))
       .groupBy(col("tid"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("ktext"))
       .localCheckpoint(true) // distinct-content-sized; pushdown barrier
     val withT = texts.select(col("tid"), col("ktext"), toks.as("t"))
+    val gramArr =
+      s"transform(sequence(0, size(t)-$k), i -> unhex(md5(concat_ws(' ', slice(t, i+1, $k)))))"
     val grams = withT.filter(size(col("t")) >= k)
-      .select(col("tid"), col("ktext"), posexplode(expr(
-        s"transform(sequence(0, size(t)-$k), i -> md5(concat_ws(' ', slice(t, i+1, $k))))"))
+      .select(col("tid"), col("ktext"), posexplode(expr(gramArr))
         .as(Seq("s", "gram")))
-    val shared = grams.select(col("tid"), col("ktext"), col("gram")).distinct()
+    // shared-gram weights from a MAP-SIDE-distinct gram array (r21, guide
+    // §2.4): the per-text dedup that the old grams.distinct() paid a full
+    // (tid, ktext, gram) exchange for is array_distinct inside the row —
+    // the only exchange left on the gram stream is the partial-aggregated
+    // groupBy(gram) itself. Rows and weights are identical: one
+    // (gram, ktext) pair per distinct gram per distinct text.
+    val shared = withT.filter(size(col("t")) >= k)
+      .select(col("ktext"), explode(array_distinct(expr(gramArr))).as("gram"))
       .groupBy(col("gram")).agg(sum(col("ktext")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gram"), lit(1).as("is_dup"))
@@ -2751,7 +2772,7 @@ object TextOps {
       .filter(col("n") >= 50 && col("n") <= 100000 &&
         col("nonspace") >= col("n") * 3 && col("nonspace") <= col("n") * 10 &&
         col("n_stop") >= 2)
-      .withColumn("h", md5(col("text")))
+      .withColumn("h", unhex(md5(col("text"))))
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") === 1)
       .select(col("lang"), col("doc_id"), col("n"))
