@@ -71,9 +71,33 @@ object Measure {
   private def lp(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
     labeledPixels(image, labels, ndim).filter(col("label") =!= 0)
 
-  /** area (pixel count per label). */
-  def area(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame =
-    lp(image, labels, ndim).groupBy("label").agg(count(lit(1)).as("area")).orderBy("label")
+  /** area (pixel count per label).
+    *
+    * Block-local histogram (r21, guide §2.3 aggregate-before-shuffle):
+    * area is a function of the LABEL blocks alone, so the image⋈labels
+    * block join and the per-pixel (coords, value, label) row explode the
+    * generic lp() path pays are pure overhead here — at the 8192² bench
+    * smoke they shuffled two full pixel payloads and allocated 67M tuple
+    * rows to count them. One primitive loop per block emits ≤ its
+    * distinct-label count of (label, n) partials; the groupBy sums them.
+    * Output identical: non-background pixel count per label (counts are
+    * associative over blocks). */
+  def area(image: Dataset[Block], labels: Dataset[Block], ndim: Int): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.flatMap { b =>
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      val d = b.data
+      var i = 0
+      while (i < d.length) {
+        val v = d(i)
+        if (v != 0.0) { val l = v.toLong; m(l) = m.getOrElse(l, 0L) + 1L }
+        i += 1
+      }
+      m.iterator
+    }.toDF("label", "n")
+      .groupBy("label").agg(sum("n").as("area")).orderBy("label")
+  }
 
   /** find_objects: the tight per-label bounding box — (min_k, max_k) per
     * axis for every non-background label, the upstream
@@ -82,10 +106,41 @@ object Measure {
     * One partial-aggregating group-by on the label key; pixel payloads
     * never shuffle, only (label, coords) rows. */
   def findObjects(labels: Dataset[Block], ndim: Int): DataFrame = {
-    val px = labeledPixels(labels, labels, ndim).filter(col("label") =!= 0)
+    // Block-local partial bounding boxes (r21, guide §2.3): the old form
+    // self-joined `labels` WITH ITSELF through labeledPixels (two full
+    // pixel-payload shuffles for a frame the flatMap already holds) and
+    // exploded one row per pixel; min/max per axis are associative over
+    // blocks, so each block emits one [min0..,max0..] partial per label
+    // it contains and the groupBy folds those. Output identical.
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val partials = labels.flatMap { b =>
+      val nd = Nd.of(b.shape.toArray, b.data)
+      val d = b.ndim
+      val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+      nd.foreachCoord { c =>
+        val v = nd(c)
+        if (v != 0.0) {
+          val arr = m.getOrElseUpdate(v.toLong, {
+            val a = new Array[Long](2 * d)
+            java.util.Arrays.fill(a, 0, d, Long.MaxValue)
+            java.util.Arrays.fill(a, d, 2 * d, Long.MinValue)
+            a
+          })
+          var k = 0
+          while (k < d) {
+            val g = b.origin(k).toLong + c(k)
+            if (g < arr(k)) arr(k) = g
+            if (g > arr(d + k)) arr(d + k) = g
+            k += 1
+          }
+        }
+      }
+      m.iterator.map { case (l, a) => (l, a.toSeq) }
+    }.toDF("label", "mm")
     val aggs = (0 until ndim).flatMap(k =>
-      Seq(min(col(s"c$k")).as(s"min_$k"), max(col(s"c$k")).as(s"max_$k")))
-    px.groupBy("label").agg(aggs.head, aggs.tail: _*).orderBy("label")
+      Seq(min(col("mm")(k)).as(s"min_$k"), max(col("mm")(ndim + k)).as(s"max_$k")))
+    partials.groupBy("label").agg(aggs.head, aggs.tail: _*).orderBy("label")
   }
 
   /** sum_labels. */
@@ -257,44 +312,20 @@ object Measure {
       })
       buf.toArray
     }
-    val edges = Halo.exchange(local, Seq.fill(ndim)(1), Boundary.Constant(0.0))
-      .flatMap { p =>
-        val in = p.nd
-        val d = p.block.ndim
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        val bs = p.block.shape
-        Nd.zeros(bs.toArray).foreachCoord { oc =>
-          var off = 0
-          var k = 0
-          while (k < d) { off += (oc(k) + 1) * in.strides(k); k += 1 }
-          val a = in.data(off)
-          if (a != 0.0) {
-            // only link across faces: at least one neighbor coord outside
-            // this block (inner adjacency already handled by union-find)
-            var t = 0
-            while (t < offs.length) {
-              var outside = false
-              var noff = 0
-              var j = 0
-              while (j < d) {
-                val nc = oc(j) + offs(t)(j)
-                if (nc < 0 || nc >= bs(j)) outside = true
-                noff += (nc + 1) * in.strides(j)
-                j += 1
-              }
-              if (outside) {
-                val bval = in.data(noff)
-                if (bval != 0.0) {
-                  val x = a.toLong; val y = bval.toLong
-                  if (x < y) buf += ((y, x)) else if (y < x) buf += ((x, y))
-                }
-              }
-              t += 1
-            }
-          }
-        }
-        buf.distinct
-      }.toDF("node", "root").distinct()
+    // SLAB-PAIR exchange (r21, guide §2.3 — shuffle the proxy, not the
+    // payload): the old Halo.exchange-based edge emit shuffled every
+    // block's FULL label payload (the padded-block reassembly needs the
+    // center piece co-located with its halo, so the exchange moves the
+    // whole dataset — right for stencils that compute over the padded
+    // array, pure waste here where only boundary adjacency matters).
+    // Each adjacent block PAIR now exchanges depth-1 boundary slabs keyed
+    // by the unordered pair id; the scan runs in global coordinates over
+    // the two slabs and emits exactly the cross-block (max, min) label
+    // pairs the padded form emitted (structure symmetric, both-side
+    // emits were distinct()-normalized anyway). Shuffle drops from the
+    // full label raster to the 2·d·depth/chunk slab fraction — at the
+    // 8192² bench smoke ~0.5 GB → ~4 MB.
+    val edges = faceEdges(local, offs).toDF("node", "root").distinct()
 
     // ---- step 3: connected components on the label graph — the shared
     // min-label-propagation/pointer-doubling kernel (graft.plans.GraphCC;
@@ -385,6 +416,115 @@ object Measure {
         }
       }
     (relabeled, n)
+  }
+
+  /** Cross-block adjacency label pairs from depth-1 boundary-slab PAIRS
+    * (see the call site in [[label]] step 2). Every block emits, toward
+    * each in-grid neighbor direction o ∈ {−1,0,1}^d \ {0}, its depth-1
+    * boundary slab on that face (full extent on axes where o = 0; the
+    * same slab geometry Halo.emit uses), keyed by the UNORDERED block
+    * pair — so a group holds at most two slabs, one per side, and
+    * all-background slabs are never shipped. The scan walks the
+    * lexicographically-smaller block's slab in GLOBAL coordinates under
+    * the structuring offsets and pairs fg cells that land inside the
+    * other slab's box. Coverage argument: an adjacency (a ∈ A, b = a+t
+    * ∈ B) forces a into A's (B−A)-slab and b into B's (A−B)-slab on
+    * every crossing axis, and the slabs span the blocks' full extent on
+    * non-crossing axes — so scanning one side under the full symmetric
+    * offset set emits exactly the pairs the padded-block form emitted
+    * from both sides (distinct() downstream normalized those anyway). */
+  private def faceEdges(local: Dataset[Block], offs: Array[Array[Int]])
+      : Dataset[(Long, Long)] = {
+    val spark = local.sparkSession
+    import spark.implicits._
+    def lexLt(a: Seq[Int], b: Seq[Int]): Boolean = {
+      var k = 0
+      while (k < a.length) {
+        if (a(k) != b(k)) return a(k) < b(k)
+        k += 1
+      }
+      false
+    }
+    val slabs = local.flatMap { b =>
+      val d = b.ndim
+      val grid = b.gridDims
+      val src = Nd.of(b.shape.toArray, b.data)
+      val dirs = Grid.cartesian(Seq.fill(d)(3)).map(_.map(_ - 1))
+        .filter(_.exists(_ != 0))
+      dirs.flatMap { o =>
+        val target = b.idx.indices.map(k => b.idx(k) + o(k))
+        if (!target.indices.forall(k => target(k) >= 0 && target(k) < grid(k))) None
+        else {
+          val lo = new Array[Int](d); val ss = new Array[Int](d)
+          var k = 0
+          while (k < d) {
+            o(k) match {
+              case 1  => lo(k) = b.shape(k) - 1; ss(k) = 1
+              case -1 => lo(k) = 0; ss(k) = 1
+              case _  => lo(k) = 0; ss(k) = b.shape(k)
+            }
+            k += 1
+          }
+          val slab = Nd.zeros(ss)
+          var anyFg = false
+          slab.foreachCoord { c =>
+            val sc = new Array[Int](d)
+            var j = 0
+            while (j < d) { sc(j) = lo(j) + c(j); j += 1 }
+            val v = src(sc)
+            if (v != 0.0) anyFg = true
+            slab(c) = v
+          }
+          if (!anyFg) None // a background slab can never host an edge
+          else {
+            val gorigin = (0 until d).map(k => (b.origin(k) + lo(k)).toLong)
+            val first = lexLt(b.idx, target)
+            val (pa, pb) = if (first) (b.idx, target) else (target, b.idx)
+            Some((b.imageId, pa, pb, first, gorigin, ss.toSeq, slab.data))
+          }
+        }
+      }
+    }
+    slabs.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.length < 2) Iterator.empty
+        else {
+          val a = rows.find(_._4).get
+          val bp = rows.find(!_._4).get
+          val an = Nd.of(a._6.toArray, a._7)
+          val bn = Nd.of(bp._6.toArray, bp._7)
+          val (ao, bo) = (a._5, bp._5)
+          val d = an.ndim
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          an.foreachCoord { c =>
+            val x = an(c)
+            if (x != 0.0) {
+              var t = 0
+              while (t < offs.length) {
+                var inside = true
+                var noff = 0
+                var j = 0
+                while (j < d) {
+                  val g = ao(j) + c(j) + offs(t)(j)
+                  val rel = g - bo(j)
+                  if (rel < 0 || rel >= bn.shape(j)) { inside = false; j = d }
+                  else { noff += rel.toInt * bn.strides(j); j += 1 }
+                }
+                if (inside) {
+                  val y = bn.data(noff)
+                  if (y != 0.0 && x != y) {
+                    if (x < y) buf += ((y.toLong, x.toLong))
+                    else buf += ((x.toLong, y.toLong))
+                  }
+                }
+                t += 1
+              }
+            }
+          }
+          buf.distinct.iterator
+        }
+      }
   }
 
   /** Sequential union-find CC inside one block; labels are global C-order
